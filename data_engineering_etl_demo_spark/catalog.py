@@ -1,0 +1,55 @@
+"""Testdata catalog: parquet tables → DataFrames / temp views.
+
+TESTDATA.md: tables region nation customer supplier part orders lineitem
+events documents embeddings, one parquet per table under
+/root/testdata/sf{0.001,0.01,0.1}/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+# Parquet TIMESTAMP(NANOS) (written by pandas/pyarrow, e.g. events.ts) is not
+# a legal Spark type.  Reading nanos as raw int64 and truncating to micros
+# matches DuckDB's TIMESTAMP_NS → TIMESTAMP(µs) truncation, so both engines
+# see identical values.
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS): read as int64, truncate to µs.
+        # (nanosAsLong only affects NANOS fields; other tables are ms/µs.)
+        spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division — epoch nanos (~1.7e18) overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,52 @@
+"""Query-plan registry.
+
+Every implemented operator/query registers a QuerySpec: a Spark callable
+(spark, sf_dir) -> DataFrame plus (when SQL-expressible) the equivalent
+DuckDB oracle SQL over the same parquet tables.  ``__spark_entry__``
+re-exports the registry per the driver contract.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7 watch-out 6):
+- money sums aggregate in DECIMAL (exact, order-independent), rounded, then
+  cast back to double — identical value at any parallelism in both engines;
+- timestamps compared as epoch microseconds (unix_micros / epoch_us), never
+  as formatted strings;
+- every computed column aliased identically in Spark and SQL;
+- ties in top-k / window ranks broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # Import for side effect: modules self-register on import.
+    from data_engineering_etl_demo_spark.plans import analytics, tpch  # noqa: F401
+
+    try:
+        from data_engineering_etl_demo_spark.plans import llmdata  # noqa: F401
+    except ImportError:
+        pass
+    return dict(REGISTRY)

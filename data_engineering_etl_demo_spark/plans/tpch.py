@@ -1,0 +1,250 @@
+"""Generic relational operator coverage over the TPC-H-ish tables.
+
+The reference's own query surface is narrow (equi-join fact→dim, grouped
+aggregates, top-k — SURVEY.md §2.3/§2.4).  These plans exercise the same
+operator classes at warehouse scale: multi-way joins, partial aggregation,
+window ranking, and top-k, each with a DuckDB oracle.
+
+Scale notes:
+- dims (region/nation/customer/part/supplier) are broadcast explicitly —
+  at 100 TB lineitem/orders are the only big sides; no sort-merge join is
+  ever needed for these shapes.
+- pricing_summary is a 6-group agg over the fact: pure map-side combine,
+  one tiny shuffle.
+- order_rank windows by o_custkey — high cardinality key, so the window
+  shuffle partitions evenly (no global window, SURVEY.md §7 watch-out 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.functions.cleaning import money_sum
+from data_engineering_etl_demo_spark.plans import register
+from data_engineering_etl_demo_spark.plans.analytics import sql_money_sum
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: pricing summary (grouped sums/avg/count over the fact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_base_price,
+           {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-aggregate group-by with pushed-down filter.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-12-01 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            money_sum(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * (F.lit(1) + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.round(
+                F.sum(dec(F.col("l_quantity"))) / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k customers by order revenue (fact ⨝ broadcast dim → agg → top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers",
+    f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           COUNT(*) AS order_count,
+           {sql_money_sum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    doc="J2 shape: fact ⨝ broadcast dim, grouped agg, deterministic top-k.",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way dim join rollup: region ⨝ nation ⨝ customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_rollup",
+    f"""
+    SELECT r.r_name AS region,
+           n.n_name AS nation,
+           COUNT(c.c_custkey) AS customers,
+           {sql_money_sum('COALESCE(c.c_acctbal, 0)')} AS total_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Multi-way join (inner + left outer) with grouped rollup.",
+)
+def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        region.join(
+            F.broadcast(nation),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .join(cust, cust["c_nationkey"] == nation["n_nationkey"], "left")
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("c_custkey").alias("customers"),
+            money_sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking: top-3 orders per customer by totalprice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    ORDER BY o_custkey, rnk
+    """,
+    doc="Analytic window: per-key ranking with deterministic tiebreak.",
+)
+def q_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti join coverage: customers with and without orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+    doc="Anti join (NOT IN → left_anti).",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set op coverage: union of two projections (T1/T2 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "all_parties_union",
+    """
+    SELECT party_id, name, kind FROM (
+        SELECT c_custkey AS party_id, c_name AS name, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_suppkey AS party_id, s_name AS name, 'supplier' AS kind FROM supplier
+    )
+    ORDER BY kind, party_id
+    """,
+    doc="T1/T2: unionByName of conformed projections.",
+)
+def q_all_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp).orderBy("kind", "party_id")
