@@ -62,9 +62,11 @@ def normalize_id(col: Column | str) -> Column:
 
 def strict_utc_ts(col: Column | str) -> Column:
     """F9: strict timestamp parse, invalid → NULL (pandas errors='coerce',
-    /root/reference/pipeline/ingest.py:59).  Session tz is pinned UTC."""
+    /root/reference/pipeline/ingest.py:59).  Session tz is pinned UTC.
+    try_to_timestamp keeps coerce semantics under ANSI mode (Spark 4
+    default), where to_timestamp would raise on malformed input."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(F.regexp_replace(c.cast("string"), r"Z$", "+00:00"))
+    return F.try_to_timestamp(F.regexp_replace(c.cast("string"), r"Z$", "+00:00"))
 
 
 # F10: the Kaggle loader's 9-format fallback chain
@@ -97,7 +99,7 @@ def money(col: Column | str, default: float | None = 0.0) -> Column:
     (/root/reference/...: kaggle_amazon_sales_loader.py:95-104)."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(F.trim(c.cast("string")), r"[,$₹€£\s]", "")
-    casted = cleaned.cast("double")
+    casted = cleaned.try_cast("double")  # garbage → null even under ANSI
     if default is None:
         return casted
     return F.coalesce(casted, F.lit(float(default)))

@@ -1,0 +1,126 @@
+"""Clean/normalize/dedup/derive/enrich transform (SURVEY.md §2 P1,P7,F1-F3,
+F9,F11,F13,A6,J1 — reference /root/reference/pipeline/transform.py:11-120).
+
+Semantics preserved exactly (pinned by the ported unit tests):
+  1. strict UTC ts parse, invalid → null            (F9)
+  2. event canonicalization (trim/lower/sep/alias)  (F1-F3)
+  3. disallowed events → quarantine with _reason    (P1)
+  4. dedup by event_id, keep latest ts              (A6)
+  5. user_id → trimmed TEXT, sentinel strings → null (P7)
+  6. amount → double, garbage → null                (F13)
+  7. derive event_date ('YYYY-MM-DD'), event_hour   (F11)
+  8. left join users dim (broadcast)                (J1)
+metrics: dedup_removed, null_user_id, invalid_event_type, rows_out.
+
+Scale notes: the good/bad split is two filters over one scan (Catalyst
+reuses the subplan); dedup windows by event_id — maximal-cardinality key, so
+the shuffle is even; the users dim is broadcast (J1 is fact⟕dim).  Metrics
+run as two small aggregate jobs; a production pipeline would ride them on
+the write via df.observe() (see quality.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_etl_demo_spark.functions.cleaning import (
+    ALLOWED_EVENTS,
+    canonicalize_event,
+    normalize_id,
+    strict_utc_ts,
+)
+
+
+@dataclass
+class TransformResult:
+    clean: DataFrame
+    bad: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def _normalize(events: DataFrame) -> DataFrame:
+    cols = set(events.columns)
+    df = events
+    df = df.withColumn("ts", strict_utc_ts(F.col("ts")) if "ts" in cols else F.lit(None).cast("timestamp"))
+    df = df.withColumn(
+        "event",
+        canonicalize_event(F.col("event")) if "event" in cols else F.lit(""),
+    )
+    return df
+
+
+def transform(events: DataFrame, users: DataFrame) -> TransformResult:
+    """(events, users) → (clean, bad, metrics) with reference semantics."""
+    # keep arrival order for deterministic dedup tie-breaking (SURVEY.md §7
+    # watch-out 1: pandas keep='last' is file-order-last on equal ts)
+    ev = _normalize(events).withColumn(
+        "_ingest_order", F.monotonically_increasing_id()
+    )
+
+    invalid = ~F.col("event").isin(*ALLOWED_EVENTS)
+    bad = ev.filter(invalid).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("ts").cast("string").alias("ts"),
+        (
+            F.col("user_id").cast("string")
+            if "user_id" in events.columns
+            else F.lit(None).cast("string")
+        ).alias("user_id"),
+        F.col("event").cast("string").alias("event"),
+        F.lit("invalid_event_type").alias("_reason"),
+    )
+
+    valid = ev.filter(~invalid)
+
+    # A6: keep latest ts per event_id; ties → last arrival wins
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("_ingest_order").desc()
+    )
+    deduped = (
+        valid.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    cols = set(events.columns)
+    deduped = deduped.withColumn(
+        "user_id",
+        normalize_id("user_id") if "user_id" in cols else F.lit(None).cast("string"),
+    ).withColumn(
+        "amount",
+        F.col("amount").try_cast("double") if "amount" in cols else F.lit(None).cast("double"),
+    )
+
+    derived = deduped.withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    ).withColumn("event_hour", F.hour("ts"))
+
+    users_dim = users.select(
+        normalize_id("user_id").alias("user_id"),
+        *[c for c in ("country", "signup_source") if c in users.columns],
+    )
+    clean = derived.join(F.broadcast(users_dim), on="user_id", how="left").drop(
+        "_ingest_order"
+    )
+
+    # --- metrics (two aggregate jobs; see module docstring) ---------------
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(invalid, 1).otherwise(0)).alias("invalid"),
+    ).collect()[0]
+    out_stats = clean.agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_uid"),
+    ).collect()[0]
+    valid_rows = stats["rows_in"] - (stats["invalid"] or 0)
+    metrics = {
+        "dedup_removed": int(valid_rows - out_stats["rows_out"]),
+        "null_user_id": int(out_stats["null_uid"] or 0),
+        "invalid_event_type": int(stats["invalid"] or 0),
+        "rows_out": int(out_stats["rows_out"]),
+    }
+    return TransformResult(clean=clean, bad=bad, metrics=metrics)
