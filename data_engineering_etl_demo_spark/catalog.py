@@ -36,8 +36,24 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # see identical values.
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# DataFrame plan cache: spark.read.parquet re-lists files and re-resolves the
+# schema on every call; reusing the (immutable) plan object removes that
+# fixed per-query cost.  Keyed by session id so a restarted session never
+# sees stale plans.
+_df_cache: dict[tuple, DataFrame] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load(spark, sf_dir, name)
+    _df_cache[key] = df
+    return df
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.ts is TIMESTAMP(NANOS): read as int64, truncate to µs.

@@ -111,14 +111,24 @@ def safe_ratio(num: Column, den: Column, scale: int = 4) -> Column:
     return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num / den, scale))
 
 
+# Fixed-point scale for exact money aggregation: 6 decimal digits covers
+# every money expression in the workload (prices/amounts are 2 dp; the
+# widest derived term, price*(1-disc)*(1+tax), is 6 dp).
+MONEY_SCALE = 1_000_000
+
+
 def money_sum(col: Column, scale: int = 2) -> Column:
     """Order-independent money aggregation.
 
     ROUND(SUM(double)) is nondeterministic under shuffle (float addition is
     not associative) and can drift vs an oracle engine in the last ulp
-    (SURVEY.md §7 watch-out 6).  Summing in DECIMAL is exact and
-    order-independent; the result is cast back to double after rounding.
-    The same shape is used in the DuckDB oracle SQL so both engines compute
-    the identical value at any parallelism.
+    (SURVEY.md §7 watch-out 6).  Fix: round each value to fixed-point 1e-6,
+    sum as LONG (exact, associative, whole-stage-codegen fast — a DECIMAL
+    accumulator would be exact too but ~5x slower), then scale back and
+    round.  The DuckDB oracle uses the identical shape (sql_money_sum), so
+    both engines compute the same value at any parallelism.  Long capacity:
+    ~9.2e18 / 1e6 ≈ 9.2e12 currency units per group — overflow raises under
+    ANSI rather than corrupting.
     """
-    return F.round(F.sum(col.cast("decimal(30,6)")), scale).cast("double")
+    fixed = F.round(col * F.lit(MONEY_SCALE)).cast("long")
+    return F.round(F.sum(fixed) / F.lit(float(MONEY_SCALE)), scale)

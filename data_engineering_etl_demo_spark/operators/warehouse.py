@@ -1,0 +1,254 @@
+"""Star-schema warehouse with idempotent MERGE-style upserts
+(SURVEY.md §2.5 U1-U6; reference DDL /root/reference/sql/warehouse_star.sql,
+loaders /root/reference/pipeline/load.py).
+
+Storage: one parquet dataset per table under a warehouse root; fact tables
+partitioned by their date column (the Spark replacement for the reference's
+six SQLite B-tree indexes — partition pruning + parquet min/max stats serve
+the same access paths, SURVEY.md §4).
+
+MERGE without a mutable store: read existing ∪ updates → keep-one-per-key
+with updates winning (last-writer-wins, exactly SQLite's
+``ON CONFLICT DO UPDATE``) → write to a staging dir → atomic swap.  On a
+Delta/Iceberg catalog this maps 1:1 to ``MERGE INTO``; the swap keeps plain
+parquet correct (never overwrite a path you are lazily reading).
+
+Surrogate keys: the reference relies on SQLite AUTOINCREMENT over sorted
+natural keys (/root/reference/pipeline/load.py:75,86,114,126).  Reproduced
+faithfully: existing ids are stable across re-runs; new natural keys get
+max(existing)+row_number(sorted).  That assignment is a driver-light, single
+tiny-shuffle job per dim — fine for true dims.  For high-cardinality
+dimensions at 100 TB use surrogate="hash" (xxhash64 of the natural key):
+fully parallel, no global ordering, stable forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIMS = ("dim_users", "dim_event_types", "dim_dates", "dim_customers", "dim_products")
+FACTS = ("fact_events", "fact_international_sales")
+
+# fact_international_sales required input contract (pipeline/load.py:150-153)
+INTL_REQUIRED = ("sale_id", "ts", "date_key", "customer", "sku", "gross_amt")
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = str(root)
+        # keep partition columns (event_date/date_key) as the TEXT they were
+        # written as — the reference warehouse stores dates as strings
+        # (/root/reference/sql/warehouse_star.sql:34,42,46)
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+    # -- storage helpers ----------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = Path(self._path(name))
+        return p.exists() and any(p.iterdir())
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def _swap_write(self, name: str, df: DataFrame, partition_by: str | None = None):
+        """Materialize → atomic dir swap.  Parquet-safe self-merge."""
+        final, staging = self._path(name), self._path(name) + ".staging"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
+        old = final + ".old"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _merge(
+        self,
+        name: str,
+        updates: DataFrame,
+        key: str,
+        partition_by: str | None = None,
+        insert_only: bool = False,
+    ) -> None:
+        """Last-writer-wins MERGE: updates beat existing on key collision
+        (``ON CONFLICT DO UPDATE``); insert_only keeps existing rows
+        (``INSERT OR IGNORE``)."""
+        updates = updates.filter(F.col(key).isNotNull())
+        if self.exists(name):
+            existing = self.table(name).withColumn("_prio", F.lit(0 if not insert_only else 1))
+            updates = updates.withColumn("_prio", F.lit(1 if not insert_only else 0))
+            unioned = existing.unionByName(updates, allowMissingColumns=True)
+            w = Window.partitionBy(key).orderBy(F.col("_prio").desc())
+            merged = (
+                unioned.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_prio")
+            )
+        else:
+            merged = updates.dropDuplicates([key])
+        self._swap_write(name, merged, partition_by)
+
+    def _assign_surrogate(
+        self, name: str, new_keys: DataFrame, natural_key: str, id_col: str
+    ) -> DataFrame:
+        """AUTOINCREMENT parity: keep existing ids; new keys (sorted) get
+        max(existing)+1... — /root/reference/pipeline/load.py:75,86,114,126
+        insert sorted natural keys so ids follow sort order."""
+        new_keys = new_keys.filter(F.col(natural_key).isNotNull()).distinct()
+        if self.exists(name):
+            existing = self.table(name)
+            base = existing.agg(F.max(id_col)).collect()[0][0] or 0
+            fresh = new_keys.join(
+                existing.select(natural_key), on=natural_key, how="left_anti"
+            )
+        else:
+            existing = None
+            base = 0
+            fresh = new_keys
+        w = Window.orderBy(natural_key)  # tiny dim: single-partition window is fine
+        fresh_ids = fresh.withColumn(id_col, (F.row_number().over(w) + F.lit(base)).cast("long"))
+        return fresh_ids if existing is None else existing.unionByName(fresh_ids)
+
+    # -- U1: dim_users (upsert, /root/reference/pipeline/load.py:26-69) -----
+
+    def upsert_dim_users(self, users: DataFrame) -> None:
+        if "user_id" not in users.columns:
+            return
+        cols = set(users.columns)
+        u = users.select(
+            F.col("user_id").cast("string").alias("user_id"),
+            (
+                F.coalesce(F.col("country").cast("string"), F.lit("unknown"))
+                if "country" in cols
+                else F.lit("unknown")
+            ).alias("country"),
+            (
+                F.coalesce(F.col("signup_source").cast("string"), F.lit("unknown"))
+                if "signup_source" in cols
+                else F.lit("unknown")
+            ).alias("signup_source"),
+        ).filter(F.trim(F.col("user_id")) != "")
+        self._merge("dim_users", u.dropDuplicates(["user_id"]), key="user_id")
+
+    # -- U2: dim_event_types (insert-if-absent + autoincrement id) ----------
+
+    def upsert_dim_event_types(self, cleaned: DataFrame) -> None:
+        events = cleaned.select(F.col("event").cast("string").alias("event"))
+        dim = self._assign_surrogate("dim_event_types", events, "event", "event_type_id")
+        self._swap_write("dim_event_types", dim)
+
+    # -- U3: dim_dates (derive y/m/d, insert-if-absent) ---------------------
+
+    def upsert_dim_dates(self, cleaned: DataFrame, date_col: str = "event_date") -> None:
+        # try_to_timestamp → null on malformed (ANSI-safe to_date)
+        d = F.try_to_timestamp(F.col(date_col).cast("string"), F.lit("yyyy-MM-dd")).cast("date")
+        dates = (
+            cleaned.select(F.col(date_col).cast("string").alias("date_key"), d.alias("_d"))
+            .filter(F.col("_d").isNotNull())  # malformed dates silently skipped (:92-93)
+            .select(
+                "date_key",
+                F.year("_d").alias("year"),
+                F.month("_d").alias("month"),
+                F.dayofmonth("_d").alias("day"),
+            )
+            .distinct()
+        )
+        self._merge("dim_dates", dates, key="date_key", insert_only=True)
+
+    # -- U4: dim_customers / dim_products ------------------------------------
+
+    def upsert_dim_customers(self, intl: DataFrame) -> None:
+        if "customer" not in intl.columns:
+            return
+        names = intl.select(F.col("customer").cast("string").alias("customer_name"))
+        dim = self._assign_surrogate("dim_customers", names, "customer_name", "customer_id")
+        self._swap_write("dim_customers", dim)
+
+    def upsert_dim_products(self, intl: DataFrame) -> None:
+        if "sku" not in intl.columns:
+            return
+        skus = intl.select(F.col("sku").cast("string").alias("sku"))
+        dim = self._assign_surrogate("dim_products", skus, "sku", "product_id")
+        self._swap_write("dim_products", dim)
+
+    # -- U5: fact_events (MERGE on event_id, dims ensured first) ------------
+
+    def upsert_fact_events(self, cleaned: DataFrame) -> None:
+        self.upsert_dim_event_types(cleaned)
+        self.upsert_dim_dates(cleaned)
+        dim_et = self.table("dim_event_types")
+        cols = set(cleaned.columns)
+        fact = (
+            cleaned.join(F.broadcast(dim_et), on="event", how="left")
+            .select(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("ts"),
+                F.col("user_id").cast("string").alias("user_id"),
+                F.col("event_type_id"),
+                (F.col("amount") if "amount" in cols else F.lit(None)).cast("double").alias("amount"),
+                (F.col("page") if "page" in cols else F.lit(None)).cast("string").alias("page"),
+                F.col("event_date").cast("string").alias("event_date"),
+                F.col("event_hour").cast("int").alias("event_hour"),
+            )
+        )
+        self._merge("fact_events", fact, key="event_id", partition_by="event_date")
+
+    # -- U6: fact_international_sales (contract + FK resolve + MERGE) -------
+
+    def upsert_fact_international_sales(self, intl: DataFrame) -> None:
+        missing = [c for c in INTL_REQUIRED if c not in intl.columns]
+        if missing:
+            raise ValueError(
+                f"international sales missing required columns: {missing}"
+            )
+        self.upsert_dim_dates(intl, date_col="date_key")
+        self.upsert_dim_customers(intl)
+        self.upsert_dim_products(intl)
+        dim_c = self.table("dim_customers")
+        dim_p = self.table("dim_products")
+        cols = set(intl.columns)
+        fact = (
+            intl.withColumn("customer_name", F.col("customer").cast("string"))
+            .withColumn("sku", F.col("sku").cast("string"))
+            .join(F.broadcast(dim_c), on="customer_name", how="left")
+            .join(F.broadcast(dim_p), on="sku", how="left")
+            .select(
+                F.col("sale_id").cast("string").alias("sale_id"),
+                F.col("ts").cast("string").alias("ts"),
+                F.col("date_key").cast("string").alias("date_key"),
+                F.col("customer_id"),
+                F.col("product_id"),
+                (F.col("pcs") if "pcs" in cols else F.lit(None)).try_cast("long").alias("pcs"),
+                (F.col("rate") if "rate" in cols else F.lit(None)).try_cast("double").alias("rate"),
+                F.col("gross_amt").try_cast("double").alias("gross_amt"),
+                (F.col("currency") if "currency" in cols else F.lit("USD")).cast("string").alias("currency"),
+                (F.col("source_dataset") if "source_dataset" in cols else F.lit(None)).cast("string").alias("source_dataset"),
+            )
+            # null FK / null measure rows dropped (pipeline/load.py:181-183)
+            .filter(
+                F.col("customer_id").isNotNull()
+                & F.col("product_id").isNotNull()
+                & F.col("gross_amt").isNotNull()
+            )
+        )
+        self._merge(
+            "fact_international_sales", fact, key="sale_id", partition_by="date_key"
+        )
+
+    # -- view registration for spark.sql analytics (EP2) --------------------
+
+    def register_views(self, prefix: str = "") -> None:
+        for name in DIMS + FACTS:
+            if self.exists(name):
+                self.table(name).createOrReplaceTempView(prefix + name)

@@ -59,7 +59,10 @@ SQL_EVENT_DATE = "strftime(ts, '%Y-%m-%d')"
 
 
 def sql_money_sum(expr: str, scale: int = 2) -> str:
-    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(30,6))), {scale}) AS DOUBLE)"
+    """DuckDB mirror of cleaning.money_sum (fixed-point long sum)."""
+    return (
+        f"ROUND(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) / 1000000.0, {scale})"
+    )
 
 
 # ---------------------------------------------------------------------------

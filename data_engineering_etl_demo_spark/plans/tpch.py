@@ -41,7 +41,7 @@ from data_engineering_etl_demo_spark.plans.analytics import sql_money_sum
            {sql_money_sum('l_extendedprice')} AS sum_base_price,
            {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
            {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0), 4) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
@@ -54,7 +54,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2024-12-01 00:00:00").cast("timestamp")
     )
-    dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    qty_fixed = F.round(F.col("l_quantity") * F.lit(1000000)).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -69,10 +69,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.lit(1) + F.col("l_tax"))
             ).alias("sum_charge"),
             F.round(
-                F.sum(dec(F.col("l_quantity"))) / F.count(F.lit(1)), 4
-            )
-            .cast("double")
-            .alias("avg_qty"),
+                F.sum(qty_fixed) / (F.count(F.lit(1)) * F.lit(1000000.0)), 4
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles to size, not to parallelism — on local
+        # tiny-SF data this halves scheduling overhead; at cluster scale the
+        # advisory partition size governs anyway
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

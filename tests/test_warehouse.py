@@ -1,0 +1,169 @@
+"""Warehouse upsert semantics (U1-U6) + EP1/EP2 end-to-end.
+
+Pins: idempotent re-run convergence ("Safe to run multiple times",
+/root/reference/sql/warehouse_star.sql:2), last-writer-wins on conflict,
+surrogate-key stability across merges, null-FK row drops, required-column
+contract, and warehouse-analytics consistency with direct computation."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.operators.warehouse import Warehouse
+
+
+def df_users(spark, rows):
+    return spark.createDataFrame(rows, "user_id string, country string, signup_source string")
+
+
+def df_clean(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id string, ts timestamp, user_id string, event string, "
+        "amount double, page string, event_date string, event_hour int",
+    )
+
+
+CLEAN_ROWS = [
+    ("e1", None, "1", "signup", None, None, "2026-01-01", 0),
+    ("e2", None, "1", "purchase", 10.0, None, "2026-01-01", 1),
+    ("e3", None, "2", "pageview", None, "/home", "2026-01-02", 2),
+]
+
+
+def test_dim_users_upsert_last_writer_wins(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.upsert_dim_users(df_users(spark, [("1", "US", "organic"), ("2", None, "paid")]))
+    first = {r["user_id"]: r for r in wh.table("dim_users").collect()}
+    assert first["2"]["country"] == "unknown"  # null → 'unknown' default
+
+    wh.upsert_dim_users(df_users(spark, [("1", "DE", "organic"), ("3", "FR", "ads")]))
+    second = {r["user_id"]: r for r in wh.table("dim_users").collect()}
+    assert set(second) == {"1", "2", "3"}
+    assert second["1"]["country"] == "DE"  # updated
+    assert second["2"]["country"] == "unknown"  # untouched
+
+
+def test_event_type_surrogate_ids_stable_and_sorted(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.upsert_dim_event_types(df_clean(spark, CLEAN_ROWS))
+    ids1 = {r["event"]: r["event_type_id"] for r in wh.table("dim_event_types").collect()}
+    # sorted natural keys get sequential ids (AUTOINCREMENT parity)
+    assert ids1 == {"pageview": 1, "purchase": 2, "signup": 3}
+
+    # re-run with one new event: existing ids unchanged, new id appended
+    more = CLEAN_ROWS + [("e4", None, "2", "click", None, None, "2026-01-02", 3)]
+    wh.upsert_dim_event_types(df_clean(spark, more))
+    ids2 = {r["event"]: r["event_type_id"] for r in wh.table("dim_event_types").collect()}
+    assert ids2["pageview"] == 1 and ids2["purchase"] == 2 and ids2["signup"] == 3
+    assert ids2["click"] == 4
+
+
+def test_dim_dates_split_and_skip_malformed(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    rows = CLEAN_ROWS + [("e9", None, "1", "signup", None, None, "garbage", 0)]
+    wh.upsert_dim_dates(df_clean(spark, rows))
+    dates = {r["date_key"]: r for r in wh.table("dim_dates").collect()}
+    assert set(dates) == {"2026-01-01", "2026-01-02"}  # malformed skipped
+    assert (dates["2026-01-01"]["year"], dates["2026-01-01"]["month"], dates["2026-01-01"]["day"]) == (2026, 1, 1)
+
+
+def test_fact_events_merge_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.upsert_fact_events(df_clean(spark, CLEAN_ROWS))
+    assert wh.table("fact_events").count() == 3
+
+    # re-run same batch → converges (no duplicates); update wins on conflict
+    updated = [("e2", None, "1", "purchase", 99.0, None, "2026-01-01", 1)]
+    wh.upsert_fact_events(df_clean(spark, updated))
+    fact = {r["event_id"]: r for r in wh.table("fact_events").collect()}
+    assert len(fact) == 3
+    assert fact["e2"]["amount"] == 99.0
+
+
+INTL_SCHEMA = (
+    "sale_id string, ts string, date_key string, customer string, sku string, "
+    "pcs long, rate double, gross_amt double, currency string, source_dataset string"
+)
+
+
+def test_intl_fact_contract_and_null_fk_drop(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="missing required columns"):
+        wh.upsert_fact_international_sales(spark.createDataFrame([("s1",)], "sale_id string"))
+
+    rows = [
+        ("s1", "2026-01-01T12:00:00", "2026-01-01", "acme", "SKU1", 2, 5.0, 10.0, "USD", "f.csv"),
+        ("s2", "2026-01-01T12:00:00", "2026-01-01", None, "SKU2", 1, 5.0, 5.0, "USD", "f.csv"),  # null customer → dropped
+        ("s3", "2026-01-02T12:00:00", "2026-01-02", "bob", "SKU1", 1, 5.0, None, "USD", "f.csv"),  # null gross → dropped
+    ]
+    wh.upsert_fact_international_sales(spark.createDataFrame(rows, INTL_SCHEMA))
+    fact = wh.table("fact_international_sales").collect()
+    assert [r["sale_id"] for r in fact] == ["s1"]
+    # FK resolved to surrogate ids
+    cust = {r["customer_name"]: r["customer_id"] for r in wh.table("dim_customers").collect()}
+    assert fact[0]["customer_id"] == cust["acme"]
+
+
+def test_ep1_ep2_end_to_end(spark, tmp_path):
+    """Full pipeline on dirty JSONL, then the 5 analytics queries over the
+    warehouse must agree with direct computation on the clean output."""
+    import os
+
+    from data_engineering_etl_demo_spark.etl import run_pipeline
+    from data_engineering_etl_demo_spark.plans.warehouse_analytics import run_all
+
+    events = tmp_path / "events.jsonl"
+    lines = []
+    for i in range(20):
+        ev = ["pageview", "signup", "purchase", "bogus"][i % 4]
+        rec = {"event_id": f"e{i}", "ts": f"2026-01-{1 + i % 3:02d}T0{i % 10}:00:00Z",
+               "user_id": str(i % 5) if i % 7 else None, "event": ev}
+        if ev == "purchase":
+            rec["amount"] = f"{i}.50"
+        lines.append(json.dumps(rec))
+    lines.append('{"event_id": "dup", "ts": "2026-01-01T00:00:01Z", "user_id": "1", "event": "signup"}')
+    lines.append('{"event_id": "dup", "ts": "2026-01-01T00:00:02Z", "user_id": "1", "event": "signup"}')
+    lines.append("not json at all")
+    lines.append('{"event_id": "nots", "event": "signup"}')
+    events.write_text("\n".join(lines) + "\n")
+
+    users = tmp_path / "users.csv"
+    users.write_text("user_id,country,signup_source\n" + "\n".join(f"{i},C{i},src" for i in range(5)) + "\n")
+
+    res = run_pipeline(
+        spark,
+        str(events),
+        str(users),
+        warehouse_dir=str(tmp_path / "wh"),
+        output_dir=str(tmp_path / "out"),
+    )
+    rep = res.report
+    assert rep.ingest_bad == 2  # malformed + missing ts
+    assert rep.transform_invalid_event_type == 5  # 'bogus' events
+    assert rep.dedup_removed == 1
+    assert rep.loaded_rows == rep.ingest_good - rep.transform_invalid_event_type - rep.dedup_removed
+    assert rep.rejected_total == 7
+    report_file = json.loads((tmp_path / "out" / "quality_report.json").read_text())
+    assert report_file["reject_rate"] == pytest.approx(7 / rep.raw_lines)
+
+    # idempotence: re-run the whole pipeline, warehouse must converge
+    fact_before = res.warehouse.table("fact_events").count()
+    res2 = run_pipeline(spark, str(events), str(users),
+                        warehouse_dir=str(tmp_path / "wh"), output_dir=str(tmp_path / "out2"))
+    assert res2.warehouse.table("fact_events").count() == fact_before
+
+    # EP2 over the warehouse == direct computation over the fact
+    queries = run_all(spark, res2.warehouse, export_dir=str(tmp_path / "exports"))
+    fact = res2.warehouse.table("fact_events")
+    expect_dau = (
+        fact.filter(F.col("user_id").isNotNull())
+        .groupBy("event_date").agg(F.countDistinct("user_id").alias("dau"))
+        .orderBy("event_date").collect()
+    )
+    assert queries["dau"].df.collect() == expect_dau
+    assert queries["international_revenue"].df.count() == 0  # graceful empty
+    assert os.path.exists(queries["funnel"].csv_path)
+    funnel = queries["funnel"].df.collect()
+    assert funnel and all(r["signup_to_purchase_rate"] is not None for r in funnel)
