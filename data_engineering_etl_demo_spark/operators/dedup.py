@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard, SimHash.
+
+Design for 100 TB (the whole point of these operators):
+
+- exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
+  fingerprint (maximal cardinality, even partitions).
+- MinHash-LSH: shingle → K portable min-hashes → B bands; docs sharing a
+  band bucket become candidate pairs; exact Jaccard verifies candidates.
+  The band join touches only colliding buckets — the O(n²) all-pairs
+  comparison never materializes.  Hash = md5(seed || shingle) so the DuckDB
+  oracle computes identical signatures (Spark xxhash64 and DuckDB hash()
+  are different algorithms; md5 is the portable common denominator, and at
+  scale the extra hashing cost is dwarfed by the shuffle LSH avoids).
+- SimHash: 64-bit signature whose Hamming distance tracks cosine similarity
+  of token sets; near-dup candidates = equal signature prefix bands.
+- embedding near-dup: random-hyperplane sign-LSH over the embedding column;
+  see similarity.py for the cosine machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.operators.text import fingerprint, word_shingles
+
+# LSH geometry: K = BANDS * ROWS_PER_BAND signature components.
+MINHASH_K = 12
+LSH_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving doc per normalized-text fingerprint (min id wins —
+    deterministic).  Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature_components(docs: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K) -> DataFrame:
+    """(id, seed, minhash) — one row per doc per hash function; a single
+    explode+groupBy pass computes all K mins."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
+    )
+    return shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+            for seed in range(k)
+        ]
+    )
+
+
+def lsh_band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket): bucket = md5 of the band's signature slice."""
+    bands = []
+    for b in range(LSH_BANDS):
+        comps = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *comps)).alias("bucket")))
+    return sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """distinct (id_a < id_b) pairs sharing any band bucket — the self-join
+    shuffles on (band, bucket), never on all pairs."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs with jaccard >= threshold."""
+    shingles = docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
+    )
+    sizes = shingles.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("sid").alias("id_a"), "shingle")
+    sb = shingles.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(na, on="id_a")
+        .join(nb, on="id_b")
+        .withColumn(
+            # floor-truncate instead of round: ROUND(double, n) last-ulp
+            # behavior is engine-defined; floor(x·1e6)/1e6 is IEEE-exact in
+            # both Spark and the DuckDB oracle.
+            "jaccard",
+            F.floor(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                * F.lit(1e6)
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → bands → candidate
+    pairs → exact-Jaccard verify.  Returns (id_a, id_b, jaccard)."""
+    sig = minhash_signature_components(docs, id_col, text_col)
+    buckets = lsh_band_buckets(sig, id_col)
+    pairs = lsh_candidate_pairs(buckets, id_col)
+    return jaccard_pairs(docs, pairs, id_col, text_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Spark-side only — bit-twiddling has no portable SQL mirror)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum +1/-1 token votes and
+    take the sign.  Token hash = first 16 hex chars of md5 as a long
+    (via conv), so signatures are stable across runs/engines.
+
+    Plan shape: explode tokens → explode 64 bit positions → one groupBy
+    (id, bit) partial-agg pass → array rebuild.  All built-ins, no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bits = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        h.alias("h"),
+    ).withColumn(
+        # shiftright's Python wrapper only takes int shifts → SQL-expr form
+        "vote",
+        F.expr("IF((shiftright(h, bit) & 1) = 1, 1, -1)"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    # shiftleft needs a column shift amount → SQL-expr form
+    return (
+        votes.groupBy(id_col)
+        .agg(F.collect_list(F.struct("bit", "v")).alias("bits"))
+        .select(
+            id_col,
+            F.expr(
+                "aggregate(bits, 0L,"
+                " (acc, s) -> acc + IF(s.v > 0, shiftleft(1L, s.bit), 0L))"
+            ).alias("simhash"),
+        )
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """popcount of xor — Hamming distance between two 64-bit signatures."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)

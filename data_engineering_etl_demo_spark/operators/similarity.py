@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline.  Queries are broadcast
+  (a handful of vectors); the corpus side streams — no shuffle of the
+  corpus at all, so the plan scales linearly to any corpus size.
+- sign-LSH near-dup: random-hyperplane signature buckets restrict the
+  O(n²) pair space; exact cosine verifies candidates.  The "random"
+  hyperplanes are seeded from md5 of (plane, dim) so every run/engine
+  derives identical planes — no state to ship.
+
+Cross-engine exactness: dot products and norms are computed per-element in
+double and summed as DECIMAL(38,12) (exact, order-independent), because the
+DuckDB oracle cannot be made to sum doubles in Spark's order.  The decimal
+work is per-candidate only — top-k keeps it off the hot path at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SIM_SCALE = 9  # truncation scale for the similarity value
+
+
+def trunc9(x: Column) -> Column:
+    """Truncate a double to 9 decimal places via floor(x·1e9)/1e9.  Unlike
+    ROUND(double, 9) — whose last-ulp behavior is engine-defined — every step
+    here (multiply, floor, divide) is an IEEE-754 correctly-rounded double op,
+    so Spark and the DuckDB oracle produce bit-identical values."""
+    return F.floor(x * F.lit(1e9)).cast("double") / F.lit(1e9)
+
+
+PROD_SCALE = 1e12  # per-term fixed-point scale for dot products / norms
+
+
+def scaled_dot(a: Column, b: Column) -> Column:
+    """Σ floor(aᵢ·bᵢ·1e12) as BIGINT — a fixed-point dot product.
+
+    Why not decimal: decimal→double conversion is not guaranteed correctly
+    rounded in every engine, so two engines can disagree by an ulp even on
+    the exact same decimal sum.  Here every step — float→double widen,
+    double multiply, floor — is an IEEE-754-exact operation, and the BIGINT
+    sum is exact and order-independent, so Spark and the DuckDB oracle
+    produce bit-identical values at any parallelism."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(PROD_SCALE))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """sqrt of the fixed-point self-dot rescaled back to value units."""
+    return F.sqrt(scaled_dot(a, a).cast("double") / F.lit(PROD_SCALE))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    # The 1e12 scales cancel: dot_s / (sqrt(ss_a)·sqrt(ss_b)) == cosine.
+    return trunc9(
+        scaled_dot(a, b).cast("double")
+        / (
+            F.sqrt(scaled_dot(a, a).cast("double"))
+            * F.sqrt(scaled_dot(b, b).cast("double"))
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cand_id, cosine_sim, rank): exact top-k neighbors of each
+    query vector, self-matches excluded, ties broken by cand_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        scaled_dot(F.col(vec_col), F.col(vec_col)).alias("qss"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        scaled_dot(F.col(vec_col), F.col(vec_col)).alias("css"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            trunc9(
+                scaled_dot(F.col("qvec"), F.col("cvec")).cast("double")
+                / (
+                    F.sqrt(F.col("qss").cast("double"))
+                    * F.sqrt(F.col("css").cast("double"))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplanes) for embedding near-dup at scale
+# ---------------------------------------------------------------------------
+
+N_PLANES = 16
+
+
+def _plane_component(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5(plane:dim) → first 8 hex chars → uint32 → scale."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"p{plane}:"), dim.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h / F.lit(float(2**31)) - F.lit(1.0))
+
+
+def sign_lsh_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Bit i = sign(v · plane_i); equal signatures ⇒ likely-close vectors."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(dims, lambda d: _plane_component(p, d)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) for pairs with cosine >= threshold, found
+    via sign-LSH bucketing + exact verify.  The bucket self-join shuffles
+    on the 16-bit signature — never the full pair space."""
+    sig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("sig")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col("sig")
+    )
+    return (
+        a.join(b, on="sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -355,7 +355,7 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {SQL_CANON} AS event,
            COUNT(k) AS n,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MAX(k) AS max_k
     FROM (
         SELECT event_type,

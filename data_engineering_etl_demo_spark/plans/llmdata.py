@@ -1,0 +1,377 @@
+"""LLM training-data pipeline queries over documents/embeddings
+(SURVEY.md §7 Phase 6): dedup, similarity search, text analysis.
+
+Every SQL-expressible operator carries a DuckDB oracle mirroring the Spark
+expressions term-for-term (same normalization, same rounding, same decimal
+accumulators), so the driver's hash-compare is exact.  SimHash is the one
+rows-only entry (64-bit bit-twiddling has no portable SQL form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.operators import dedup as D
+from data_engineering_etl_demo_spark.operators import similarity as S
+from data_engineering_etl_demo_spark.operators import text as X
+from data_engineering_etl_demo_spark.plans import register
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments mirroring operators/text.py
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(trim({c})), '[^a-z0-9]+'),"
+    " w -> w <> '')"
+)
+
+
+def _sql_ratio(hits: str, denom: str) -> str:
+    # floor-truncation, not ROUND — mirrors operators/text.py trunc6.
+    return (
+        f"CASE WHEN {denom} = 0 THEN 0.0"
+        f" ELSE floor(({hits}) / CAST({denom} AS DOUBLE) * 1e6) / 1e6 END"
+    )
+
+
+SQL_TOKEN_COUNT = f"len({SQL_WORDS})"
+SQL_BPE = (
+    f"CAST(coalesce(list_sum(list_transform({SQL_WORDS},"
+    " w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)"
+)
+SQL_PUNCT_RATIO = _sql_ratio(
+    "length(regexp_replace({c}, '[A-Za-z0-9\\s]', '', 'g'))", "length({c})"
+)
+_STOPS = ", ".join(f"'{s}'" for s in X.STOPWORDS_EN)
+SQL_STOP_RATIO = _sql_ratio(
+    f"len(list_filter({SQL_WORDS}, w -> w IN ({_STOPS})))", f"len({SQL_WORDS})"
+)
+SQL_MEAN_WLEN = _sql_ratio(
+    f"coalesce(list_sum(list_transform({SQL_WORDS}, w -> length(w))), 0)",
+    f"len({SQL_WORDS})",
+)
+SQL_FINGERPRINT = f"md5(array_to_string({SQL_WORDS}, ' '))"
+
+
+def _sql_lang_score(markers: tuple[str, ...]) -> str:
+    m = ", ".join(f"'{s}'" for s in markers)
+    return _sql_ratio(
+        f"len(list_filter({SQL_WORDS}, w -> w IN ({m})))", f"len({SQL_WORDS})"
+    )
+
+
+def sql_lang_id() -> str:
+    scores = {lang: _sql_lang_score(m) for lang, m in X.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "".join(
+        f" WHEN ({scores[lang]}) = ({best}) THEN '{lang}'"
+        for lang in sorted(X.LANG_MARKERS)
+    )
+    return f"(CASE WHEN ({best}) = 0 THEN 'und'{whens} ELSE 'und' END)"
+
+
+def _fmt(sql: str, col: str = "text") -> str:
+    return sql.replace("{c}", col)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_stats",
+    f"""
+    SELECT doc_id,
+           {_fmt(SQL_TOKEN_COUNT)} AS n_tokens,
+           {_fmt(SQL_BPE)} AS n_bpe_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="token counting: whitespace/punct tokens + BPE-ish subword estimate.",
+)
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            X.token_count(t).alias("n_tokens"),
+            X.bpe_token_estimate(t).alias("n_bpe_tokens"),
+            F.length(t).alias("n_chars_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_quality",
+    f"""
+    SELECT doc_id,
+           {_fmt(SQL_PUNCT_RATIO)} AS punct_ratio,
+           {_fmt(SQL_STOP_RATIO)} AS stopword_ratio,
+           {_fmt(SQL_MEAN_WLEN)} AS mean_word_len,
+           floor((least(length(text) / 500.0, 1.0)
+                  + (1.0 - least(({_fmt(SQL_PUNCT_RATIO)}) * 5, 1.0))
+                  + least(({_fmt(SQL_STOP_RATIO)}) * 4, 1.0)) / 3 * 1e6) / 1e6 AS quality_score
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="quality scoring: punctuation/stopword/length heuristics.",
+)
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            X.punct_ratio(t).alias("punct_ratio"),
+            X.stopword_ratio(t).alias("stopword_ratio"),
+            X.mean_word_len(t).alias("mean_word_len"),
+            X.quality_score(t).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_lang_id",
+    f"""
+    SELECT lang AS lang_meta,
+           {_fmt(sql_lang_id())} AS lang_pred,
+           COUNT(*) AS docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="language-ID heuristic (stopword markers) vs metadata lang.",
+)
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.col("lang").alias("lang_meta"), X.lang_id(t).alias("lang_pred"))
+        .groupBy("lang_meta", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("lang_meta", "lang_pred")
+    )
+
+
+@register(
+    "docs_top_tokens",
+    f"""
+    SELECT tok, COUNT(*) AS occurrences
+    FROM (SELECT unnest({_fmt(SQL_WORDS)}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY occurrences DESC, tok
+    LIMIT 20
+    """,
+    doc="corpus vocabulary top-k: explode + count + deterministic top-k.",
+)
+def q_docs_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(X.words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_exact_dedup",
+    f"""
+    SELECT {_fmt(SQL_FINGERPRINT)} AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_id
+    """,
+    doc="exact dedup: hash-groupBy on normalized-text fingerprint.",
+)
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+def _sql_minhash_near_dup(threshold: float) -> str:
+    sig_cols = ",\n               ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(D.MINHASH_K)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat="||'|'||".join(
+                f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.LSH_BANDS)
+    )
+    return f"""
+    WITH ws AS (
+        SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                              i -> array_to_string(w[i:i+4], ' ')) AS shingles
+        FROM ws
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+    bk AS (
+{band_selects}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM ex),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN dsh a ON a.doc_id = p.id_a
+        JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) * 1e6) / 1e6 AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes na ON na.doc_id = p.id_a
+    JOIN sizes nb ON nb.doc_id = p.id_b
+    WHERE floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) * 1e6) / 1e6 >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "docs_minhash_near_dup",
+    _sql_minhash_near_dup(0.5),
+    doc="MinHash-LSH near-dup: signatures → band buckets → Jaccard verify.",
+)
+def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup(load(spark, sf_dir, "documents"), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "docs_simhash",
+    None,  # 64-bit bit arithmetic has no portable DuckDB mirror → rows-only
+    doc="SimHash 64-bit signatures per document (Spark built-ins only).",
+)
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash64(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK_QUERIES = 8
+_TOPK_K = 5
+
+_SQL_TOPK = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {_TOPK_QUERIES}
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    terms AS (
+        -- fixed-point terms: floor(x·y·1e12) as BIGINT — exact, order-free,
+        -- engine-identical (mirrors operators/similarity.py scaled_dot)
+        SELECT query_id, cand_id,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM q, c, generate_series(1, 64) AS g(i)  -- embedding dim is 64 (TESTDATA)
+        WHERE cand_id <> query_id
+    ),
+    agg AS (
+        SELECT query_id, cand_id,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, cand_id) AS INT) AS rank
+        FROM agg
+    )
+    SELECT query_id, cand_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {_TOPK_K}
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "embedding_topk",
+    _SQL_TOPK,
+    doc="brute-force cosine top-k ANN baseline (broadcast queries, exact).",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _TOPK_QUERIES)
+    return S.brute_force_topk(emb, queries, k=_TOPK_K)
+
+
+@register(
+    "embedding_label_stats",
+    """
+    SELECT label,
+           COUNT(*) AS vectors,
+           CAST(CAST(SUM(ns) AS BIGINT) AS DOUBLE) / 1e6 AS total_l2_norm
+    FROM (
+        -- per-row norm truncated to fixed-point micro-units so the cross-row
+        -- sum is an exact BIGINT (order-independent, engine-identical)
+        SELECT label,
+               CAST(floor(sqrt(CAST(CAST((
+                   SELECT SUM(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1e12) AS BIGINT))
+                   FROM unnest(embedding) AS u(e)) AS BIGINT) AS DOUBLE) / 1e12) * 1e6) AS BIGINT) AS ns
+        FROM embeddings
+    )
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="array-column aggregation: L2 norms grouped by label (fixed-point).",
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.floor(S.l2_norm(F.col("embedding")) * F.lit(1e6)).alias("norm_s"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vectors"),
+            (F.sum("norm_s").cast("double") / F.lit(1e6)).alias("total_l2_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    None,  # LSH bucket pruning: verified in tests against brute force
+    doc="sign-LSH embedding near-dup (cosine >= 0.95 after bucket verify).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup(load(spark, sf_dir, "embeddings")).orderBy(
+        "id_a", "id_b"
+    )
