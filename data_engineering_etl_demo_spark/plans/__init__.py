@@ -43,10 +43,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import for side effect: modules self-register on import.
-    from data_engineering_etl_demo_spark.plans import analytics, tpch  # noqa: F401
-
-    try:
-        from data_engineering_etl_demo_spark.plans import llmdata  # noqa: F401
-    except ImportError:
-        pass
+    from data_engineering_etl_demo_spark.plans import (  # noqa: F401
+        analytics,
+        ecommerce,
+        llmdata,
+        tpch,
+    )
     return dict(REGISTRY)

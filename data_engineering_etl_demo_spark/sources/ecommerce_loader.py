@@ -1,0 +1,361 @@
+"""Multi-format e-commerce CSV → canonical-JSONL loader (reference EP3).
+
+Re-expresses /root/reference/pipeline/sources/ecommerce/
+kaggle_amazon_sales_loader.py as pure Catalyst column expressions — one
+``select`` per target schema, zero Python in the row path (SURVEY.md §2.8:
+F7 pick, F10 format-chain timestamp parse + noon rule, F14 currency scrub,
+F15 derived-amount fallback, F16 hash ids, F17/P4/P5 guards).
+
+Cross-engine parity design: the reference parses timestamps with a chain of
+nine ``datetime.strptime`` formats (kaggle_amazon_sales_loader.py:39-50).
+Engine-native parsers disagree on exactly the edge cases that matter
+(2-digit-year century rule, 1-vs-2-digit fields, lenient resolvers), so each
+format is instead pinned as a REGEX that mirrors CPython's _strptime field
+patterns (%Y→\\d{4}, %m/%d/%H/%M/%S→\\d{1,2}, %y→\\d{2}); matched components
+are rebuilt into one canonical 'yyyy-MM-dd HH:mm:ss' string and validated by
+a single try-parse.  The same spec drives the DuckDB oracle SQL
+(plans/ecommerce.py), so both engines accept/reject identical inputs.
+
+Century rule: CPython maps %y 00-68→20xx, 69-99→19xx; applied explicitly.
+Noon rule: date-only formats (raw length ≤ 10 ⇒ midnight) get 12:00:00
+(kaggle_amazon_sales_loader.py:55-56) — built into the canonical string.
+
+At 100 TB: the whole loader is scan → select → filter → write with no
+shuffle and no UDF; Catalyst prunes unused source columns and the guards
+(outlier, no-ts) cut rows before any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Format chain (kaggle_amazon_sales_loader.py:39-50), in reference order.
+# Group indices are 1-based regex capture groups; None = field absent.
+# --------------------------------------------------------------------------
+
+FORMATS: list[dict] = [
+    # %Y-%m-%d
+    {"rx": r"^(\d{4})-(\d{1,2})-(\d{1,2})$", "y": 1, "m": 2, "d": 3, "two": False},
+    # %d-%m-%Y
+    {"rx": r"^(\d{1,2})-(\d{1,2})-(\d{4})$", "d": 1, "m": 2, "y": 3, "two": False},
+    # %m/%d/%Y
+    {"rx": r"^(\d{1,2})/(\d{1,2})/(\d{4})$", "m": 1, "d": 2, "y": 3, "two": False},
+    # %d/%m/%Y
+    {"rx": r"^(\d{1,2})/(\d{1,2})/(\d{4})$", "d": 1, "m": 2, "y": 3, "two": False},
+    # %Y-%m-%d %H:%M:%S
+    {
+        "rx": r"^(\d{4})-(\d{1,2})-(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$",
+        "y": 1, "m": 2, "d": 3, "H": 4, "M": 5, "S": 6, "two": False,
+    },
+    # %m/%d/%Y %H:%M
+    {
+        "rx": r"^(\d{1,2})/(\d{1,2})/(\d{4}) (\d{1,2}):(\d{1,2})$",
+        "m": 1, "d": 2, "y": 3, "H": 4, "M": 5, "two": False,
+    },
+    # %d/%m/%Y %H:%M
+    {
+        "rx": r"^(\d{1,2})/(\d{1,2})/(\d{4}) (\d{1,2}):(\d{1,2})$",
+        "d": 1, "m": 2, "y": 3, "H": 4, "M": 5, "two": False,
+    },
+    # %m-%d-%y  ("important for your datasets" — the Kaggle token form)
+    {"rx": r"^(\d{1,2})-(\d{1,2})-(\d{2})$", "m": 1, "d": 2, "y": 3, "two": True},
+    # %d-%m-%y
+    {"rx": r"^(\d{1,2})-(\d{1,2})-(\d{2})$", "d": 1, "m": 2, "y": 3, "two": True},
+]
+
+# Strict date token (kaggle_amazon_sales_loader.py:33): e.g. 04-30-22.
+DATE_TOKEN_RE = r"^\d{2}-\d{2}-\d{2}$"
+
+# Candidate header lists (kaggle_amazon_sales_loader.py:69-72,141-157,220-231).
+TS_CANDIDATES = [
+    "Date", "DATE", "Order Date", "OrderDate", "order_date", "date",
+    "Order Date & Time", "Timestamp", "ts",
+]
+ORDER_KEYS = ["Order ID", "Order Id", "order_id", "OrderID", "ID"]
+USER_KEYS = [
+    "Customer Email", "Email", "Buyer Email", "Phone", "Customer", "Buyer",
+    "Ship Name", "Name",
+]
+PRODUCT_KEYS = [
+    "ASIN", "SKU", "SKU Code", "Product ID", "product_id", "Product", "Item",
+    "Title", "Product Name", "Style",
+]
+QTY_KEYS = ["Qty", "Quantity", "quantity", "Units"]
+PRICE_KEYS = ["Unit Price", "Price", "Item Price", "unit_price"]
+AMOUNT_KEYS = ["Amount", "Sales", "Total", "Order Total", "line_total"]
+CURRENCY_KEYS = ["Currency", "currency"]
+COUNTRY_KEYS = ["Ship Country", "ship-country", "Country", "country"]
+
+INTL_DATE_KEYS = ["DATE", "Date", "date"]
+CUSTOMER_KEYS = ["CUSTOMER", "Customer", "customer"]
+SKU_KEYS = ["SKU", "Sku", "sku"]
+PCS_KEYS = ["PCS", "Qty", "Quantity", "quantity"]
+RATE_KEYS = ["RATE", "Rate", "rate"]
+GROSS_KEYS = ["GROSS AMT", "Gross Amt", "gross_amt", "Amount", "amount"]
+
+AMOUNT_OUTLIER = 250_000.0       # kaggle_amazon_sales_loader.py:164
+GROSS_OUTLIER = 5_000_000.0      # kaggle_amazon_sales_loader.py:226
+CURRENCY_SYMBOLS_RE = r"[,$₹€£]"  # kaggle_amazon_sales_loader.py:96-100
+HASH_LEN = 24                     # kaggle_amazon_sales_loader.py:31
+
+
+# --------------------------------------------------------------------------
+# Scalar expression builders
+# --------------------------------------------------------------------------
+
+
+def nb(c: Column) -> Column:
+    """_norm (kaggle_amazon_sales_loader.py:25-26): None→'' then strip."""
+    return F.coalesce(F.trim(c), F.lit(""))
+
+
+def _col(df: DataFrame, name: str) -> Column:
+    return nb(df[f"`{name}`"])
+
+
+def pick(df: DataFrame, keys: list[str]) -> Column:
+    """_pick (F7): first present, non-blank candidate column; else ''."""
+    present = [k for k in keys if k in df.columns]
+    branches = [F.when(_col(df, k) != "", _col(df, k)) for k in present]
+    return F.coalesce(*branches, F.lit("")) if branches else F.lit("")
+
+
+def default_if_blank(c: Column, default: str) -> Column:
+    return F.when(c != "", c).otherwise(F.lit(default))
+
+
+def _format_parse(raw: Column, spec: dict) -> Column:
+    """One strptime format as regex-gate + canonical rebuild + try-parse."""
+    rx = spec["rx"]
+
+    def part(key: str, width: int, dflt: str) -> Column:
+        if spec.get(key) is None:
+            return F.lit(dflt)
+        return F.lpad(F.regexp_extract(raw, rx, spec[key]), width, "0")
+
+    if spec["two"]:
+        yy = F.regexp_extract(raw, rx, spec["y"]).cast("int")
+        year = F.when(yy >= 69, yy + 1900).otherwise(yy + 2000).cast("string")
+    else:
+        year = F.regexp_extract(raw, rx, spec["y"])
+    date_only = spec.get("H") is None
+    canonical = F.concat_ws(
+        " ",
+        F.concat_ws("-", year, part("m", 2, "01"), part("d", 2, "01")),
+        F.concat_ws(
+            ":",
+            part("H", 2, "12" if date_only else "00"),
+            part("M", 2, "00"),
+            part("S", 2, "00"),
+        ),
+    )
+    return F.when(raw.rlike(rx), F.try_to_timestamp(canonical, F.lit("yyyy-MM-dd HH:mm:ss")))
+
+
+def try_parse_ts(c: Column) -> Column:
+    """_try_parse (F10): the 9-format chain, first match wins; date-only
+    matches land at 12:00:00 (noon rule).  Null when nothing parses."""
+    raw = nb(c)
+    return F.coalesce(*[_format_parse(raw, spec) for spec in FORMATS])
+
+
+def parse_any_ts(df: DataFrame) -> Column:
+    """_parse_ts: candidate timestamp headers in order, then a full-row scan
+    for strict date tokens (header order) — as one coalesce chain.
+
+    The scan branches only try the two 2-digit-year formats: a strict token
+    (^\\d{2}-\\d{2}-\\d{2}$) cannot match any other format in the chain, so
+    this is semantically identical while generating 4.5× less code (the full
+    9-format chain over every column blows Janino's 64 KB codegen limit)."""
+    branches = [try_parse_ts(df[f"`{c}`"]) for c in TS_CANDIDATES if c in df.columns]
+    token_formats = [s for s in FORMATS if s["two"]]
+    for c in df.columns:
+        raw = _col(df, c)
+        token_parse = F.coalesce(*[_format_parse(raw, s) for s in token_formats])
+        branches.append(F.when(raw.rlike(DATE_TOKEN_RE), token_parse))
+    return F.coalesce(*branches)
+
+
+def iso_ts(ts: Column) -> Column:
+    """datetime.isoformat() parity: 'yyyy-MM-ddTHH:mm:ss' string."""
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def to_float_scrub(c: Column) -> Column:
+    """_to_float (F14): strip commas + currency symbols; ''/garbage → 0.0."""
+    cleaned = F.regexp_replace(nb(c), CURRENCY_SYMBOLS_RE, "")
+    return F.coalesce(cleaned.try_cast("double"), F.lit(0.0))
+
+
+def to_int_scrub(c: Column) -> Column:
+    """_to_int: int(float(x)) — parse as double, truncate toward zero."""
+    cleaned = F.regexp_replace(nb(c), CURRENCY_SYMBOLS_RE, "")
+    return F.coalesce(cleaned.try_cast("double").cast("long"), F.lit(0))
+
+
+def hash_id(*parts: Column) -> Column:
+    """_hash_id (F16): sha256('|'.join(stripped parts)) first 24 hex chars."""
+    return F.substring(
+        F.sha2(F.concat_ws("|", *[F.trim(p) for p in parts]), 256), 1, HASH_LEN
+    )
+
+
+# --------------------------------------------------------------------------
+# The two canonical loaders
+# --------------------------------------------------------------------------
+
+
+def amazon_events(df: DataFrame, source_name: str) -> DataFrame:
+    """Amazon Sale Report rows → canonical purchase events
+    (kaggle_amazon_sales_loader.py:120-187).  Skips no-ts rows and
+    amount > 250k outliers; all other semantics are column expressions."""
+    order_id = pick(df, ORDER_KEYS)
+    user_raw = pick(df, USER_KEYS)
+    user_id = F.when(user_raw != "", user_raw).otherwise(
+        F.when(order_id != "", order_id).otherwise(F.lit("unknown_user"))
+    )
+    product_id = default_if_blank(pick(df, PRODUCT_KEYS), "unknown_product")
+    qty = to_int_scrub(pick(df, QTY_KEYS))
+    unit_price = to_float_scrub(pick(df, PRICE_KEYS))
+    amount0 = to_float_scrub(pick(df, AMOUNT_KEYS))
+    amount = F.when(
+        (amount0 == 0.0) & (unit_price > 0.0) & (qty > 0), unit_price * qty
+    ).otherwise(amount0)
+    currency = default_if_blank(pick(df, CURRENCY_KEYS), "USD")
+    country = default_if_blank(pick(df, COUNTRY_KEYS), "unknown")
+
+    staged = df.select(
+        iso_ts(parse_any_ts(df)).alias("ts"),
+        order_id.alias("order_id"),
+        user_id.alias("user_id"),
+        product_id.alias("product_id"),
+        amount.alias("amount"),
+        currency.alias("currency"),
+        country.alias("country"),
+    )
+    return (
+        staged.filter(F.col("ts").isNotNull())
+        .filter(F.col("amount") <= F.lit(AMOUNT_OUTLIER))
+        .select(
+            hash_id(
+                F.lit(source_name),
+                F.col("order_id"),
+                F.col("product_id"),
+                F.col("amount").cast("string"),
+                F.col("ts"),
+            ).alias("event_id"),
+            "ts",
+            "user_id",
+            F.lit("purchase").alias("event"),
+            "amount",
+            "currency",
+            "country",
+            "order_id",
+            "product_id",
+            F.lit(source_name).alias("source_dataset"),
+        )
+    )
+
+
+def amazon_loader_stats(df: DataFrame) -> DataFrame:
+    """Per-file counters (kaggle_amazon_sales_loader.py:124-129) as one
+    aggregation: rows_total / written / skipped_no_ts / skipped_outlier."""
+    amount0 = to_float_scrub(pick(df, AMOUNT_KEYS))
+    qty = to_int_scrub(pick(df, QTY_KEYS))
+    unit_price = to_float_scrub(pick(df, PRICE_KEYS))
+    amount = F.when(
+        (amount0 == 0.0) & (unit_price > 0.0) & (qty > 0), unit_price * qty
+    ).otherwise(amount0)
+    staged = df.select(
+        parse_any_ts(df).alias("ts"), amount.alias("amount")
+    )
+    no_ts = F.col("ts").isNull()
+    outlier = ~no_ts & (F.col("amount") > AMOUNT_OUTLIER)
+    return staged.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum(F.when(~no_ts & ~outlier, 1).otherwise(0)).alias("written"),
+        F.sum(F.when(no_ts, 1).otherwise(0)).alias("skipped_no_ts"),
+        F.sum(F.when(outlier, 1).otherwise(0)).alias("skipped_amount_outlier"),
+    )
+
+
+def international_sales(df: DataFrame, source_name: str) -> DataFrame:
+    """International sale Report rows → canonical wholesale lines
+    (kaggle_amazon_sales_loader.py:189-249).  A non-blank DATE that is not a
+    strict date token rejects the row before any other parsing."""
+    raw_date = pick(df, INTL_DATE_KEYS)
+    bad_date = (raw_date != "") & ~raw_date.rlike(DATE_TOKEN_RE)
+    customer = default_if_blank(pick(df, CUSTOMER_KEYS), "unknown_customer")
+    sku = default_if_blank(pick(df, SKU_KEYS), "unknown_sku")
+    pcs = to_int_scrub(pick(df, PCS_KEYS))
+    rate = to_float_scrub(pick(df, RATE_KEYS))
+    gross_amt = to_float_scrub(pick(df, GROSS_KEYS))
+    currency = default_if_blank(pick(df, CURRENCY_KEYS), "USD")
+
+    staged = df.select(
+        bad_date.alias("bad_date"),
+        iso_ts(parse_any_ts(df)).alias("ts"),
+        customer.alias("customer"),
+        sku.alias("sku"),
+        pcs.alias("pcs"),
+        rate.alias("rate"),
+        gross_amt.alias("gross_amt"),
+        currency.alias("currency"),
+    )
+    return (
+        staged.filter(~F.col("bad_date"))
+        .filter(F.col("ts").isNotNull())
+        .filter(F.col("gross_amt") <= F.lit(GROSS_OUTLIER))
+        .select(
+            hash_id(
+                F.lit(source_name),
+                F.col("customer"),
+                F.col("sku"),
+                F.col("gross_amt").cast("string"),
+                F.col("ts"),
+            ).alias("sale_id"),
+            "ts",
+            F.substring(F.col("ts"), 1, 10).alias("date_key"),
+            "customer",
+            "sku",
+            "pcs",
+            "rate",
+            "gross_amt",
+            "currency",
+            F.lit(source_name).alias("source_dataset"),
+        )
+    )
+
+
+def intl_loader_stats(df: DataFrame) -> DataFrame:
+    """Counters for the intl loader (kaggle_amazon_sales_loader.py:194-200)."""
+    raw_date = pick(df, INTL_DATE_KEYS)
+    bad_date = (raw_date != "") & ~raw_date.rlike(DATE_TOKEN_RE)
+    gross_amt = to_float_scrub(pick(df, GROSS_KEYS))
+    staged = df.select(
+        bad_date.alias("bad_date"),
+        parse_any_ts(df).alias("ts"),
+        gross_amt.alias("gross_amt"),
+    )
+    bad = F.col("bad_date")
+    no_ts = ~bad & F.col("ts").isNull()
+    outlier = ~bad & ~no_ts & (F.col("gross_amt") > GROSS_OUTLIER)
+    return staged.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum(F.when(~bad & ~no_ts & ~outlier, 1).otherwise(0)).alias("written"),
+        F.sum(F.when(no_ts, 1).otherwise(0)).alias("skipped_no_ts"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("skipped_bad_date_value"),
+        F.sum(F.when(outlier, 1).otherwise(0)).alias("skipped_amount_outlier"),
+    )
+
+
+def read_raw_csv(spark, path: str) -> DataFrame:
+    """All-string CSV read (header row, BOM-tolerant) — the Spark analog of
+    csv.DictReader over utf-8-sig (kaggle_amazon_sales_loader.py:131-132)."""
+    df = spark.read.option("header", True).csv(path)
+    renames = {c: c.lstrip("﻿") for c in df.columns if c.startswith("﻿")}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
