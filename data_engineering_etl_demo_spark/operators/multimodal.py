@@ -1,0 +1,164 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: media lives in a BINARY column
+(or object-store pointers), metadata in a typed struct column; decode /
+feature-extract / frame-sample run as Arrow-batched ``mapInPandas`` stages so
+Python touches each payload exactly once per batch, and everything before and
+after stays JVM-side.
+
+This container ships no media codecs (PIL/ffmpeg/librosa), so the actual
+codec call is STUBBED: ``decode_with_codec`` raises ``NotImplementedError``,
+and the pipeline uses ``_fake_decode`` — a DETERMINISTIC stand-in that
+derives plausible metadata (dimensions, frame counts, sample rate) from the
+payload bytes.  Everything around the stub — schemas, partitioning, UDF
+signatures, Arrow batch shapes, the 1→N frame explode — is real and tested,
+and every derived value is mirrored in DuckDB SQL (plans/multimodal.py) so
+the driver hash-checks the full path.
+
+Byte-exact oracle trick: DuckDB cannot md5 or slice BLOBs, so frame hashes
+are md5 over the LOWERCASE-HEX encoding of the byte slice; hex offsets are
+2× byte offsets, which makes string slicing byte-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ("image/synthetic", "audio/synthetic", "video/synthetic")
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_n_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+MAX_SAMPLED_FRAMES = 3
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload: binary, meta: struct).  The payload is
+    the utf-8 encoding of the text (a deterministic fake media blob); the
+    media type cycles by doc_id so all three modalities are exercised."""
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(MEDIA_TYPES[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(MEDIA_TYPES[1]))
+        .otherwise(F.lit(MEDIA_TYPES[2]))
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.octet_length(F.col("text")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_with_codec(payload: bytes, media_type: str) -> dict:
+    """The real-codec entry point.  Image/audio/video libraries are not
+    available in this environment — STUB."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/librosa) are not installed; "
+        "use _fake_decode for the deterministic synthetic path"
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for decode_with_codec: metadata derived purely
+    from len(payload), so the DuckDB oracle can mirror it from octet_length."""
+    n = len(payload)
+    if media_type.startswith("image"):
+        return {"width": n % 64 + 1, "height": n // 64 % 64 + 1,
+                "channels": 3, "n_frames": 1, "sample_rate": None}
+    if media_type.startswith("audio"):
+        return {"width": None, "height": None,
+                "channels": 1, "n_frames": 1, "sample_rate": 16000}
+    return {"width": n % 64 + 1, "height": n // 64 % 64 + 1,
+            "channels": 3, "n_frames": n % 7 + 2, "sample_rate": None}
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: one pandas pass per batch over the binary
+    payloads → typed feature rows (DECODED_SCHEMA)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(p, mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            out.insert(2, "n_bytes", [len(p) for p in pdf["payload"]])
+            yield out.astype(
+                {"width": "Int32", "height": "Int32", "channels": "Int32",
+                 "n_frames": "Int32", "sample_rate": "Int32"}
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, max_frames: int = MAX_SAMPLED_FRAMES) -> DataFrame:
+    """1→N frame-sampling explode for video payloads: each row yields up to
+    ``max_frames`` equal-size byte slices, hashed as md5(lowercase-hex).
+    Demonstrates batch-shape change (one input row → several output rows)
+    inside a single Arrow pass."""
+
+    def explode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            import hashlib
+
+            rows = []
+            for doc_id, payload, media_type in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if not media_type.startswith("video"):
+                    continue
+                n_frames = _fake_decode(payload, media_type)["n_frames"]
+                frame_size = len(payload) // n_frames
+                for idx in range(min(n_frames, max_frames)):
+                    chunk = payload[idx * frame_size : (idx + 1) * frame_size]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_n_bytes": len(chunk),
+                            "frame_md5": hashlib.md5(
+                                chunk.hex().encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_n_bytes", "frame_md5"]
+            ).astype({"frame_idx": "Int32"})
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(explode_batches, schema=FRAME_SCHEMA)

@@ -47,6 +47,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics,
         ecommerce,
         llmdata,
+        multimodal,
         tpch,
     )
     return dict(REGISTRY)

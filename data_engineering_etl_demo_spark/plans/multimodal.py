@@ -1,0 +1,81 @@
+"""Multimodal pipeline queries + DuckDB oracles.
+
+The Spark path runs real Arrow-batched ``mapInPandas`` decode / frame-sample
+stages over a BINARY payload column (operators/multimodal.py); the oracle
+recomputes the same deterministic features from ``octet_length`` and
+lowercase-hex slicing, so the driver hash-checks the full pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.operators import multimodal as M
+from data_engineering_etl_demo_spark.plans import register
+
+_MT = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/synthetic' "
+    "WHEN 1 THEN 'audio/synthetic' ELSE 'video/synthetic' END"
+)
+
+SQL_DECODE = f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               {_MT} AS media_type
+        FROM documents
+    )
+    SELECT doc_id, media_type, n AS n_bytes,
+           CASE WHEN media_type NOT LIKE 'audio%' THEN CAST(n % 64 + 1 AS INT) END AS width,
+           CASE WHEN media_type NOT LIKE 'audio%' THEN CAST(n // 64 % 64 + 1 AS INT) END AS height,
+           CASE WHEN media_type LIKE 'audio%' THEN 1 ELSE 3 END AS channels,
+           CASE WHEN media_type LIKE 'video%' THEN CAST(n % 7 + 2 AS INT) ELSE 1 END AS n_frames,
+           CASE WHEN media_type LIKE 'audio%' THEN 16000 END AS sample_rate
+    FROM m
+    ORDER BY doc_id
+"""
+
+SQL_FRAMES = f"""
+    WITH v AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               lower(hex(encode(text))) AS hx
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    p AS (
+        SELECT doc_id, hx,
+               CAST(n % 7 + 2 AS INT) AS n_frames,
+               n // (n % 7 + 2) AS frame_size
+        FROM v
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(frame_size AS BIGINT) AS frame_n_bytes,
+           md5(substr(hx, f * frame_size * 2 + 1, frame_size * 2)) AS frame_md5
+    FROM p, generate_series(0, {M.MAX_SAMPLED_FRAMES - 1}) AS g(f)
+    WHERE f < least(n_frames, {M.MAX_SAMPLED_FRAMES})
+    ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_decode",
+    SQL_DECODE,
+    doc="binary media column → Arrow-batched mapInPandas decode (stubbed codec).",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(load(spark, sf_dir, "documents"))
+    return M.decode_media_features(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    SQL_FRAMES,
+    doc="video payload → 1:N frame sampling explode inside one Arrow pass.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(load(spark, sf_dir, "documents"))
+    return M.sample_frames(media).orderBy("doc_id", "frame_idx")
