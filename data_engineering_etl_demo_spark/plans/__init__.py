@@ -48,6 +48,7 @@ def all_specs() -> dict[str, QuerySpec]:
         ecommerce,
         llmdata,
         multimodal,
+        streaming_plans,
         tpch,
     )
     return dict(REGISTRY)

