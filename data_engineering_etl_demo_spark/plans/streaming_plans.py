@@ -58,6 +58,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     doc="Structured Streaming tumbling-window counts (watermark + complete drain).",
+    memoize=False,
 )
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _event_stream(spark, sf_dir)
@@ -108,6 +109,7 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     doc="applyInPandasWithState sessionization (closed sessions; 30-min gap).",
+    memoize=False,
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (

@@ -126,32 +126,47 @@ def default_if_blank(c: Column, default: str) -> Column:
     return F.when(c != "", c).otherwise(F.lit(default))
 
 
-def _format_parse(raw: Column, spec: dict) -> Column:
-    """One strptime format as regex-gate + canonical rebuild + try-parse."""
-    rx = spec["rx"]
+def format_branches(spec: dict) -> list[tuple[str, str]]:
+    """One strptime format → (regex, '$N'-backref replacement) branches that
+    rewrite a matching string into canonical 'y-M-d H:m:s' order in a SINGLE
+    regexp_replace (validated by one tolerant try-parse).  This is ~5× fewer
+    expression nodes than extracting each component separately — the loader's
+    parse chain dominates Catalyst analysis/optimization cost otherwise.
 
-    def part(key: str, width: int, dflt: str) -> Column:
-        if spec.get(key) is None:
-            return F.lit(dflt)
-        return F.lpad(F.regexp_extract(raw, rx, spec[key]), width, "0")
+    2-digit-year formats split into two branches to pin CPython's century
+    rule (%y: 00-68 → 20xx, 69-99 → 19xx) in the regex itself."""
 
-    if spec["two"]:
-        yy = F.regexp_extract(raw, rx, spec["y"]).cast("int")
-        year = F.when(yy >= 69, yy + 1900).otherwise(yy + 2000).cast("string")
+    def g(key: str) -> str:
+        return "$" + str(spec[key])
+
+    if spec.get("H") is None:
+        time_part = "12:00:00"  # noon rule: date-only ⇒ midnight ⇒ 12:00
+    elif spec.get("S") is None:
+        time_part = f"{g('H')}:{g('M')}:00"
     else:
-        year = F.regexp_extract(raw, rx, spec["y"])
-    date_only = spec.get("H") is None
-    canonical = F.concat_ws(
-        " ",
-        F.concat_ws("-", year, part("m", 2, "01"), part("d", 2, "01")),
-        F.concat_ws(
-            ":",
-            part("H", 2, "12" if date_only else "00"),
-            part("M", 2, "00"),
-            part("S", 2, "00"),
-        ),
-    )
-    return F.when(raw.rlike(rx), F.try_to_timestamp(canonical, F.lit("yyyy-MM-dd HH:mm:ss")))
+        time_part = f"{g('H')}:{g('M')}:{g('S')}"
+    if not spec["two"]:
+        return [(spec["rx"], f"{g('y')}-{g('m')}-{g('d')} {time_part}")]
+    rx68 = spec["rx"].replace(r"(\d{2})$", r"([0-5]\d|6[0-8])$")
+    rx99 = spec["rx"].replace(r"(\d{2})$", r"(69|[7-9]\d)$")
+    return [
+        (rx68, f"20{g('y')}-{g('m')}-{g('d')} {time_part}"),
+        (rx99, f"19{g('y')}-{g('m')}-{g('d')} {time_part}"),
+    ]
+
+
+def _format_parse(raw: Column, spec: dict) -> Column:
+    """One strptime format: regex gate → canonical rewrite → try-parse."""
+    exprs = [
+        F.when(
+            raw.rlike(rx),
+            F.try_to_timestamp(
+                F.regexp_replace(raw, rx, repl), F.lit("yyyy-M-d H:m:s")
+            ),
+        )
+        for rx, repl in format_branches(spec)
+    ]
+    return exprs[0] if len(exprs) == 1 else F.coalesce(*exprs)
 
 
 def try_parse_ts(c: Column) -> Column:
