@@ -113,6 +113,82 @@ def brute_force_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantize → probe one cell
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment by cosine, ties → lowest cell.
+
+    Centroid 'training' is a deterministic stand-in — the first ``n_cells``
+    vectors (vec_id < n_cells) seed the cells, so the oracle can reproduce
+    the assignment exactly; a production build would run k-means (e.g.
+    pyspark.ml.clustering.KMeans) and broadcast the fitted centroids the
+    same way.  The assignment is one broadcast nested-loop over n_cells
+    centroids — no shuffle of the corpus."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(cents)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        cosine(F.col(vec_col), F.col("cvec")).desc(), F.col("cell")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cand_id, cosine_sim, rank): approximate top-k — each query
+    probes only its own IVF cell (nprobe=1).  The scale path vs brute force:
+    candidate count drops by ~n_cells×, and the probe join shuffles on the
+    cell id, never the full corpus×queries cross product."""
+    assign = ivf_assign(corpus, n_cells, id_col, vec_col)
+    c = corpus.join(assign, on=id_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    q = (
+        queries.join(assign, on=id_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sign-LSH (random hyperplanes) for embedding near-dup at scale
 # ---------------------------------------------------------------------------
 
@@ -158,6 +234,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) for pairs with cosine >= threshold, found
     via sign-LSH bucketing + exact verify.  The bucket self-join shuffles
@@ -165,7 +242,7 @@ def embedding_near_dup(
     sig = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        sign_lsh_signature(F.col(vec_col), n_planes).alias("sig"),
+        sign_lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
     )
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("sig")

@@ -394,3 +394,150 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup(load(spark, sf_dir, "embeddings")).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity (direct, on a bounded sample) + IVF ANN
+# ---------------------------------------------------------------------------
+
+_NGRAM_SAMPLE = 40  # doc_id bound: the demo keeps all-pairs O(sample²)
+_NGRAM_THRESHOLD = 0.1
+
+_SQL_NGRAM = f"""
+    WITH s AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE doc_id < {_NGRAM_SAMPLE}
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(t) - 2, 1) + 1),
+                   i -> substr(t, i, 3))) AS grams
+        FROM s
+    ),
+    j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.grams, b.grams)) AS ni,
+               len(a.grams) AS na, len(b.grams) AS nb
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           floor(ni / CAST(na + nb - ni AS DOUBLE) * 1e6) / 1e6 AS jaccard
+    FROM j
+    WHERE floor(ni / CAST(na + nb - ni AS DOUBLE) * 1e6) / 1e6 >= {_NGRAM_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "docs_ngram_jaccard",
+    _SQL_NGRAM,
+    doc="character-trigram Jaccard similarity, exact, on a bounded sample "
+    "(the all-pairs baseline; MinHash-LSH is the scale path).",
+)
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NGRAM_SAMPLE)
+        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+    )
+    t = F.col("t")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+            lambda i: t.substr(i, F.lit(3)),
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    ni = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.col("ga")) + F.size(F.col("gb")) - ni
+    jac = F.floor(ni / union * F.lit(1e6)).cast("double") / F.lit(1e6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_IVF_QLO, _IVF_QHI = 100, 108
+
+_SQL_IVF_TOPK = f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {S.IVF_CELLS}
+    ),
+    at0 AS (
+        SELECT e.vec_id, c.cell,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM embeddings e, cent c, generate_series(1, 64) AS g(i)
+    ),
+    ag AS (
+        SELECT vec_id, cell,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cos
+        FROM at0 GROUP BY 1, 2
+    ),
+    ass AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ag
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT a.vec_id AS query_id, e.embedding AS qv, a.cell
+        FROM ass a JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id >= {_IVF_QLO} AND a.vec_id < {_IVF_QHI}
+    ),
+    c AS (
+        SELECT a.vec_id AS cand_id, e.embedding AS cv, a.cell
+        FROM ass a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    terms AS (
+        SELECT query_id, cand_id,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM q JOIN c USING (cell), generate_series(1, 64) AS g(i)
+        WHERE cand_id <> query_id
+    ),
+    agg AS (
+        SELECT query_id, cand_id,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, cand_id) AS INT) AS rank
+        FROM agg
+    )
+    SELECT query_id, cand_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {_TOPK_K}
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "embedding_topk_ivf",
+    _SQL_IVF_TOPK,
+    doc="IVF ANN top-k: coarse-quantize to cells, probe the query's cell "
+    "only (nprobe=1) — the scale path next to the brute-force baseline.",
+)
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
+    )
+    return S.ivf_topk(emb, queries, k=_TOPK_K)

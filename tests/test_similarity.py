@@ -1,0 +1,84 @@
+"""Similarity-operator semantics tests on planted data: sign-LSH near-dup
+must FIND near-duplicates (the registry query legitimately returns zero rows
+on the synthetic corpus, which has none); IVF top-k must agree with brute
+force whenever the true neighbors share the query's cell."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_etl_demo_spark.operators import similarity as S
+
+DIM = 8
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _vec(seed: int) -> list[float]:
+    # deterministic pseudo-random unit-ish vector
+    vals = [math.sin(seed * 7.31 + d * 1.97) for d in range(DIM)]
+    return [float(v) for v in vals]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _vec(i)) for i in range(20)]
+    # plant near-duplicates: 100+i is a slightly perturbed copy of i
+    rows += [
+        (100 + i, [float(v * 1.001 + 0.0005) for v in _vec(i)]) for i in range(5)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_near_dup_finds_planted_pairs(corpus):
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup(corpus, threshold=0.95, dim=DIM).collect()
+    }
+    assert {(i, 100 + i) for i in range(5)} <= found
+    # and nothing below threshold sneaks in
+    for r in S.embedding_near_dup(corpus, threshold=0.95, dim=DIM).collect():
+        assert r["cosine_sim"] >= 0.95
+
+
+def test_near_dup_lsh_prunes_pair_space(corpus):
+    # bucket join candidate count must be far below the full pair space
+    sig = corpus.select(
+        S.sign_lsh_signature(F.col("embedding"), dim=DIM).alias("sig")
+    )
+    buckets = sig.groupBy("sig").count().collect()
+    n = corpus.count()
+    candidate_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in buckets)
+    assert candidate_pairs < n * (n - 1) // 2 / 3
+
+
+def test_ivf_topk_agrees_with_brute_force_in_cell(corpus):
+    queries = corpus.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["query_id"], r["cand_id"]): r["cosine_sim"]
+        for r in S.brute_force_topk(corpus, queries, k=50).collect()
+    }
+    ivf = S.ivf_topk(corpus, queries, k=5, n_cells=4).collect()
+    assert ivf, "probing the query's own cell must yield candidates"
+    for r in ivf:
+        # every IVF hit carries the exact cosine brute force computes
+        assert brute[(r["query_id"], r["cand_id"])] == r["cosine_sim"]
+    # ranks within a query are 1..n and cosine non-increasing
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cosine_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
