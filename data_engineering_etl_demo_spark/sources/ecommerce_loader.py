@@ -374,3 +374,49 @@ def read_raw_csv(spark, path: str) -> DataFrame:
     for old, new in renames.items():
         df = df.withColumnRenamed(old, new)
     return df
+
+
+def run_loader(spark, csv_dir: str, out_dir: str) -> dict:
+    """EP3 driver parity (kaggle_amazon_sales_loader.py:251-303): load every
+    known CSV in ``csv_dir``, write canonical JSONL datasets (events + intl
+    sales, each the union of its per-file outputs) and a per-file stats
+    report JSON.  Returns the report dict."""
+    import json
+    import os
+
+    report: dict = {"files": {}, "outputs": {}}
+    events_parts = []
+    intl_parts = []
+    for fname in sorted(os.listdir(csv_dir)):
+        if not fname.lower().endswith(".csv"):
+            continue
+        path = os.path.join(csv_dir, fname)
+        df = read_raw_csv(spark, path)
+        low = fname.lower()
+        if "international" in low:
+            intl_parts.append(international_sales(df, fname))
+            stats = intl_loader_stats(df).collect()[0].asDict()
+        else:
+            events_parts.append(amazon_events(df, fname))
+            stats = amazon_loader_stats(df).collect()[0].asDict()
+        report["files"][fname] = stats
+
+    def _union(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    if events_parts:
+        dest = os.path.join(out_dir, "canonical", "events")
+        _union(events_parts).write.mode("overwrite").json(dest)
+        report["outputs"]["events"] = dest
+    if intl_parts:
+        dest = os.path.join(out_dir, "canonical", "international_sales")
+        _union(intl_parts).write.mode("overwrite").json(dest)
+        report["outputs"]["international_sales"] = dest
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "loader_report.json"), "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    return report

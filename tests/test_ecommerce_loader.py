@@ -128,3 +128,29 @@ def test_loader_specs_registered():
         "ecommerce_intl_stats",
     ):
         assert name in specs and specs[name].oracle is not None
+
+
+def test_run_loader_end_to_end(spark, tmp_path):
+    """EP3 driver: canonical JSONL sinks + per-file stats report, and the
+    canonical events feed EP1's ingest (loader output is pipeline input)."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    csv_dir = tmp_path / "incoming"
+    csv_dir.mkdir()
+    shutil.copy(AMAZON_CSV, csv_dir / "amazon_sale_report.csv")
+    shutil.copy(INTL_CSV, csv_dir / "international_sale_report.csv")
+    out_dir = tmp_path / "staging"
+
+    report = L.run_loader(spark, str(csv_dir), str(out_dir))
+    assert report["files"]["amazon_sale_report.csv"]["written"] == 12
+    assert report["files"]["international_sale_report.csv"]["written"] == 4
+    assert json.loads((out_dir / "loader_report.json").read_text())["files"]
+
+    # canonical events round-trip through the EP1 ingest contract
+    from data_engineering_etl_demo_spark.sources.ingest import read_events_jsonl
+
+    ingest = read_events_jsonl(spark, report["outputs"]["events"])
+    assert ingest.events.count() == 12
+    assert ingest.bad_records.count() == 0
