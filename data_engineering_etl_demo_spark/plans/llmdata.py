@@ -541,3 +541,65 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
     )
     return S.ivf_topk(emb, queries, k=_TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style salient terms (log-free: exact integer/rational scoring)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_SQL_TFIDF = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_fmt(SQL_WORDS)}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+               -- rarity-weighted tf: tf·N/df — exact integers divided once,
+               -- so both engines produce the identical double (no log drift)
+               CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tf, df, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, tok) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, tok, tf, df, score, rank
+    FROM ranked WHERE rank <= {_TFIDF_K}
+    ORDER BY doc_id, rank
+"""
+
+
+@register(
+    "docs_tfidf_topterms",
+    _SQL_TFIDF,
+    doc="salient terms per doc: tf × N/df rarity weighting (log-free so the "
+    "score is engine-exact), top-k by window rank.",
+)
+def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = _docs_wide(spark, sf_dir).select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()
+    scored = tf.join(dfreq, on="tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .orderBy("doc_id", "rank")
+    )

@@ -246,3 +246,38 @@ def q_all_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return cust.unionByName(supp).orderBy("kind", "party_id")
+
+
+@register(
+    "pricing_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="exact discrete percentiles per group (sort-based, no interpolation "
+    "drift — percentile_disc picks an element, identical across engines).",
+)
+def q_pricing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p25"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
