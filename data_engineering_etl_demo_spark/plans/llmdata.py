@@ -587,8 +587,14 @@ def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs_wide(spark, sf_dir).select(
         "doc_id", F.explode(X.words(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tf has one row per (doc_id, tok), so doc-frequency is a plain count
+    # over tf — deriving it there (instead of a second countDistinct over
+    # toks) tokenizes the corpus once, and persisting tf lets the dfreq agg
+    # and the join below share that single pass.
+    tf = (
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load(spark, sf_dir, "documents").count()
     scored = tf.join(dfreq, on="tok").select(
         "doc_id",

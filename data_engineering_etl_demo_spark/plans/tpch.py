@@ -264,20 +264,93 @@ def q_all_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift — percentile_disc picks an element, identical across engines).",
 )
 def q_pricing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percentile_disc(p) = smallest value whose cume_dist >= p.  Built-in
+    # percentile_disc is an object-aggregate that buffers every row of a
+    # group on ONE reducer — a skew wall when groups are few (3 returnflags)
+    # and huge.  Two-pass histogram refinement instead:
+    #   pass 1: bucket histogram groupBy(flag, floor(price/W)) — map-side
+    #     partial agg shrinks the shuffle to |buckets|; a cumulative window
+    #     over the tiny histogram locates the bucket where each percentile's
+    #     rank threshold crosses, and the residual rank r within it;
+    #   pass 2: broadcast the O(groups × percentiles) candidate set, scan
+    #     again touching only candidate-bucket rows, and take the r-th
+    #     smallest by a window over those few rows.
+    # Every compare is on exact integers except p·n, and p ∈ {.25,.5,.75}
+    # with n < 2^53 makes p·n IEEE-exact, so the crossing bucket and residual
+    # are engine-exact.  At cluster scale pass 2 per group-percentile sorts
+    # ~n/|buckets| rows; widen |buckets| (or recurse) to bound it.
+    from pyspark.sql.window import Window
+
+    width = 64
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bucket = F.floor(F.col("l_extendedprice") / width)
+    hist = li.groupBy("l_returnflag", bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    h = (
+        hist.withColumn("cb", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("prev", F.col("cb") - F.col("cnt"))
+    )
+    pcts = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75)]
+    # One histogram pass serves all percentiles: melt p in, keep the rows
+    # where the rank threshold tgt = ceil(p·n) crosses (prev < tgt <= cb).
+    melted = h.select(
+        "l_returnflag",
+        "b",
+        "n",
+        "prev",
+        "cb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(tag).alias("ptag"), F.lit(p).alias("p"))
+                    for tag, p in pcts
+                ]
+            )
+        ).alias("pp"),
+    ).select(
+        "l_returnflag",
+        "b",
+        "n",
+        "prev",
+        "cb",
+        F.col("pp.ptag").alias("ptag"),
+        F.ceil(F.col("pp.p") * F.col("n")).alias("tgt"),
+    )
+    cand = melted.filter(
+        (F.col("cb") >= F.col("tgt")) & (F.col("prev") < F.col("tgt"))
+    ).select(
+        F.col("l_returnflag").alias("c_flag"),
+        "b",
+        "n",
+        "ptag",
+        (F.col("tgt") - F.col("prev")).alias("r"),
+    )
+    matched = li.join(
+        F.broadcast(cand),
+        (F.col("l_returnflag") == F.col("c_flag")) & (bucket == F.col("b")),
+    )
+    w_rank = Window.partitionBy("c_flag", "ptag").orderBy("l_extendedprice")
+    picked = matched.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") == F.col("r")
+    )
     return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        picked.groupBy(F.col("c_flag").alias("l_returnflag"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p25"),
-            F.expr(
-                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p50"),
-            F.expr(
-                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p75"),
+            F.max("n").alias("n"),
+            *[
+                F.max(
+                    F.when(F.col("ptag") == tag, F.col("l_extendedprice"))
+                ).alias(tag)
+                for tag, _ in pcts
+            ],
         )
         .orderBy("l_returnflag")
     )
