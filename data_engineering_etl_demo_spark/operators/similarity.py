@@ -228,6 +228,107 @@ def sign_lsh_signature(
     return out.cast("long")
 
 
+_SIDE_CACHE: dict = {}  # executor-local: parquet path → (ids, matrix, ss)
+
+
+def _load_side(path: str, id_col: str, vec_col: str):
+    """Read the full corpus side of the pair join from parquet, once per
+    executor (module-level cache).  The map side streams past it — the
+    classic block-nested-loop with a side file, no driver collect.  On a
+    cluster the same read hits shared storage; blocking the side file is
+    the knob when it outgrows executor memory."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    got = _SIDE_CACHE.get(path)
+    if got is None:
+        tbl = pq.read_table(path, columns=[id_col, vec_col])
+        ids = tbl[id_col].to_numpy()
+        flat = tbl[vec_col].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(len(ids), -1)
+        # fixed-point self-dots: floor((x·x)·1e12) summed as int64 — the
+        # exact op sequence of scaled_dot, so sqrt(ss) matches JVM/DuckDB.
+        ss = np.floor((mat * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+        got = _SIDE_CACHE[path] = (ids, mat, ss)
+    return got
+
+
+def exact_near_dup(
+    corpus: DataFrame,
+    corpus_path: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) for ALL pairs with cosine ≥ threshold —
+    the exact ground truth the LSH variant approximates (use it to measure
+    recall, or directly when n is small enough for O(n²)).
+
+    mapInPandas block-nested-loop: each task numpy-multiplies its rows
+    against the side-file matrix.  Every arithmetic step mirrors
+    scaled_dot/trunc9 IEEE op-for-op — float→double widen, per-term
+    double multiply, ·1e12, floor, exact int64 sum, double divide,
+    floor(·1e9)/1e9 — so results hash-match the DuckDB oracle despite
+    three different runtimes (numpy / JVM / DuckDB) computing them."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, mat_b, ss_b = _load_side(corpus_path, id_col, vec_col)
+        sqrt_ss_b = np.sqrt(ss_b.astype(np.float64))
+        for pdf in batches:
+            ids_a = pdf[id_col].to_numpy()
+            if len(ids_a) == 0:
+                continue
+            mat_a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ss_a = np.floor((mat_a * mat_a) * PROD_SCALE).astype(np.int64).sum(axis=1)
+            outs = []
+            for i in range(len(ids_a)):
+                dots = (
+                    np.floor((mat_a[i] * mat_b) * PROD_SCALE)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                cos = (
+                    np.floor(
+                        dots.astype(np.float64)
+                        / (np.sqrt(float(ss_a[i])) * sqrt_ss_b)
+                        * 1e9
+                    )
+                    / 1e9
+                )
+                mask = (cos >= threshold) & (ids_a[i] < ids_b)
+                if mask.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.full(int(mask.sum()), ids_a[i]),
+                                "id_b": ids_b[mask],
+                                "cosine_sim": cos[mask],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -136,6 +136,128 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(words(col), " "))
 
 
+ROLL_K = 8  # k-gram length for rolling hashes
+ROLL_BASE = 31  # polynomial base
+WINNOW_W = 4  # winnowing window (in consecutive k-gram hashes)
+
+
+def _poly_hash_at(s: Column, i: Column, weights: list[int]) -> Column:
+    """Σ_j code(s[i+j])·weights[j] as BIGINT — one k-gram's hash."""
+    total = None
+    for j, wgt in enumerate(weights):
+        ch = F.ascii(s.substr(i + F.lit(j), F.lit(1))).cast("long")
+        term = ch * F.lit(wgt).cast("long")
+        total = term if total is None else total + term
+    return total
+
+
+def rolling_hashes(col: Column, k: int = ROLL_K, base: int = ROLL_BASE) -> Column:
+    """array<long> of polynomial k-gram hashes over the word-normalized text
+    (words joined by single spaces): h(i) = Σ_j code(c_{i+j})·base^(k-1-j).
+
+    No modulus: normalized chars are [a-z0-9 ] (code ≤ 122), so the max
+    hash 122·(31^8−1)/30 ≈ 1.1e13 fits BIGINT *and* sits below 2^53 —
+    exact in both engines even through double conversion.  Documents
+    shorter than k normalized chars yield an empty array (guarded: Spark's
+    sequence(1, 0) would otherwise produce a DESCENDING [1,0])."""
+    s = F.array_join(words(col), " ")
+    weights = [base ** (k - 1 - j) for j in range(k)]
+    n_grams = F.length(s) - F.lit(k - 1)
+    return F.when(n_grams < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: _poly_hash_at(s, i, weights),
+        )
+    )
+
+
+def winnow(hashes: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprint set: min hash of each window of w consecutive
+    k-gram hashes, deduplicated and sorted.  Any shared substring of length
+    ≥ k+w−1 chars contributes a shared fingerprint (Schleimer et al.,
+    SIGMOD'03 winnowing — public algorithm).  Hash arrays shorter than w
+    collapse to their single overall min; empty input stays empty."""
+    n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    return F.when(F.size(hashes) < 1, F.array().cast("array<long>")).otherwise(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(hashes, i, w)),
+                )
+            )
+        )
+    )
+
+
+def fingerprint_winnow_stats(norm_docs, id_col: str = "doc_id", s_col: str = "s"):
+    """(doc_id, n_grams, n_fp, min_fp, max_fp) via an Arrow/numpy kernel.
+
+    Semantics are exactly rolling_hashes + winnow above — the column-
+    function form is the reference, this kernel is the hot path: the
+    interpreted higher-order-function lambdas cost ~8 evaluations per
+    character (28.7 s over sf0.1), while the vectorized int64 kernel is
+    the same arithmetic as 8 shifted-slice adds and a width-4 sliding min
+    (<1 s).  Integer hashes are order-free and < 2^53, so numpy, Catalyst
+    and the DuckDB oracle agree bit-for-bit.  Input must carry the word-
+    normalized text ``s`` (built with array_join(words(text), ' ') — the
+    normalization stays JVM-side where it's cheap)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_grams", LongType()),
+            StructField("n_fp", LongType()),
+            StructField("min_fp", LongType()),
+            StructField("max_fp", LongType()),
+        ]
+    )
+    k, w = ROLL_K, WINNOW_W
+    weights = [ROLL_BASE ** (k - 1 - j) for j in range(k)]
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, ng, nf, lo, hi = [], [], [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf[s_col]):
+                c = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_grams = max(len(c) - (k - 1), 0)
+                if n_grams == 0:
+                    fps = np.empty(0, dtype=np.int64)
+                else:
+                    h = sum(
+                        c[j : n_grams + j] * weights[j] for j in range(k)
+                    )
+                    if len(h) < w:
+                        mins = np.array([h.min()])
+                    else:
+                        mins = np.minimum.reduce(
+                            [h[i : len(h) - (w - 1) + i] for i in range(w)]
+                        )
+                    fps = np.unique(mins)
+                ids.append(doc_id)
+                ng.append(n_grams)
+                nf.append(len(fps))
+                lo.append(int(fps[0]) if len(fps) else None)
+                hi.append(int(fps[-1]) if len(fps) else None)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_grams": ng,
+                    "n_fp": nf,
+                    "min_fp": pd.array(lo, dtype="Int64"),
+                    "max_fp": pd.array(hi, dtype="Int64"),
+                }
+            )
+
+    return norm_docs.select(id_col, s_col).mapInPandas(kernel, out_schema)
+
+
 def word_shingles(col: Column, n: int = 5) -> Column:
     """array of n-word shingles (space-joined) of the normalized text.
     Documents shorter than n words yield their single full-text shingle."""

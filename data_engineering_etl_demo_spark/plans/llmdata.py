@@ -2,9 +2,12 @@
 (SURVEY.md §7 Phase 6): dedup, similarity search, text analysis.
 
 Every SQL-expressible operator carries a DuckDB oracle mirroring the Spark
-expressions term-for-term (same normalization, same rounding, same decimal
-accumulators), so the driver's hash-compare is exact.  SimHash is the one
-rows-only entry (64-bit bit-twiddling has no portable SQL form).
+expressions term-for-term (same normalization, same rounding, same integer
+fixed-point accumulators), so the driver's hash-compare is exact — including
+SimHash (hash rebuilt from md5 hex with BIGINT shifts) and the exact
+near-dup (numpy kernel mirroring the fixed-point op sequence).  The only
+rows-only entry is the LSH-bucketed near-dup, whose bucket pruning is
+verified against the exact variant in tests.
 """
 
 from __future__ import annotations
@@ -286,10 +289,40 @@ def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash oracle: rebuild the 60-bit token hash from md5 hex chars with
+# BIGINT shifts (DuckDB has no conv(hex)), then the same vote/sign sums.
+# Everything is integer arithmetic — bit-exact across engines.
+_SQL_SIMHASH = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_fmt(SQL_WORDS)})) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+            CAST(list_sum(list_transform(range(1, 16),
+                i -> CAST(instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                     AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b,
+            CAST(SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                 AS BIGINT) AS v
+        FROM h CROSS JOIN generate_series(0, 59) AS g(b)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 @register(
     "docs_simhash",
-    None,  # 64-bit bit arithmetic has no portable DuckDB mirror → rows-only
-    doc="SimHash 64-bit signatures per document (Spark built-ins only).",
+    _SQL_SIMHASH,
+    doc="SimHash 60-bit signatures per document; oracle rebuilds the hash "
+    "from md5 hex with BIGINT shifts — integer-exact across engines.",
 )
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(_docs_wide(spark, sf_dir)).orderBy("doc_id")
@@ -394,6 +427,53 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup(load(spark, sf_dir, "embeddings")).orderBy(
         "id_a", "id_b"
     )
+
+
+# Exact all-pairs near-dup: the ground truth the LSH variant approximates.
+# Threshold 0.45 sits inside the testdata's cosine distribution (max pair
+# ≈ 0.51), so the check exercises real matches, not an empty set.
+_NEAR_DUP_EXACT_T = 0.45
+
+_SQL_NEAR_DUP_EXACT = f"""
+    WITH terms AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(a.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS aa,
+               CAST(floor(CAST(b.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS bb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+             generate_series(1, 64) AS g(i)
+    ),
+    agg AS (
+        SELECT id_a, id_b,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine_sim FROM agg
+    WHERE cosine_sim >= {_NEAR_DUP_EXACT_T}
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "embedding_near_dup_exact",
+    _SQL_NEAR_DUP_EXACT,
+    doc="exact all-pairs cosine near-dup (ground truth for the LSH scale "
+    "path), mapInPandas block-nested-loop with a parquet side file; "
+    "fixed-point arithmetic makes numpy/JVM/DuckDB values identical.",
+)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return S.exact_near_dup(
+        emb, f"{sf_dir}/embeddings.parquet", threshold=_NEAR_DUP_EXACT_T
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -541,6 +621,57 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
     )
     return S.ivf_topk(emb, queries, k=_TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: rolling k-gram hashes + winnowing
+# ---------------------------------------------------------------------------
+
+_ROLL_TERMS = " + ".join(
+    f"CAST(ascii(substr(s, i + {j}, 1)) AS BIGINT) * {31 ** (7 - j)}"
+    for j in range(8)
+)
+
+_SQL_WINNOW = f"""
+    WITH s AS (
+        SELECT doc_id, array_to_string({_fmt(SQL_WORDS)}, ' ') AS s
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(s) - 7, 0) + 1),
+                              i -> {_ROLL_TERMS}) AS H
+        FROM s
+    ),
+    w AS (
+        SELECT doc_id, H,
+               CASE WHEN len(H) < 1 THEN CAST([] AS BIGINT[])
+                    ELSE list_sort(list_distinct(list_transform(
+                         range(1, greatest(len(H) - 3, 1) + 1),
+                         i -> list_min(H[i:i+3])))) END AS W
+        FROM h
+    )
+    SELECT doc_id, len(H) AS n_grams, len(W) AS n_fp,
+           W[1] AS min_fp, W[-1] AS max_fp
+    FROM w ORDER BY doc_id
+"""
+
+
+@register(
+    "docs_fingerprint_winnow",
+    _SQL_WINNOW,
+    doc="document fingerprinting: polynomial rolling 8-gram hashes over "
+    "normalized text, winnowed (min per 4-window, Schleimer et al. "
+    "SIGMOD'03); modulus-free BIGINT hashes are engine-exact.",
+)
+def q_docs_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Normalization stays JVM-side (built-ins); the rolling-hash + winnow
+    # arithmetic runs in the Arrow kernel — see fingerprint_winnow_stats
+    # for the measured 28.7s → <1s rationale.
+    norm = _docs_wide(spark, sf_dir).select(
+        "doc_id", F.array_join(X.words(F.col("text")), " ").alias("s")
+    )
+    return X.fingerprint_winnow_stats(norm).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,38 @@ def test_ivf_topk_agrees_with_brute_force_in_cell(corpus):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         sims = [r["cosine_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_exact_near_dup_matches_jvm_expressions(corpus, tmp_path):
+    """The numpy kernel must reproduce the JVM fixed-point pipeline
+    (scaled_dot + trunc9) bit-for-bit, planted pairs included."""
+    path = str(tmp_path / "corpus.parquet")
+    corpus.coalesce(1).write.mode("overwrite").parquet(path)
+    # re-read so both sides consume the identical float32 parquet bytes
+    spark = corpus.sparkSession
+    stored = spark.read.parquet(path)
+
+    kernel = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.exact_near_dup(stored, path, threshold=0.9).collect()
+    }
+    a = stored.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = stored.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    jvm = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+        .collect()
+    }
+    assert kernel == jvm
+    assert {(i, 100 + i) for i in range(5)} <= set(kernel)
