@@ -381,3 +381,54 @@ def q_props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: purchase → last preceding click attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts < p.ts
+    ORDER BY purchase_id
+    """,
+    doc="as-of join (operators/asof.py): each purchase attributed to the "
+    "same user's latest strictly-earlier click; union + single-shuffle "
+    "running-window form, oracle is DuckDB's native ASOF JOIN.",
+)
+def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id", "ts"],
+        strict=True,
+        tiebreak="event_id",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+        F.col("asof_event_id").alias("click_id"),
+        F.unix_micros("asof_ts").alias("click_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    ).orderBy("purchase_id")

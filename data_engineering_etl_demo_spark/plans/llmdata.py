@@ -740,3 +740,140 @@ def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher/MassiveText-style, public heuristics)
+# ---------------------------------------------------------------------------
+
+_SQL_NGRAM_DUP = """
+    CASE WHEN len({g}) = 0 THEN 0.0
+         ELSE floor((len({g}) - len(list_distinct({g})))
+                    / CAST(len({g}) AS DOUBLE) * 1e6) / 1e6 END
+"""
+
+_SQL_W = _fmt(SQL_WORDS)
+_SQL_2G = (
+    f"list_transform(range(1, greatest(len({_SQL_W}) - 1, 0) + 1),"
+    f" i -> {_SQL_W}[i] || ' ' || {_SQL_W}[i + 1])"
+)
+_SQL_3G = (
+    f"list_transform(range(1, greatest(len({_SQL_W}) - 2, 0) + 1),"
+    f" i -> {_SQL_W}[i] || ' ' || {_SQL_W}[i + 1] || ' ' || {_SQL_W}[i + 2])"
+)
+
+
+@register(
+    "docs_repetition",
+    f"""
+    SELECT doc_id,
+           len({_SQL_W}) AS n_words,
+           {_SQL_NGRAM_DUP.format(g=_SQL_W)} AS dup_word_frac,
+           {_SQL_NGRAM_DUP.format(g=_SQL_2G)} AS dup_2gram_frac,
+           {_SQL_NGRAM_DUP.format(g=_SQL_3G)} AS dup_3gram_frac
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="repetition quality signals (Gopher-style): duplicate word / "
+    "2-gram / 3-gram fractions per document, floor-truncated to 6dp "
+    "for engine-exact ratios.",
+)
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ngrams(w, n):
+        if n == 1:
+            return w
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+
+    def dup_frac(g):
+        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            X.trunc6(
+                (F.size(g) - F.size(F.array_distinct(g)))
+                / F.size(g).cast("double")
+            )
+        )
+
+    df = _docs_wide(spark, sf_dir).select(
+        "doc_id", X.words(F.col("text")).alias("w")
+    )
+    # guard: sequence(1, 0) would produce a descending [1, 0]
+    df = df.select(
+        "doc_id",
+        "w",
+        F.when(F.size("w") < 2, F.array().cast("array<string>"))
+        .otherwise(ngrams(F.col("w"), 2))
+        .alias("g2"),
+        F.when(F.size("w") < 3, F.array().cast("array<string>"))
+        .otherwise(ngrams(F.col("w"), 3))
+        .alias("g3"),
+    )
+    return df.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        dup_frac(F.col("w")).alias("dup_word_frac"),
+        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("g3")).alias("dup_3gram_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-stratified sampling (data mixing by language)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 80, "de": 50, "es": 50, "fr": 50, "zh": 30}
+_MIX_DEFAULT = 10
+
+_SQL_MIX_RATE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+# first 8 md5 hex chars of the doc_id string → uint32, mod 100: a stable,
+# engine-portable per-doc coin (DuckDB has no conv(); rebuild via shifts).
+_SQL_MIX_H = (
+    "CAST(list_sum(list_transform(range(1, 9),"
+    " i -> CAST(instr('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+    " << (4 * (8 - i)))) AS BIGINT) % 100"
+)
+
+
+@register(
+    "docs_sample_mix",
+    f"""
+    SELECT lang,
+           CAST({_SQL_MIX_RATE} AS BIGINT) AS rate_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {_SQL_MIX_H} < {_SQL_MIX_RATE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="deterministic hash-stratified sampling for data mixing: keep a "
+    "doc iff md5(doc_id) mod 100 < per-language rate — reproducible at "
+    "any parallelism, no RNG state, idempotent across reruns.",
+)
+def q_docs_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.max(rate).cast("long").alias("rate_pct"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(h < rate, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,67 @@
+"""asof_join semantics on planted frames: strict vs inclusive tie handling,
+deterministic tiebreak among equal right timestamps, and null padding when
+no earlier right row exists.  Timestamps are plain longs — the operator
+only needs an orderable column."""
+
+from __future__ import annotations
+
+from data_engineering_etl_demo_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 5, "l_early"), (1, 20, "l_tie"), (1, 35, "l_late"), (2, 50, "l_nokey")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 101), (1, 20, 102), (1, 20, 103), (1, 30, 104)],
+        ["k", "t", "rid"],
+    )
+    return left, right
+
+
+def _collect(df):
+    return {
+        r["tag"]: r["asof_rid"]
+        for r in df.select("tag", "asof_rid").collect()
+    }
+
+
+def test_strict_excludes_same_tick(spark):
+    left, right = _frames(spark)
+    got = _collect(
+        asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            payload_cols=["rid"], strict=True, tiebreak="rid",
+        )
+    )
+    assert got == {
+        "l_early": None,  # nothing before t=5
+        "l_tie": 101,  # t=20 rows invisible under strict <
+        "l_late": 104,
+        "l_nokey": None,  # key 2 has no right rows
+    }
+
+
+def test_inclusive_takes_tiebreak_winner(spark):
+    left, right = _frames(spark)
+    got = _collect(
+        asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            payload_cols=["rid"], strict=False, tiebreak="rid",
+        )
+    )
+    # at t=20 both rid 102 and 103 qualify; greatest tiebreak wins
+    assert got["l_tie"] == 103
+    assert got["l_late"] == 104
+    assert got["l_early"] is None
+
+
+def test_left_rows_and_columns_preserved(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        payload_cols=["rid"], strict=True,
+    )
+    assert out.count() == left.count()
+    assert set(left.columns) < set(out.columns)
