@@ -329,33 +329,80 @@ def exact_near_dup(
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
+LSH_BANDS = 4  # 16 planes → 4 bands × 4 planes
+
+
+def sign_lsh_band_buckets(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_bands: int = LSH_BANDS,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """(id, vec, band, bucket): the signature split into ``n_bands`` buckets
+    of ``n_planes/n_bands`` sign bits each (same band structure as
+    MinHash-LSH in operators/dedup.py).  Banding is what makes the recall
+    math work: at cosine 0.95 one 16-bit signature matches with prob
+    (1−θ/π)^16 ≈ 0.18, while any-of-4 4-bit bands ≈ 0.985."""
+    band_bits = n_planes // n_bands
+    sig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, vec_col, F.explode(bands).alias("bb")).select(
+        id_col,
+        vec_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    n_bands: int = LSH_BANDS,
     dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) for pairs with cosine >= threshold, found
-    via sign-LSH bucketing + exact verify.  The bucket self-join shuffles
-    on the 16-bit signature — never the full pair space."""
-    sig = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        sign_lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    via banded sign-LSH bucketing + exact verify.  The bucket self-join
+    shuffles on (band, bucket) — never the full pair space; dropDuplicates
+    collapses pairs colliding in several bands before the exact cosine
+    runs once per candidate pair."""
+    bb = sign_lsh_band_buckets(corpus, id_col, vec_col, n_planes, n_bands, dim)
+    a = bb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "band",
+        "bucket",
     )
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("sig")
+    b = bb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "band",
+        "bucket",
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col("sig")
-    )
-    return (
-        a.join(b, on="sig")
+    cand = (
+        a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim")
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

@@ -125,3 +125,64 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+@register(
+    "streaming_sessionize_flush",
+    """
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, ts
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    wm AS (
+        -- final event-time watermark in ms: max event ts minus the 10-min
+        -- delay (Spark tracks watermarks at ms precision)
+        SELECT (epoch_us(MAX(ts)) // 1000) - 600000 AS w_ms FROM e
+    ),
+    m AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2
+    ),
+    last AS (SELECT user_id, MAX(sid) AS max_sid FROM g GROUP BY 1)
+    SELECT g.user_id,
+           epoch_us(session_start) AS session_start_us,
+           epoch_us(session_end) AS session_end_us,
+           n_events
+    FROM g JOIN last ON g.user_id = last.user_id
+    WHERE g.sid < last.max_sid
+       OR (epoch_us(session_end) // 1000) + 1800000 < (SELECT w_ms FROM wm)
+    ORDER BY 1, 2
+    """,
+    doc="sessionization with EventTimeTimeout flush: idle sessions emit "
+    "once the watermark passes last-event + gap; the oracle applies the "
+    "identical watermark cutoff to the batch gaps-and-islands form.",
+    memoize=False,
+)
+def q_streaming_sessionize_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("user_id"), "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    sessions = P.sessionize(events, gap_minutes=30, flush_on_timeout=True)
+    result = P.run_to_completion(sessions, "stream_sessions_flush", "append")
+    return result.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")

@@ -128,14 +128,20 @@ def foreach_batch_merge(warehouse_path: str):
     return merge
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, flush_on_timeout: bool = False
+) -> DataFrame:
     """Custom stateful operator: per-user sessions with an inactivity gap,
     via applyInPandasWithState.  A session CLOSES (and is emitted) when a
     later event for the same user arrives more than ``gap_minutes`` after
     the session's last event; still-open sessions remain in state.
-    (A production variant would add EventTimeTimeout to also flush idle
-    sessions at the watermark; arrival-closing keeps the operator
-    deterministic under availableNow test harnesses.)"""
+
+    ``flush_on_timeout=True`` is the production variant: EventTimeTimeout
+    also emits a session once the WATERMARK passes its last event + gap —
+    idle users flush without waiting for their next arrival.  The input
+    must carry a watermark; sessions idle less than the watermark delay at
+    end-of-stream stay open (that is the semantics, not a defect — the
+    matching batch oracle applies the same cutoff)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
@@ -143,6 +149,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        def emit(rows: list[tuple]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in rows],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in rows],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in rows],
+                    "n_events": [c[3] for c in rows],
+                }
+            )
+
+        if flush_on_timeout and state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit([(key[0], start_us, last_us, n)])
+            return
+
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -159,22 +181,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 else:
                     last_us, n = max(last_us, ts_us), n + 1
         state.update((start_us, last_us, n))
+        if flush_on_timeout and last_us is not None:
+            # fire when the watermark passes the session's gap deadline
+            state.setTimeoutTimestamp(last_us // 1_000 + gap_minutes * 60_000)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
-                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
-                    "n_events": [c[3] for c in closed],
-                }
-            )
+            yield emit(closed)
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if flush_on_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

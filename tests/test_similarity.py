@@ -117,3 +117,27 @@ def test_exact_near_dup_matches_jvm_expressions(corpus, tmp_path):
     }
     assert kernel == jvm
     assert {(i, 100 + i) for i in range(5)} <= set(kernel)
+
+
+def test_lsh_recall_vs_exact_ground_truth(corpus, tmp_path):
+    """Banded sign-LSH must recover every pair the exact all-pairs ground
+    truth finds at the design threshold (deterministic: planes are fixed)."""
+    path = str(tmp_path / "corpus_recall.parquet")
+    corpus.coalesce(1).write.mode("overwrite").parquet(path)
+    stored = corpus.sparkSession.read.parquet(path)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.exact_near_dup(stored, path, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.embedding_near_dup(stored, threshold=0.95, dim=DIM).collect()
+    }
+    assert set(exact) <= set(lsh) or set(exact) == set(lsh)
+    # LSH is a subset-of-exact refinement: any pair it emits must carry the
+    # exact cosine and pass the threshold
+    for pair, sim in lsh.items():
+        assert sim >= 0.95
+        assert exact.get(pair) == sim or pair not in exact
+    # full recall on this corpus
+    assert set(exact) == set(lsh)
