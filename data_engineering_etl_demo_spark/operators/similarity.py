@@ -212,13 +212,21 @@ def sign_lsh_signature(
     vec: Column, n_planes: int = N_PLANES, dim: int = EMBEDDING_DIM
 ) -> Column:
     """Bit i = sign(v · plane_i); equal signatures ⇒ likely-close vectors.
-    Planes are literal arrays (broadcast as part of the plan)."""
+    Planes are literal arrays (broadcast as part of the plan).  The dot is
+    fixed-point (Σ floor(vᵢ·wᵢ·1e12) as BIGINT, exactly scaled_dot's op
+    sequence) so the sign — and therefore every bucket assignment — is
+    bit-identical across Spark / numpy / the DuckDB oracle, no matter the
+    summation order."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
         dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
+            F.zip_with(
+                vec,
+                plane,
+                lambda x, w: F.floor(x.cast("double") * w * F.lit(PROD_SCALE)),
+            ),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
@@ -370,6 +378,87 @@ def sign_lsh_band_buckets(
     )
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _planes_matrix(n_planes: int, dim: int):
+    """(n_planes, dim) float64 matrix of the deterministic hyperplanes —
+    the same _plane_component values the Catalyst literals carry."""
+    import numpy as np
+
+    key = (n_planes, dim)
+    got = _PLANES_CACHE.get(key)
+    if got is None:
+        got = _PLANES_CACHE[key] = np.array(
+            [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)],
+            dtype=np.float64,
+        )
+    return got
+
+
+def sign_lsh_band_buckets_kernel(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_bands: int = LSH_BANDS,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Vectorized twin of sign_lsh_band_buckets: identical (band, bucket)
+    assignments (a test pins kernel == Catalyst), but the sign dots run as
+    numpy ops per Arrow batch instead of n_planes interpreted HOF lambdas
+    per row — the n_planes×dim literal expression tree costs more to
+    analyze+interpret than the data costs to scan."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            StructField("band", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = _planes_matrix(n_planes, dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sig = np.zeros(len(mat), dtype=np.int64)
+            # per-plane fixed-point dot: floor per term, exact int64 sum —
+            # the identical op sequence as sign_lsh_signature
+            for p in range(n_planes):
+                d = (
+                    np.floor(mat * planes[p] * PROD_SCALE)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                sig |= (d >= 0).astype(np.int64) << p
+            frames = []
+            for b in range(n_bands):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            vec_col: pdf[vec_col].to_numpy(),
+                            "band": np.full(len(mat), b, dtype=np.int32),
+                            "bucket": (sig >> (b * band_bits)) & mask,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -379,30 +468,70 @@ def embedding_near_dup(
     n_bands: int = LSH_BANDS,
     dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
-    """(id_a, id_b, cosine_sim) for pairs with cosine >= threshold, found
-    via banded sign-LSH bucketing + exact verify.  The bucket self-join
-    shuffles on (band, bucket) — never the full pair space; dropDuplicates
-    collapses pairs colliding in several bands before the exact cosine
-    runs once per candidate pair."""
-    bb = sign_lsh_band_buckets(corpus, id_col, vec_col, n_planes, n_bands, dim)
-    a = bb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        "band",
-        "bucket",
+    """(id_a, id_b, cosine_sim) for pairs with cosine >= threshold among
+    pairs that collide in at least one sign-LSH band.
+
+    Scale shape: the shuffle is keyed on (band, bucket) — never the full
+    pair space — and the exact verify runs as a vectorized numpy gram
+    matrix per bucket group (applyInPandas), not a per-pair interpreted
+    expression: at sf0.1 that is the difference between 16 s and ~1 s.
+    Bits-per-band is the knob that bounds bucket width as n grows.
+    Because the planes (and the fixed-point sign dots) are deterministic,
+    the collision set is reproducible — the DuckDB oracle replays the
+    identical banding and verify, making even the *approximate* operator
+    hash-checkable."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    b = bb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        "band",
-        "bucket",
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
     )
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim")
-    ).filter(F.col("cosine_sim") >= threshold)
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ss = np.floor((mat * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+        sqrt_ss = np.sqrt(ss.astype(np.float64))
+        outs = []
+        # row-blocked fixed-point gram: mirrors scaled_dot/trunc9 IEEE
+        # op-for-op (widen, multiply, ·1e12, floor, exact int64 sum,
+        # divide, floor(·1e9)/1e9) so values hash-match JVM and DuckDB
+        for i in range(len(ids)):
+            dots = np.floor((mat[i] * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+            cos = np.floor(dots.astype(np.float64) / (sqrt_ss[i] * sqrt_ss) * 1e9) / 1e9
+            mask = (cos >= threshold) & (ids[i] < ids)
+            if mask.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.full(int(mask.sum()), ids[i]),
+                            "id_b": ids[mask],
+                            "cosine_sim": cos[mask],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    bb = sign_lsh_band_buckets_kernel(corpus, id_col, vec_col, n_planes, n_bands, dim)
+    pairs = bb.groupBy("band", "bucket").applyInPandas(bucket_pairs, out_schema)
+    # a pair colliding in several bands yields identical rows — collapse
+    return pairs.dropDuplicates(["id_a", "id_b"])

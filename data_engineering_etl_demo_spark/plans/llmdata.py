@@ -5,9 +5,10 @@ Every SQL-expressible operator carries a DuckDB oracle mirroring the Spark
 expressions term-for-term (same normalization, same rounding, same integer
 fixed-point accumulators), so the driver's hash-compare is exact — including
 SimHash (hash rebuilt from md5 hex with BIGINT shifts) and the exact
-near-dup (numpy kernel mirroring the fixed-point op sequence).  The only
-rows-only entry is the LSH-bucketed near-dup, whose bucket pruning is
-verified against the exact variant in tests.
+near-dup (numpy kernel mirroring the fixed-point op sequence).  Even the
+LSH-bucketed near-dup is hash-checked: its hyperplanes and sign dots are
+deterministic, so the oracle replays the identical collision set; recall
+against exact ground truth is additionally pinned in tests.
 """
 
 from __future__ import annotations
@@ -418,15 +419,87 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lsh_near_dup(threshold: float) -> str:
+    """DuckDB replay of the banded sign-LSH near-dup: because the hyperplanes
+    and the fixed-point sign dots are deterministic, the oracle reproduces the
+    exact collision set — the *approximate* operator is hash-checkable, not
+    just rows-only.  The plane constants are inlined as a VALUES table
+    (repr() round-trips each double bit-exactly)."""
+    band_bits = S.N_PLANES // S.LSH_BANDS
+    rows = ", ".join(
+        f"({p}, {d + 1}, {S._plane_component(p, d)!r})"
+        for p in range(S.N_PLANES)
+        for d in range(S.EMBEDDING_DIM)
+    )
+    bands = ", ".join(f"({b})" for b in range(S.LSH_BANDS))
+    return f"""
+    WITH planes(p, i, w) AS (VALUES {rows}),
+    dots AS (
+        SELECT e.vec_id, pl.p,
+               SUM(CAST(floor(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w * 1e12)
+                        AS BIGINT)) AS d
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT vec_id,
+               SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        FROM dots GROUP BY 1
+    ),
+    bb AS (
+        SELECT vec_id, bands.band,
+               (sig >> (bands.band * {band_bits})) & {(1 << band_bits) - 1} AS bucket
+        FROM sig CROSS JOIN (VALUES {bands}) AS bands(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+    ),
+    terms AS (
+        SELECT c.id_a, c.id_b,
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(a.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS aa,
+               CAST(floor(CAST(b.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS bb
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b,
+             generate_series(1, {S.EMBEDDING_DIM}) AS g(i)
+    ),
+    agg AS (
+        SELECT id_a, id_b,
+               floor(CAST(SUM(t) AS DOUBLE)
+                     / (sqrt(CAST(SUM(aa) AS DOUBLE))
+                        * sqrt(CAST(SUM(bb) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine_sim FROM agg
+    WHERE cosine_sim >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+# LSH query threshold matches the exact variant so its result is non-empty on
+# the testdata (max pair cosine ≈ 0.51): the interesting comparison is
+# LSH-found pairs ⊆ exact pairs, with the gap = banding recall.
+_NEAR_DUP_LSH_T = 0.45
+
+
 @register(
     "embedding_near_dup",
-    None,  # LSH bucket pruning: verified in tests against brute force
-    doc="sign-LSH embedding near-dup (cosine >= 0.95 after bucket verify).",
+    _sql_lsh_near_dup(_NEAR_DUP_LSH_T),
+    doc="banded sign-LSH embedding near-dup: bucket collision pruning + "
+    "numpy gram verify per bucket; deterministic planes make the DuckDB "
+    "oracle replay the identical collision set (hash-exact).",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.embedding_near_dup(load(spark, sf_dir, "embeddings")).orderBy(
-        "id_a", "id_b"
-    )
+    return S.embedding_near_dup(
+        load(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_LSH_T
+    ).orderBy("id_a", "id_b")
 
 
 # Exact all-pairs near-dup: the ground truth the LSH variant approximates.

@@ -119,6 +119,21 @@ def test_exact_near_dup_matches_jvm_expressions(corpus, tmp_path):
     assert {(i, 100 + i) for i in range(5)} <= set(kernel)
 
 
+def test_band_bucket_kernel_matches_catalyst(corpus):
+    """The numpy banding kernel must assign the exact (band, bucket) the
+    Catalyst sign_lsh_signature expressions assign — the fixed-point sign
+    dots make the two implementations bit-identical."""
+    catalyst = {
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in S.sign_lsh_band_buckets(corpus, dim=DIM).collect()
+    }
+    kernel = {
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in S.sign_lsh_band_buckets_kernel(corpus, dim=DIM).collect()
+    }
+    assert catalyst == kernel
+
+
 def test_lsh_recall_vs_exact_ground_truth(corpus, tmp_path):
     """Banded sign-LSH must recover every pair the exact all-pairs ground
     truth finds at the design threshold (deterministic: planes are fixed)."""
