@@ -1,0 +1,173 @@
+"""Deterministic distinct-count sketches (KMV and HLL) as pure Catalyst
+expressions.
+
+Spark ships approx_count_distinct (HyperLogLog++), but its estimate depends
+on an engine-internal hash, so no external oracle can check it.  These
+sketches rebuild the same ideas on an md5-derived 60-bit hash that every
+engine computes identically, which makes even the *approximate* answers
+hash-exact across Spark / DuckDB — the property this repo's correctness
+gate needs — while keeping the sketch's O(k) / O(m) state per group:
+
+- KMV (k-minimum-values): keep the k smallest hash values per group;
+  distinct ≈ (k-1) · 2^60 / h_k.  Exact below k distinct values.
+- HLL (raw): 64 registers, register j holds the max leading-zero rank of
+  hashes landing in j; distinct ≈ α·m²·2^55 / Σ 2^(55-M_j).  The classic
+  small-range linear-counting correction is deliberately omitted — it needs
+  ln(), whose last ulp is libm-dependent and would break cross-engine
+  bit-exactness.  Raw-estimate relative error is ~1.04/√m (≈13% at m=64).
+
+Every arithmetic step is either exact integer math (shifts, int sums — the
+register sums use 2^(55-M) so 64 registers can never overflow BIGINT) or a
+fixed sequence of IEEE-754 double ops identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KMV_K = 64
+HLL_M = 64  # registers; must be a power of two
+_HLL_REG_BITS = 6  # log2(HLL_M)
+_HASH_BITS = 60  # 15 md5 hex chars
+_W_BITS = _HASH_BITS - _HLL_REG_BITS  # 54 value bits per register
+# α_m for m=64 (Flajolet et al. 2007): inlined identically in the oracle SQL
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hash60(col: Column) -> Column:
+    """First 15 md5 hex chars of the value as a 60-bit non-negative BIGINT —
+    portable to any engine that has md5 (the DuckDB mirror rebuilds it with
+    per-char shifts since DuckDB lacks conv)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB mirror of hash60."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 16),"
+        " i -> CAST(instr('0123456789abcdef',"
+        f" substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+        " << (4 * (15 - i)))) AS BIGINT)"
+    )
+
+
+def kmv_distinct(
+    hashed: DataFrame, group_col: str, hash_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group, kmv_users): KMV distinct estimate per group over pre-hashed
+    values.  Demo plan: distinct → per-group rank window → k-th minimum.
+    At fleet scale the window over a single group key is the skew point —
+    the production form computes per-partition partial k-minima first
+    (mapPartitions heap) and merges k·P values per group, which this
+    operator's math is unchanged by (the k smallest of the union)."""
+    kth = (
+        hashed.select(group_col, hash_col)
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(F.col(hash_col))
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.max(hash_col).alias("_hk"), F.count(F.lit(1)).alias("_nh"))
+    )
+    est = F.when(F.col("_nh") < k, F.col("_nh").cast("double")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(float(2**_HASH_BITS)) / F.col("_hk").cast("double")
+        ).cast("double")
+    )
+    return kth.select(group_col, est.cast("long").alias("kmv_users"))
+
+
+def sql_kmv_distinct(source: str, group_col: str, hash_expr: str, k: int = KMV_K) -> str:
+    """DuckDB CTE chain mirroring kmv_distinct; SELECTs (group, kmv_users)."""
+    # string→DOUBLE casts: a bare decimal literal parses as DECIMAL in
+    # DuckDB (overflow + rounding hazards); strtod is correctly rounded,
+    # so the parsed double equals the Python float bit-for-bit
+    return f"""
+        SELECT {group_col},
+               CAST(CASE WHEN _nh < {k} THEN CAST(_nh AS DOUBLE)
+                    ELSE floor(CAST('{float(k - 1)!r}' AS DOUBLE)
+                               * CAST('{float(2 ** _HASH_BITS)!r}' AS DOUBLE)
+                               / CAST(_hk AS DOUBLE)) END AS BIGINT) AS kmv_users
+        FROM (
+            SELECT {group_col}, max(h) AS _hk, count(*) AS _nh
+            FROM (
+                SELECT {group_col}, h,
+                       row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+                FROM (SELECT DISTINCT {group_col}, {hash_expr} AS h FROM {source})
+            ) WHERE rn <= {k}
+            GROUP BY 1
+        )
+    """
+
+
+def hll_distinct(
+    hashed: DataFrame, group_col: str, hash_col: str
+) -> DataFrame:
+    """(group, hll_users): raw-HLL distinct estimate per group over
+    pre-hashed values.  Fully agg-shaped — two groupBys, no window, no
+    sort — so it scales to any group cardinality with map-side partial
+    aggregation; the register rank uses length(bin(w)) (an exact
+    integer-via-string bit length) instead of log2, which is not
+    correctly-rounded-guaranteed across engines."""
+    h = F.col(hash_col)
+    w = F.shiftright(h, _HLL_REG_BITS)
+    rank = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(
+            F.col(group_col),
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("_reg"),
+            rank.alias("_rank"),
+        )
+        .groupBy(group_col, "_reg")
+        .agg(F.max("_rank").alias("_m"))
+    )
+    # Σ 2^(55-M) over present registers, + 2^55 per absent register (M=0)
+    scale = _W_BITS + 1  # 55
+    sums = regs.groupBy(group_col).agg(
+        # python shiftleft() only takes a literal bit count — SQL's takes
+        # an expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - _m)")).alias("_s"),
+        F.count(F.lit(1)).alias("_nreg"),
+    )
+    s_total = F.col("_s") + (F.lit(HLL_M) - F.col("_nreg")) * F.lit(2**scale)
+    est = F.floor(
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(2**scale))
+        / s_total.cast("double")
+    )
+    return sums.select(group_col, est.cast("long").alias("hll_users"))
+
+
+def sql_hll_distinct(source: str, group_col: str, hash_expr: str) -> str:
+    """DuckDB CTE chain mirroring hll_distinct; SELECTs (group, hll_users)."""
+    scale = _W_BITS + 1
+    return f"""
+        SELECT {group_col},
+               CAST(floor(CAST('{HLL_ALPHA!r}' AS DOUBLE)
+                          * CAST('{float(HLL_M * HLL_M)!r}' AS DOUBLE)
+                          * CAST('{float(2 ** scale)!r}' AS DOUBLE)
+                          / CAST(_s + ({HLL_M} - _nreg) * (CAST(1 AS BIGINT) << {scale})
+                                 AS DOUBLE)) AS BIGINT) AS hll_users
+        FROM (
+            SELECT {group_col},
+                   SUM(CAST(1 AS BIGINT) << ({scale} - _m)) AS _s,
+                   COUNT(*) AS _nreg
+            FROM (
+                SELECT {group_col}, h & {HLL_M - 1} AS _reg,
+                       MAX(CASE WHEN (h >> {_HLL_REG_BITS}) = 0 THEN {scale}
+                           ELSE {scale} - length(bin(h >> {_HLL_REG_BITS})) END) AS _m
+                FROM (SELECT {group_col}, {hash_expr} AS h FROM {source})
+                GROUP BY 1, 2
+            )
+            GROUP BY 1
+        )
+    """

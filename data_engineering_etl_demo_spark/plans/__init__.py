@@ -70,6 +70,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llmdata,
         multimodal,
         streaming_plans,
+        timeseries,
         tpch,
     )
     return dict(REGISTRY)

@@ -1,0 +1,212 @@
+"""Time-series / scale-pattern queries over the events table: bucketed
+range join, deterministic distinct sketches, multi-granularity rollup.
+
+These are the operators a 100 TB event pipeline leans on:
+- the interval join replaces an unshuffleable inequality theta-join with
+  one bucketed hash shuffle (operators/rangejoin.py);
+- the KMV/HLL sketches give O(k)-state distinct counts whose answers are
+  still hash-exact against the DuckDB oracle (operators/sketches.py);
+- the GROUPING SETS rollup computes day/week/month continuous-aggregate
+  grains in a single shuffle instead of three passes (the TimescaleDB
+  "hypertable rollup" shape, Spark-native).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.functions.cleaning import money_sum
+from data_engineering_etl_demo_spark.operators import rangejoin as R
+from data_engineering_etl_demo_spark.operators import sketches as K
+from data_engineering_etl_demo_spark.plans import register
+from data_engineering_etl_demo_spark.plans.analytics import sql_money_sum
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join: clicks within 30 min after each purchase
+# ---------------------------------------------------------------------------
+
+_WINDOW_MIN = 30
+
+
+@register(
+    "events_purchase_window",
+    f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS w_start,
+               ts + INTERVAL {_WINDOW_MIN} MINUTE AS w_end
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    c AS (
+        SELECT user_id, ts AS click_ts, value FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT p.purchase_id, p.user_id,
+               CAST(COUNT(c.click_ts) AS BIGINT) AS n_clicks,
+               {sql_money_sum('COALESCE(c.value, 0)')} AS click_value
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND c.click_ts >= p.w_start AND c.click_ts < p.w_end
+        GROUP BY 1, 2
+    )
+    SELECT p.purchase_id, p.user_id,
+           COALESCE(m.n_clicks, 0) AS n_clicks,
+           COALESCE(m.click_value, 0.0) AS click_value
+    FROM p LEFT JOIN m ON p.purchase_id = m.purchase_id
+    ORDER BY 1
+    """,
+    doc="bucketed range join (operators/rangejoin.py): clicks landing in "
+    "the 30 min after each purchase by the same user — quantize + explode "
+    "+ equi-join + refine instead of an O(n·m) inequality theta-join.",
+)
+def q_events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    purchases = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr(f"INTERVAL {_WINDOW_MIN} MINUTES")).alias("w_end"),
+        )
+    )
+    clicks = events.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("ts").alias("click_ts"), "value")
+
+    matched = (
+        R.interval_join(
+            clicks,
+            purchases,
+            key="user_id",
+            point_ts="click_ts",
+            start_col="w_start",
+            end_col="w_end",
+            bucket_seconds=_WINDOW_MIN * 60,
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("click_ts").alias("n_clicks"),
+            money_sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("click_value"),
+        )
+    )
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(matched.drop("user_id"), on="purchase_id", how="left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distinct sketches: KMV + raw HLL vs exact, per event_type
+# ---------------------------------------------------------------------------
+
+_SRC_USERS = "(SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL)"
+
+
+@register(
+    "events_sketch_distinct",
+    f"""
+    WITH exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    kmv AS ({K.sql_kmv_distinct(_SRC_USERS, "event_type", K.sql_hash60("user_id"))}),
+    hll AS ({K.sql_hll_distinct(_SRC_USERS, "event_type", K.sql_hash60("user_id"))})
+    SELECT exact.event_type, exact_users, kmv_users, hll_users
+    FROM exact JOIN kmv USING (event_type) JOIN hll USING (event_type)
+    ORDER BY 1
+    """,
+    doc="KMV and raw-HLL distinct-user sketches next to the exact count: "
+    "md5-derived 60-bit hashes make the approximate answers bit-identical "
+    "across engines (operators/sketches.py), unlike approx_count_distinct "
+    "whose internal hash no oracle can replay.",
+)
+def q_events_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id", K.hash60(F.col("user_id")).alias("h"))
+    )
+    exact = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    kmv = K.kmv_distinct(base, "event_type", "h")
+    hll = K.hll_distinct(base, "event_type", "h")
+    return (
+        exact.join(kmv, on="event_type")
+        .join(hll, on="event_type")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity time rollup (GROUPING SETS, one shuffle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_rollup",
+    f"""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) AS d,
+               epoch_us(date_trunc('week', ts)) AS w,
+               epoch_us(date_trunc('month', ts)) AS mo,
+               value
+        FROM events
+    )
+    SELECT event_type,
+           CASE WHEN GROUPING(d) = 0 THEN 'day'
+                WHEN GROUPING(w) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           COALESCE(d, w, mo) AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_money_sum('COALESCE(value, 0)')} AS value_sum
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, d), (event_type, w), (event_type, mo))
+    ORDER BY 1, 2, 3
+    """,
+    doc="hypertable-style continuous-aggregate rollup: day/week/month "
+    "grains per event type in ONE GROUPING SETS pass (one shuffle, "
+    "map-side partial aggregation) instead of three scans.",
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("w"),
+        F.unix_micros(F.date_trunc("month", F.col("ts"))).alias("mo"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("d") == 0, F.lit("day"))
+        .when(F.grouping("w") == 0, F.lit("week"))
+        .otherwise(F.lit("month"))
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "d"], ["event_type", "w"], ["event_type", "mo"]],
+            "event_type",
+            "d",
+            "w",
+            "mo",
+        )
+        .agg(
+            grain.alias("grain"),
+            F.coalesce(F.col("d"), F.col("w"), F.col("mo")).alias("bucket_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("value_sum"),
+        )
+        .select("event_type", "grain", "bucket_us", "n_events", "value_sum")
+        .orderBy("event_type", "grain", "bucket_us")
+    )
