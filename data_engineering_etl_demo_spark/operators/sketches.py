@@ -106,6 +106,71 @@ def sql_kmv_distinct(source: str, group_col: str, hash_expr: str, k: int = KMV_K
     """
 
 
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 64  # counters per row; must be a power of two
+
+
+def cm_coord(value: Column, j: int) -> Column:
+    """Column index of ``value`` in count-min row ``j``: a seeded 60-bit
+    md5 hash reduced mod CM_WIDTH (hash60 is non-negative, so ``%`` is safe
+    in both engines)."""
+    return (
+        hash60(F.concat(F.lit(f"cm{j}:"), value.cast("string"))) % CM_WIDTH
+    ).cast("long")
+
+
+def cm_estimates(rows: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, key, cm_n): count-min sketch frequency estimate for every
+    distinct key, per group.
+
+    The sketch is DEPTH×WIDTH integer counters per group — O(1) state no
+    matter how many distinct keys flow through, mergeable by elementwise
+    add (so map-side partial aggregation applies), the property that makes
+    it the heavy-hitters structure at 100 TB where a full per-key count
+    would itself be a giant shuffle.  cm_n >= true count always (collisions
+    only ever inflate), with the usual ~N·e/WIDTH error bound.  Every
+    counter is an exact integer sum over deterministic md5 coordinates, so
+    the estimate — error and all — is bit-identical across engines."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), cm_coord(F.col(key_col), j).alias("c")
+                )
+                for j in range(CM_DEPTH)
+            ]
+        )
+    )
+    ex = rows.select(
+        group_col, key_col, coords.alias("jc")
+    ).select(group_col, key_col, F.col("jc.j").alias("j"), F.col("jc.c").alias("c"))
+    sketch = ex.groupBy(group_col, "j", "c").agg(F.count(F.lit(1)).alias("_cnt"))
+    keys = ex.distinct()
+    return (
+        keys.join(sketch, on=[group_col, "j", "c"])
+        .groupBy(group_col, key_col)
+        .agg(F.min("_cnt").alias("cm_n"))
+    )
+
+
+def sql_cm_estimates(source: str, group_col: str, key_col: str) -> str:
+    """DuckDB CTE chain mirroring cm_estimates; SELECTs (group, key, cm_n)."""
+    seeded = sql_hash60(f"'cm' || CAST(j AS VARCHAR) || ':' || CAST({key_col} AS VARCHAR)")
+    return f"""
+        SELECT {group_col}, {key_col}, min(_cnt) AS cm_n
+        FROM (SELECT DISTINCT {group_col}, {key_col}, j, c FROM (
+                SELECT {group_col}, {key_col}, j, {seeded} % {CM_WIDTH} AS c
+                FROM {source} CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS j)
+             )) k
+        JOIN (SELECT {group_col}, j, c, count(*) AS _cnt FROM (
+                SELECT {group_col}, j, {seeded} % {CM_WIDTH} AS c
+                FROM {source} CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS j)
+             ) GROUP BY 1, 2, 3) s
+        USING ({group_col}, j, c)
+        GROUP BY 1, 2
+    """
+
+
 def hll_distinct(
     hashed: DataFrame, group_col: str, hash_col: str
 ) -> DataFrame:

@@ -258,6 +258,51 @@ def fingerprint_winnow_stats(norm_docs, id_col: str = "doc_id", s_col: str = "s"
     return norm_docs.select(id_col, s_col).mapInPandas(kernel, out_schema)
 
 
+def winnow_fingerprints(norm_docs, id_col: str = "doc_id", s_col: str = "s"):
+    """(doc_id, fp) — the winnowing fingerprint set EXPLODED to one row per
+    fingerprint, for set-overlap joins (shared-fingerprint near-dup).
+
+    Same arithmetic as fingerprint_winnow_stats (rolling 8-gram polynomial
+    hashes, width-4 sliding min, distinct) via the same vectorized int64
+    kernel; docs with no fingerprints emit no rows.  Output is ~n_chars/w
+    rows per document — the downstream overlap join is what bounds cost,
+    via its stop-fingerprint frequency cap."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("fp", LongType())]
+    )
+    k, w = ROLL_K, WINNOW_W
+    weights = [ROLL_BASE ** (k - 1 - j) for j in range(k)]
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, s in zip(pdf[id_col], pdf[s_col]):
+                c = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_grams = max(len(c) - (k - 1), 0)
+                if n_grams == 0:
+                    continue
+                h = sum(c[j : n_grams + j] * weights[j] for j in range(k))
+                if len(h) < w:
+                    mins = np.array([h.min()])
+                else:
+                    mins = np.minimum.reduce(
+                        [h[i : len(h) - (w - 1) + i] for i in range(w)]
+                    )
+                uniq = np.unique(mins)
+                ids.extend([doc_id] * len(uniq))
+                fps.extend(int(x) for x in uniq)
+            yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="Int64")})
+
+    return norm_docs.select(id_col, s_col).mapInPandas(kernel, out_schema)
+
+
 def word_shingles(col: Column, n: int = 5) -> Column:
     """array of n-word shingles (space-joined) of the normalized text.
     Documents shorter than n words yield their single full-text shingle."""

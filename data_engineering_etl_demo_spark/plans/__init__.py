@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         ecommerce,
         llmdata,
         multimodal,
+        scale_patterns,
         streaming_plans,
         timeseries,
         tpch,

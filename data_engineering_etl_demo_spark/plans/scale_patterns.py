@@ -1,0 +1,319 @@
+"""Scale-pattern queries: the operator shapes that keep a 100 TB pipeline
+fast and correct, each proven result-identical to a straightforward oracle.
+
+- count-min heavy hitters: O(1) sketch state per group instead of a
+  per-key shuffle (operators/sketches.py cm_estimates);
+- salted two-stage aggregation: the skew-mitigation rewrite, shown to
+  produce bit-identical results to the direct groupBy;
+- SCD2 dimension versioning: warehouse change history from an event log
+  in two window passes (operators/scd.py);
+- corpus boilerplate n-grams: C4-style "remove text repeated across
+  documents" — corpus-level dfreq join back to each document;
+- winnowing fingerprint overlap: shared-fingerprint near-dup pairs with a
+  stop-fingerprint frequency cap bounding the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+from pyspark.sql.window import Window
+
+from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.functions.cleaning import MONEY_SCALE
+from data_engineering_etl_demo_spark.operators import scd
+from data_engineering_etl_demo_spark.operators import sketches as K
+from data_engineering_etl_demo_spark.operators import text as X
+from data_engineering_etl_demo_spark.plans import register
+from data_engineering_etl_demo_spark.plans.analytics import sql_money_sum
+from data_engineering_etl_demo_spark.plans.llmdata import (
+    _ROLL_TERMS,
+    SQL_WORDS,
+    _docs_wide,
+    _fmt,
+)
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: top users per event type
+# ---------------------------------------------------------------------------
+
+_TOP_K = 5
+
+_SQL_BASE_USERS = (
+    "(SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL)"
+)
+
+
+@register(
+    "events_heavy_hitters",
+    f"""
+    WITH est AS ({K.sql_cm_estimates(_SQL_BASE_USERS, "event_type", "user_id")}),
+    exact AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, cm_n, exact_n, rnk FROM (
+        SELECT event_type, user_id, cm_n, exact_n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cm_n DESC, user_id) AS rnk
+        FROM est JOIN exact USING (event_type, user_id)
+    ) WHERE rnk <= {_TOP_K}
+    ORDER BY event_type, rnk
+    """,
+    doc="count-min sketch heavy hitters: top users per event type by "
+    "sketch-estimated frequency (DEPTH x WIDTH counters per group, "
+    "mergeable O(1) state) next to the exact count; md5 coordinates make "
+    "the estimate — collisions and all — engine-exact "
+    "(operators/sketches.py).",
+)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    est = K.cm_estimates(base, "event_type", "user_id")
+    exact = base.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("cm_n").desc(), F.col("user_id")
+        )
+    )
+    return (
+        est.join(exact, on=["event_type", "user_id"])
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("event_type", "user_id", "cm_n", "exact_n", "rnk")
+        .orderBy("event_type", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation (skew mitigation, identical results)
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+
+
+@register(
+    "events_salted_user_stats",
+    f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           {sql_money_sum('COALESCE(value, 0)')} AS value_sum
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="salted two-stage aggregation: rows spread over (user_id, salt) "
+    "partial aggregates, then recombined per user — the standard hot-key "
+    "skew rewrite.  The oracle is the DIRECT single-stage groupBy, proving "
+    "the rewrite changes the shuffle layout but not one output bit "
+    "(fixed-point LONG partials are associative; float sums would not be).",
+)
+def q_events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fixed = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(MONEY_SCALE)).cast(
+        "long"
+    )
+    stage1 = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("_salt", F.pmod(F.col("event_id"), F.lit(_SALT_BUCKETS)))
+        .groupBy("user_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(fixed).alias("_s"))
+    )
+    return (
+        stage1.groupBy("user_id")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_s") / F.lit(float(MONEY_SCALE)), 2).alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2: per-user version history of the props.k attribute
+# ---------------------------------------------------------------------------
+
+_SQL_K_EVENTS = """
+    (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+     FROM events WHERE user_id IS NOT NULL)
+"""
+
+
+@register(
+    "events_user_scd2",
+    f"""
+    SELECT * FROM ({scd.sql_scd2(_SQL_K_EVENTS, "user_id", "k", "ts_us", "event_id")})
+    ORDER BY user_id, version
+    """,
+    doc="SCD2 dimension build (operators/scd.py): each user's props.k "
+    "change history as versioned rows with [valid_from, valid_to) "
+    "intervals — the type-2 upgrade of the reference's type-1 overwrite "
+    "dims (/root/reference/pipeline/load.py:58-67); two windows + one "
+    "aggregation, all shuffled once on the dimension key.",
+)
+def q_events_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    return scd.scd2(e, key="user_id", attr="k", ts="ts_us", tiebreak="event_id").orderBy(
+        "user_id", "version"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus boilerplate n-grams (C4-style repeated-text flagging)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 3  # words per gram
+_BOILER_MIN_DOCS = 3  # gram is boilerplate if it appears in >= this many docs
+
+
+@register(
+    "docs_boilerplate_ngrams",
+    f"""
+    WITH w AS (SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - {_BOILER_N - 1}, 1) + 1),
+                   i -> array_to_string(w[i:i+{_BOILER_N - 1}], ' '))) AS g
+        FROM w
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS g FROM sh),
+    boiler AS (SELECT g FROM ex GROUP BY 1 HAVING count(*) >= {_BOILER_MIN_DOCS}),
+    nb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        FROM ex JOIN boiler USING (g) GROUP BY 1
+    )
+    SELECT sh.doc_id, CAST(len(g) AS BIGINT) AS n_shingles,
+           COALESCE(n_boiler, 0) AS n_boiler,
+           floor(COALESCE(n_boiler, 0) / CAST(len(g) AS DOUBLE) * 1e6) / 1e6
+               AS boiler_frac
+    FROM sh LEFT JOIN nb USING (doc_id)
+    ORDER BY 1
+    """,
+    doc="C4-style boilerplate detection: corpus-level document frequency "
+    f"of distinct word {_BOILER_N}-grams, grams present in >= "
+    f"{_BOILER_MIN_DOCS} documents flagged and counted back per document. "
+    "One explode + one dfreq aggregation + one join — the 100 TB form of "
+    "'remove any line occurring 3+ times in the corpus'.",
+)
+def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(X.word_shingles(F.col("text"), _BOILER_N)).alias("g"),
+    )
+    # three consumers (dfreq, flag join, per-doc totals) — persist the
+    # exploded relation so the shingling lambdas evaluate once
+    ex = sh.select("doc_id", F.explode("g").alias("g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    boiler = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_dfreq"))
+        .filter(F.col("_dfreq") >= _BOILER_MIN_DOCS)
+        .select("g")
+    )
+    nb = ex.join(boiler, on="g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0))
+    return (
+        # every doc has >= 1 shingle (the short-doc guard), so per-doc
+        # totals come off the persisted relation, not a re-shingling
+        ex.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(nb, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            n_boiler.cast("long").alias("n_boiler"),
+            X.trunc6(n_boiler / F.col("n_shingles")).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap (shared-fingerprint near-dup pairs)
+# ---------------------------------------------------------------------------
+
+_STOP_CAP = 10  # drop fingerprints present in more docs than this
+_MIN_SHARED = 3  # report pairs sharing at least this many rare fingerprints
+
+
+@register(
+    "docs_winnow_overlap",
+    f"""
+    WITH s AS (
+        SELECT doc_id, array_to_string({_fmt(SQL_WORDS)}, ' ') AS s
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(s) - 7, 0) + 1),
+                              i -> {_ROLL_TERMS}) AS H
+        FROM s
+    ),
+    wn AS (
+        SELECT doc_id,
+               CASE WHEN len(H) < 1 THEN CAST([] AS BIGINT[])
+                    ELSE list_sort(list_distinct(list_transform(
+                         range(1, greatest(len(H) - 3, 1) + 1),
+                         i -> list_min(H[i:i+3])))) END AS W
+        FROM h
+    ),
+    ex AS (SELECT doc_id, unnest(W) AS fp FROM wn),
+    keep AS (SELECT fp FROM ex GROUP BY 1 HAVING count(*) <= {_STOP_CAP}),
+    ke AS (SELECT doc_id, fp FROM ex JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {_MIN_SHARED}
+    ORDER BY 1, 2
+    """,
+    doc="shared-fingerprint near-dup: document pairs sharing >= "
+    f"{_MIN_SHARED} winnowing fingerprints, after dropping stop-"
+    f"fingerprints present in > {_STOP_CAP} docs.  The cap bounds the "
+    "pair join (every surviving fingerprint fans out to <= cap^2 pairs), "
+    "which is what keeps fingerprint self-joins feasible at corpus scale "
+    "(MOSS-style plagiarism detection, Schleimer et al. SIGMOD'03).",
+)
+def q_docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = _docs_wide(spark, sf_dir).select(
+        "doc_id", F.array_join(X.words(F.col("text")), " ").alias("s")
+    )
+    # the fingerprint relation feeds three consumers (dfreq cap, both join
+    # sides) — persist so the Arrow kernel runs once, not three times
+    ex = X.winnow_fingerprints(norm).persist(StorageLevel.MEMORY_AND_DISK)
+    keep = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_dfreq"))
+        .filter(F.col("_dfreq") <= _STOP_CAP)
+        .select("fp")
+    )
+    ke = ex.join(keep, on="fp")
+    a = ke.select(F.col("doc_id").alias("id_a"), "fp")
+    b = ke.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
