@@ -950,3 +950,125 @@ def q_docs_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 3  # words per gram
+# deterministic stand-in for "the benchmark corpus": every 100th doc
+_DECON_BENCH = "doc_id % 100 = 0"
+
+_SQL_DECON_GRAMS = f"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - {_DECON_N - 1}, 1) + 1),
+                   i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS g
+        FROM (SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents)
+"""
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+    WITH sh AS ({_SQL_DECON_GRAMS}),
+    ex AS (SELECT doc_id, unnest(g) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM ex WHERE {_DECON_BENCH})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT doc_id, g FROM ex WHERE NOT ({_DECON_BENCH})) corpus
+    JOIN bench USING (g)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="benchmark decontamination: training docs sharing any word "
+    f"{_DECON_N}-gram with the held-out benchmark set (every 100th doc "
+    "stands in), with the count of distinct shared grams.  The benchmark "
+    "gram set is broadcast — the corpus side never shuffles, the layout "
+    "that makes decontamination a map-side semi-join at 100 TB.",
+)
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_bench = F.col("doc_id") % 100 == 0
+    ex = _docs_wide(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(X.word_shingles(F.col("text"), _DECON_N))
+        ).alias("g"),
+    )
+    bench = ex.filter(is_bench).select("g").distinct()
+    return (
+        ex.filter(~is_bench)
+        .join(F.broadcast(bench), on="g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk batches per source)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per packed chunk
+
+
+@register(
+    "docs_pack_batches",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, CAST({_fmt(SQL_TOKEN_COUNT)} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    p AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM t
+    )
+    SELECT source, prefix // {_PACK_BUDGET} AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="sequence packing: GPT-style concat-and-chunk — token prefix sums "
+    f"in stable doc order assign each document to a {_PACK_BUDGET}-token "
+    "chunk.  Packing is PER SOURCE (the window partitions by source), not "
+    "global: a global prefix sum is the one window that cannot scale, the "
+    "per-shard form is how packing actually runs at 100 TB.",
+)
+def q_docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = _docs_wide(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    p = t.withColumn(
+        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        p.groupBy(
+            "source",
+            (F.col("prefix") / F.lit(_PACK_BUDGET))
+            .cast("long")
+            .alias("chunk_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "chunk_id")
+    )
