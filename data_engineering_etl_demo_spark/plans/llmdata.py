@@ -1072,3 +1072,83 @@ def q_docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd step (assign to nearest centroid → recompute centroids)
+# ---------------------------------------------------------------------------
+
+_KMEANS_DIMS = 4  # centroid components reported (of 64)
+
+
+@register(
+    "embedding_kmeans_step",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {S.IVF_CELLS}
+    ),
+    at0 AS (
+        SELECT e.vec_id, c.cell,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM embeddings e, cent c, generate_series(1, 64) AS g(i)
+    ),
+    ag AS (
+        SELECT vec_id, cell,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cos
+        FROM at0 GROUP BY 1, 2
+    ),
+    ass AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ag
+        ) WHERE rn = 1
+    ),
+    upd AS (
+        SELECT a.cell, CAST(count(*) AS BIGINT) AS n_assigned,
+               {", ".join(f"CAST(SUM(CAST(floor(CAST(e.embedding[{d + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s{d}" for d in range(_KMEANS_DIMS))}
+        FROM ass a JOIN embeddings e USING (vec_id)
+        GROUP BY 1
+    )
+    SELECT cell, n_assigned,
+           {", ".join(f"floor(CAST(s{d} AS DOUBLE) / (CAST(n_assigned AS DOUBLE) * 1e9) * 1e9) / 1e9 AS mean_d{d}" for d in range(_KMEANS_DIMS))}
+    FROM upd
+    ORDER BY cell
+    """,
+    doc="one k-means Lloyd iteration over the embedding column: assign "
+    "every vector to its nearest (cosine) centroid — a broadcast nested "
+    "loop, no corpus shuffle — then recompute per-cluster sizes and mean "
+    "components as fixed-point integer sums (exact, order-independent).  "
+    "The iterative-ML primitive: at 100 TB each iteration is one "
+    "broadcast-assign + one agg, state is K centroids on the driver.",
+)
+def q_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    assign = S.ivf_assign(emb)  # the Lloyd assignment step (ties → low cell)
+    comp_sums = [
+        F.sum(
+            F.floor(
+                F.element_at(F.col("embedding"), d + 1).cast("double") * F.lit(1e9)
+            ).cast("long")
+        ).alias(f"s{d}")
+        for d in range(_KMEANS_DIMS)
+    ]
+    upd = (
+        emb.join(assign, on="vec_id")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_assigned"), *comp_sums)
+    )
+    means = [
+        S.trunc9(
+            F.col(f"s{d}").cast("double")
+            / (F.col("n_assigned").cast("double") * F.lit(1e9))
+        ).alias(f"mean_d{d}")
+        for d in range(_KMEANS_DIMS)
+    ]
+    return upd.select("cell", "n_assigned", *means).orderBy("cell")

@@ -186,3 +186,67 @@ def q_streaming_sessionize_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+@register(
+    "streaming_click_purchase_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+                                 AND user_id IS NOT NULL) p
+    JOIN (SELECT * FROM events WHERE event_type = 'click'
+                                 AND user_id IS NOT NULL) c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    ORDER BY 1, 2
+    """,
+    doc="watermarked stream-stream interval join: each purchase inner-"
+    "joined to the same user's clicks in the preceding 30 minutes.  Both "
+    "sides carry event-time watermarks and the join condition bounds "
+    "click_ts to a purchase-relative range, so Spark buffers only a "
+    "watermark-deep window of each stream instead of unbounded state — "
+    "the contract that makes stream-stream joins feasible in production.",
+    memoize=False,
+)
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            c_user = p_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+    )
+    result = P.run_to_completion(joined, "stream_click_purchase", "append")
+    return result.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    ).orderBy("purchase_id", "click_id")

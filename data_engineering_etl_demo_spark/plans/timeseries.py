@@ -210,3 +210,67 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "grain", "bucket_us", "n_events", "value_sum")
         .orderBy("event_type", "grain", "bucket_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (wide ↔ long reshaping)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily",
+    f"""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES)},
+           CAST(count(*) AS BIGINT) AS total
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="pivot: daily event counts reshaped wide, one column per event "
+    "type.  The pivot values are DECLARED (not discovered), which removes "
+    "the extra distinct-scan Spark otherwise runs before pivoting — the "
+    "difference between one shuffle and two at 100 TB.",
+)
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        "event_type",
+    )
+    piv = (
+        e.groupBy("day_us")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    total = None
+    for t in _EVENT_TYPES:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        piv = piv.withColumn(t, c)
+        total = c if total is None else total + F.col(t)
+    return piv.withColumn("total", total).orderBy("day_us")
+
+
+@register(
+    "events_unpivot_daily",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="unpivot (melt): the wide daily matrix back to long form via "
+    "DataFrame.unpivot; zero-filled cells (days where a type never "
+    "occurred) are dropped so the round trip reproduces the direct "
+    "long-form aggregate exactly — the oracle IS that direct aggregate.",
+)
+def q_events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_events_pivot_daily(spark, sf_dir).drop("total")
+    return (
+        wide.unpivot("day_us", _EVENT_TYPES, "event_type", "events")
+        .filter(F.col("events") > 0)
+        .orderBy("day_us", "event_type")
+    )
