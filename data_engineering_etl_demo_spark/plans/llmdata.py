@@ -226,15 +226,29 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load(spark, sf_dir, "documents")).orderBy("keep_id")
 
 
+def _sql_hexbig(expr: str, start: int, n: int) -> str:
+    """DuckDB: hex chars [start, start+n) of md5(expr) as a BIGINT (DuckDB
+    has no conv(hex); rebuild with per-char instr shifts)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {n + 1}),"
+        f" i -> CAST(instr('0123456789abcdef',"
+        f" substr(md5({expr}), {start} + i - 1, 1)) - 1 AS BIGINT)"
+        f" << (4 * ({n} - i)))) AS BIGINT)"
+    )
+
+
 def _sql_minhash_near_dup(threshold: float) -> str:
+    # Carter-Wegman g_i = h1 + i·h2 from ONE md5 per shingle — mirrors
+    # operators/dedup.py minhash_signature_components term-for-term.
     sig_cols = ",\n               ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(D.MINHASH_K)
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(D.MINHASH_K)
     )
     band_selects = "\n        UNION ALL\n".join(
         "        SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
             b=b,
             concat="||'|'||".join(
-                f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+                f"CAST(mh{b * D.ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(D.ROWS_PER_BAND)
             ),
         )
         for b in range(D.LSH_BANDS)
@@ -250,7 +264,13 @@ def _sql_minhash_near_dup(threshold: float) -> str:
         FROM ws
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+    hs AS (
+        SELECT doc_id,
+               {_sql_hexbig('shingle', 1, 15)} AS h1,
+               {_sql_hexbig('shingle', 16, 14)} AS h2
+        FROM ex
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
     bk AS (
 {band_selects}
     ),
