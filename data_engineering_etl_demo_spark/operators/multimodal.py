@@ -124,6 +124,115 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     return flat.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZE_TARGET_BYTES = 256
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized_n_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_bytes: int = RESIZE_TARGET_BYTES
+) -> DataFrame:
+    """Image 'resize' with the codec stubbed: deterministic byte
+    SUBSAMPLING stands in for pixel resampling — stride = max(1,
+    n // target), resized = payload[::stride][:target] — so the plumbing
+    (binary in, smaller binary out, metadata recomputed, md5 of the new
+    payload) is real and byte-exact, while a production build swaps
+    ``decode_with_codec`` + a real resampler into the same kernel.  One
+    Arrow pass; new dimensions derive from the resized length by the same
+    rule _fake_decode uses."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, n // target_bytes)
+                resized = payload[::stride][:target_bytes]
+                rn = len(resized)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": n,
+                        "width": n % 64 + 1,
+                        "height": n // 64 % 64 + 1,
+                        "new_width": rn % 64 + 1,
+                        "new_height": rn // 64 % 64 + 1,
+                        "resized_n_bytes": rn,
+                        "resized_md5": hashlib.md5(
+                            resized.hex().encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in RESIZED_SCHEMA.fields],
+            ).astype(
+                {"width": "Int32", "height": "Int32",
+                 "new_width": "Int32", "new_height": "Int32"}
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    ).filter(F.col("media_type").startswith("image"))
+    return flat.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction with the codec stubbed: payload bytes are
+    read as uint8 PCM samples (a real build would librosa-decode first,
+    same kernel shape) and reduced to amplitude statistics — counts and
+    sums as exact integers, the mean as floor-truncated double, so the
+    DuckDB oracle reproduces every value from the hex encoding."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(samples)
+                s = int(samples.sum())
+                sq = int((samples * samples).sum())
+                mean = float(np.floor(s / n * 1e6) / 1e6) if n else 0.0
+                rows.append(
+                    {"doc_id": doc_id, "n_samples": n, "sum_amp": s,
+                     "sum_sq": sq, "mean_amp": mean}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    ).filter(F.col("media_type").startswith("audio"))
+    return flat.mapInPandas(feat_batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, max_frames: int = MAX_SAMPLED_FRAMES) -> DataFrame:
     """1→N frame-sampling explode for video payloads: each row yields up to
     ``max_frames`` equal-size byte slices, hashed as md5(lowercase-hex).

@@ -79,3 +79,86 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(load(spark, sf_dir, "documents"))
     return M.sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
+_SQL_RESIZE = f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               lower(hex(encode(text))) AS hx
+        FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    p AS (
+        SELECT doc_id, n, hx,
+               greatest(1, n // {M.RESIZE_TARGET_BYTES}) AS stride
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, n, hx, stride,
+               least((n + stride - 1) // stride, {M.RESIZE_TARGET_BYTES}) AS rn
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(n % 64 + 1 AS INT) AS width,
+           CAST(n // 64 % 64 + 1 AS INT) AS height,
+           CAST(rn % 64 + 1 AS INT) AS new_width,
+           CAST(rn // 64 % 64 + 1 AS INT) AS new_height,
+           CAST(rn AS BIGINT) AS resized_n_bytes,
+           md5(array_to_string(list_transform(range(0, rn),
+               i -> substr(hx, i * stride * 2 + 1, 2)), '')) AS resized_md5
+    FROM r
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_resize",
+    _SQL_RESIZE,
+    doc="image payload resize (stubbed codec: deterministic byte "
+    "subsampling, stride = n // target) — binary in, smaller binary out, "
+    "metadata recomputed, md5 of the resized payload; one Arrow pass.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(load(spark, sf_dir, "documents"))
+    return M.resize_images(media).orderBy("doc_id")
+
+
+_SQL_AUDIO = """
+    WITH a AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               lower(hex(encode(text))) AS hx
+        FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    b AS (
+        SELECT doc_id, n,
+               list_transform(range(0, n),
+                   i -> CAST((instr('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+                             + instr('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1
+                        AS BIGINT)) AS bytes
+        FROM a
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(bytes) AS BIGINT) AS sum_amp,
+           CAST(list_sum(list_transform(bytes, x -> x * x)) AS BIGINT) AS sum_sq,
+           floor(CAST(list_sum(bytes) AS BIGINT) / CAST(n AS DOUBLE) * 1e6) / 1e6 AS mean_amp
+    FROM b
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_audio_features",
+    _SQL_AUDIO,
+    doc="audio feature extraction (stubbed codec: payload bytes as uint8 "
+    "PCM) — amplitude count/sum/sum-of-squares as exact integers plus a "
+    "floor-truncated mean, all reproduced by the oracle from the hex "
+    "encoding.",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(load(spark, sf_dir, "documents"))
+    return M.audio_features(media).orderBy("doc_id")

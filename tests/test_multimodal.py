@@ -78,3 +78,37 @@ def test_frame_sample_explode_and_hashes(spark, media):
     got = [r["frame_md5"] for r in sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])]
     assert got == expect
     assert all(r["frame_n_bytes"] == frame_size for r in by_doc[doc_id])
+
+
+def test_resize_subsampling_semantics(spark, media):
+    rows = {r["doc_id"]: r for r in M.resize_images(media).collect()}
+    assert rows and all(d % 3 == 0 for d in rows)
+    from data_engineering_etl_demo_spark.catalog import load
+
+    doc_id = min(rows)
+    text = (
+        load(spark, SF_DIR, "documents").filter(f"doc_id = {doc_id}").collect()[0]["text"]
+    )
+    payload = text.encode("utf-8")
+    stride = max(1, len(payload) // M.RESIZE_TARGET_BYTES)
+    resized = payload[::stride][: M.RESIZE_TARGET_BYTES]
+    r = rows[doc_id]
+    assert r["resized_n_bytes"] == len(resized) <= M.RESIZE_TARGET_BYTES
+    assert r["resized_md5"] == hashlib.md5(resized.hex().encode()).hexdigest()
+    assert r["new_width"] == len(resized) % 64 + 1
+
+
+def test_audio_features_exact_sums(spark, media):
+    rows = {r["doc_id"]: r for r in M.audio_features(media).collect()}
+    assert rows and all(d % 3 == 1 for d in rows)
+    from data_engineering_etl_demo_spark.catalog import load
+
+    doc_id = min(rows)
+    text = (
+        load(spark, SF_DIR, "documents").filter(f"doc_id = {doc_id}").collect()[0]["text"]
+    )
+    payload = text.encode("utf-8")
+    r = rows[doc_id]
+    assert r["n_samples"] == len(payload)
+    assert r["sum_amp"] == sum(payload)
+    assert r["sum_sq"] == sum(b * b for b in payload)
