@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_etl_demo_spark.catalog import load
 from data_engineering_etl_demo_spark.functions.cleaning import money_sum
@@ -273,4 +274,60 @@ def q_events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("day_us", _EVENT_TYPES, "event_type", "events")
         .filter(F.col("events") > 0)
         .orderBy("day_us", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time window (RANGE frame) per user
+# ---------------------------------------------------------------------------
+
+_ROLL_WINDOW_US = 3_600 * 1_000_000  # 1 hour
+
+
+@register(
+    "events_rolling_hour",
+    f"""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 1000000) AS BIGINT)) OVER w
+                AS BIGINT) AS value_fixed_1h
+    FROM events
+    WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, event_id
+    """,
+    doc="rolling 1-hour event-time aggregate per user via a RANGE window "
+    "frame (value-based, not row-based: ties and gaps in event time are "
+    "handled by the frame bound itself).  One shuffle on the user key; "
+    "the rolling sum is fixed-point LONG so any frame evaluation order "
+    "is exact.",
+)
+def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_WINDOW_US, 0)
+    )
+    fixed = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1_000_000)).cast(
+        "long"
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            fixed.alias("_v"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.count(F.lit(1)).over(w).alias("n_events_1h"),
+            F.sum("_v").over(w).alias("value_fixed_1h"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
     )

@@ -476,3 +476,41 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subquery shape: orders above their customer's average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS price_fixed
+    FROM orders o
+    WHERE CAST(ROUND(o_totalprice * 1000000) AS BIGINT) * (
+            SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        > (SELECT SUM(CAST(ROUND(i.o_totalprice * 1000000) AS BIGINT))
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    doc="correlated-subquery shape ('orders above their customer's "
+    "average'): the oracle states it as two correlated scalar subqueries; "
+    "the Spark plan is the decorrelated form — one window over the "
+    "customer key, no re-scan per row.  The comparison is cross-"
+    "multiplied in exact fixed-point (price·n > sum) so no division "
+    "ever happens — average comparisons as integer arithmetic.",
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey")
+    fixed = F.round(F.col("o_totalprice") * F.lit(1_000_000)).cast("long")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", fixed.alias("price_fixed"))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum("price_fixed").over(w))
+        .filter(F.col("price_fixed") * F.col("_n") > F.col("_s"))
+        .select("o_orderkey", "o_custkey", "price_fixed")
+        .orderBy("o_orderkey")
+    )
