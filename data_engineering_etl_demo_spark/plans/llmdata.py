@@ -237,7 +237,7 @@ def _sql_hexbig(expr: str, start: int, n: int) -> str:
     )
 
 
-def _sql_minhash_near_dup(threshold: float) -> str:
+def _sql_minhash_near_dup(threshold: float, order: bool = True) -> str:
     # Carter-Wegman g_i = h1 + i·h2 from ONE md5 per shingle — mirrors
     # operators/dedup.py minhash_signature_components term-for-term.
     sig_cols = ",\n               ".join(
@@ -295,7 +295,7 @@ def _sql_minhash_near_dup(threshold: float) -> str:
     JOIN sizes na ON na.doc_id = p.id_a
     JOIN sizes nb ON nb.doc_id = p.id_b
     WHERE floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) * 1e6) / 1e6 >= {threshold}
-    ORDER BY id_a, id_b
+    {"ORDER BY id_a, id_b" if order else ""}
     """
 
 
@@ -308,6 +308,54 @@ def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup(_docs_wide(spark, sf_dir), threshold=0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+# Dup-cluster oracle: the same MinHash pair set, clustered by transitive
+# closure — a recursive CTE propagating the minimum reachable id (DuckDB's
+# recursive UNION deduplicates per round, so the closure terminates), which
+# is exactly the fixpoint the Spark hash-min label propagation converges to.
+_SQL_DUP_CLUSTERS = f"""
+    WITH RECURSIVE prs AS (
+        SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, MIN(comp) AS component FROM reach
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "docs_dup_clusters",
+    _SQL_DUP_CLUSTERS,
+    doc="near-dup clustering: MinHash-LSH pairs → connected components "
+    "(hash-min label propagation, operators/graph.py) → one component id "
+    "per duplicated document; min-id labels make the clustering "
+    "deterministic and engine-comparable.",
+    # building the plan RUNS the label-propagation rounds (localCheckpoint
+    # state) — memoizing would let the bench's timed pass read materialized
+    # blocks instead of doing the work, so rebuild per call like streaming.
+    memoize=False,
+)
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.operators import graph as G
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    # Reuse the registered (memoized) pair plan: its persisted shingle
+    # relation is shared, so clustering pays only for the pair re-scan and
+    # the propagation rounds, not a second shingle/signature pipeline.
+    pairs = REGISTRY["docs_minhash_near_dup"].spark_fn(spark, sf_dir)
+    cc = G.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
 
 
 # SimHash oracle: rebuild the 60-bit token hash from md5 hex chars with
