@@ -358,6 +358,76 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
 
 
+# Survivor oracle: exact-fingerprint keepers + the recursive-CTE closure
+# above, composed with exact-dup precedence (an exact dup is also a near
+# dup — jaccard 1.0 always collides — so precedence makes the verdict
+# unambiguous and engine-identical).
+_SQL_DEDUP_SURVIVORS = f"""
+    WITH RECURSIVE prs AS (
+        SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1),
+    fp AS (SELECT doc_id, {_fmt(SQL_FINGERPRINT)} AS fingerprint FROM documents),
+    keepers AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM fp GROUP BY 1)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+                WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                     THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM fp d
+    JOIN keepers k USING (fingerprint)
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "docs_dedup_survivors",
+    _SQL_DEDUP_SURVIVORS,
+    doc="corpus dedup end-to-end: every document gets a verdict — dropped "
+    "as an exact duplicate (non-min id of a fingerprint group), dropped as "
+    "a near duplicate (non-representative of a MinHash cluster), or kept. "
+    "The query a training-data pipeline actually materializes its corpus "
+    "from; all three inputs (fingerprints, pairs, components) are single "
+    "shuffles or reused plans.",
+    memoize=False,  # depends on the unmemoized clustering (runs jobs)
+)
+def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    docs = _docs_wide(spark, sf_dir)
+    fp = docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    comp = REGISTRY["docs_dup_clusters"].spark_fn(spark, sf_dir)
+    return (
+        fp.join(keepers, on="fingerprint")
+        .join(comp, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+            .when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # SimHash oracle: rebuild the 60-bit token hash from md5 hex chars with
 # BIGINT shifts (DuckDB has no conv(hex)), then the same vote/sign sums.
 # Everything is integer arithmetic — bit-exact across engines.
