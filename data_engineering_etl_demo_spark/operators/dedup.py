@@ -224,3 +224,61 @@ def hamming64(a: Column, b: Column) -> Column:
     """popcount of xor — Hamming distance between two 64-bit signatures."""
     x = a.bitwiseXOR(b)
     return F.bit_count(x)
+
+
+# Hamming-ball banding (Manku/Jain/Sarma, WWW'07 "Detecting near-duplicates
+# for web crawling"): split the signature into BANDS contiguous slices; any
+# pair within Hamming radius R < BANDS must agree exactly on ≥1 slice
+# (pigeonhole), so equi-joining on (band, slice) gives FULL recall at radius
+# R with zero distance computations outside colliding buckets.  Larger radius
+# needs more bands (R < BANDS always); more bands → coarser slices → more
+# false candidates for verify.  At web scale the standard layout is 64-bit
+# signatures, R=3, 4 tables — exactly this geometry.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_RADIUS = 3
+
+
+def simhash_near_dup(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    radius: int = SIMHASH_RADIUS,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for all pairs within `radius` bits.
+
+    Candidate generation shuffles on (band, slice) — bucket-local self-join,
+    never all-pairs; the xor-popcount verify runs only on collisions.
+    Requires radius < SIMHASH_BANDS for the pigeonhole recall guarantee."""
+    if radius >= SIMHASH_BANDS:
+        raise ValueError(
+            f"radius {radius} needs > {radius} bands for full recall"
+        )
+    bits = SIMHASH_BITS // SIMHASH_BANDS
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * bits)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("slice"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.col(sig_col), F.explode(slices).alias("bb")
+    ).select(id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.slice").alias("slice"))
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "slice"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "slice"
+    )
+    return (
+        a.join(b, on=["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .filter(F.col("hamming") <= radius)  # verify before dedup: shrink the distinct
+        .distinct()
+    )

@@ -431,8 +431,7 @@ def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash oracle: rebuild the 60-bit token hash from md5 hex chars with
 # BIGINT shifts (DuckDB has no conv(hex)), then the same vote/sign sums.
 # Everything is integer arithmetic — bit-exact across engines.
-_SQL_SIMHASH = f"""
-    WITH toks AS (
+_SQL_SIMHASH_CTES = f"""toks AS (
         SELECT doc_id, unnest(list_distinct({_fmt(SQL_WORDS)})) AS tok
         FROM documents
     ),
@@ -449,11 +448,17 @@ _SQL_SIMHASH = f"""
                  AS BIGINT) AS v
         FROM h CROSS JOIN generate_series(0, 59) AS g(b)
         GROUP BY 1, 2
-    )
-    SELECT doc_id,
-        CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
-                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id ORDER BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+            CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )"""
+
+_SQL_SIMHASH = f"""
+    WITH {_SQL_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
 """
 
 
@@ -465,6 +470,41 @@ _SQL_SIMHASH = f"""
 )
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(_docs_wide(spark, sf_dir)).orderBy("doc_id")
+
+
+_SIMHASH_SLICE_BITS = D.SIMHASH_BITS // D.SIMHASH_BANDS
+_SQL_SIMHASH_NEAR_DUP = f"""
+    WITH {_SQL_SIMHASH_CTES},
+    bb AS (
+        SELECT doc_id, simhash, bands.band,
+               (simhash >> (bands.band * {_SIMHASH_SLICE_BITS}))
+               & {(1 << _SIMHASH_SLICE_BITS) - 1} AS slc
+        FROM sig CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(D.SIMHASH_BANDS))}) AS bands(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bb a JOIN bb b ON a.band = b.band AND a.slc = b.slc
+                       AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_RADIUS}
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "docs_simhash_near_dup",
+    _SQL_SIMHASH_NEAR_DUP,
+    doc="SimHash near-dup pairs: Hamming-ball banding (Manku et al. "
+    "WWW'07) — 4 contiguous 15-bit slices; radius-3 pairs must share a "
+    "slice (pigeonhole), so the equi-join on (band, slice) has FULL "
+    "recall at that radius and the xor-popcount verify touches only "
+    "bucket collisions.  Deterministic signatures make the oracle replay "
+    "the identical pair set.",
+)
+def q_docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    sig = REGISTRY["docs_simhash"].spark_fn(spark, sf_dir)
+    return D.simhash_near_dup(sig).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
