@@ -566,3 +566,115 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "price_fixed")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority count over an EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_lateship",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (adapted: testdata lineitem has no commit/receipt "
+    "dates — /root/reference has no big-big semi-join at all, so this "
+    "extends coverage): orders that had any line shipped >60 days after "
+    "order date, counted per priority.  EXISTS plans as a LEFT SEMI join "
+    "on the order key with the date comparison as a residual — each order "
+    "row emitted at most once regardless of matching line count, no "
+    "distinct/agg needed.  Both date filters push to the orders scan; at "
+    "100 TB both sides shuffle on the (even, high-cardinality) order key.",
+)
+def q_order_priority_lateship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders (HAVING agg semi-joined back)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_quantity_orders",
+    f"""
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           epoch_us(o.o_orderdate) AS o_orderdate_us,
+           o.o_totalprice,
+           {sql_money_sum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds 300 — an "
+    "aggregate with a HAVING filter feeding an IN semi-join back into the "
+    "same fact.  The inner agg is map-side-partial over the order key; "
+    "its tiny surviving set (≈0.3% of orders) semi-joins the fact, then "
+    "the outer agg re-groups only matching lines.  customer joins by key "
+    "(AQE picks broadcast at small SF); top-100 plans as "
+    "TakeOrderedAndProject.",
+)
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_totalprice",
+        )
+        .agg(money_sum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
