@@ -678,3 +678,102 @@ def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (agg of an agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: how many customers placed how many orders — a "
+    "LEFT OUTER join (zero-order customers must appear with count 0; "
+    "COUNT(o_orderkey) skips their null) feeding a second aggregation "
+    "over the first's result.  Level 1 shuffles on the high-cardinality "
+    "customer key; level 2's input is one row per customer and its "
+    "grouping key (the count) is low-cardinality but the rows are tiny — "
+    "the classic distribution-histogram two-phase shape.",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: idle rich customers (global scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "idle_rich_customers",
+    f"""
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           {sql_money_sum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(ROUND(c.c_acctbal * 1000000) AS BIGINT)
+              * (SELECT COUNT(*) FROM customer i WHERE i.c_acctbal > 0)
+          > (SELECT SUM(CAST(ROUND(i.c_acctbal * 1000000) AS BIGINT))
+             FROM customer i WHERE i.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q22 shape (acctbal stands in for the missing phone-prefix "
+    "column): customers richer than the positive-balance average who never "
+    "ordered, counted per nation.  The global average is a scalar-subquery "
+    "aggregate — planned as a 1-row broadcast joined to every customer, "
+    "never a driver-side collect; the comparison cross-multiplies in "
+    "fixed-point (bal·n > sum) so no float division drifts between "
+    "engines.  NOT EXISTS plans as LEFT ANTI against orders on the "
+    "customer key; nation broadcasts.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    fixed = F.round(F.col("c_acctbal") * F.lit(1_000_000)).cast("long")
+    stats = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.round(F.col("c_acctbal") * F.lit(1_000_000)).cast("long")).alias(
+                "_s"
+            ),
+        )
+    )
+    return (
+        cust.withColumn("_bal_fixed", fixed)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("_bal_fixed") * F.col("_n") > F.col("_s"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
