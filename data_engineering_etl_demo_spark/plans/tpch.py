@@ -777,3 +777,214 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive brand/size/quantity predicates over a join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_quantity_revenue",
+    f"""
+    SELECT {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND p.p_size <= 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#34' AND p.p_size <= 35
+           AND l.l_quantity BETWEEN 20 AND 35)
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q19 shape (no container/shipmode columns in testdata; the "
+    "brand/size/quantity disjuncts carry the same structure): revenue from "
+    "three OR'd brand+size+quantity bands.  The implied single-column "
+    "envelopes are stated explicitly — p_brand IN (…) and the quantity "
+    "range land in each scan's PushedFilters (disjunct envelopes are "
+    "exactly what a 100 TB scan needs pruned BEFORE the join); the full "
+    "OR runs as the post-join filter.  part is a broadcast dim; the "
+    "global single-row aggregate is a partial-agg + 1-row merge.",
+)
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") <= 35)
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 35)
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size") <= 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(band)
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top-revenue supplier (max-of-agg joined back)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                        AS BIGINT)) AS r_fixed
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey,
+           s.s_name,
+           ROUND(rev.r_fixed / 1000000.0, 2) AS total_revenue
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r_fixed = (SELECT MAX(r_fixed) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue — "
+    "an aggregate whose MAX is computed and joined back against the same "
+    "aggregate.  The scalar MAX is a 1-row broadcast (never a global "
+    "window over one partition, never a collect); revenue compares in "
+    "exact fixed-point so 'equal to the max' cannot drift between "
+    "engines.  supplier broadcasts; the quarter filter is pushed to the "
+    "lineitem scan.  The per-supplier aggregate is persisted: it is "
+    "consumed twice (max + join-back) and Spark does not reuse the "
+    "subplan on its own (verified executedPlan: 2 fact scans without it) "
+    "— caching the SMALL relation turns a double 100 TB scan into one.",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    from pyspark import StorageLevel
+
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * F.lit(1_000_000)
+                ).cast("long")
+            ).alias("r_fixed")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    max_rev = rev.agg(F.max("r_fixed").alias("_max_fixed"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("r_fixed") == F.col("_max_fixed"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r_fixed") / F.lit(1_000_000.0), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: sole late supplier per multi-supplier order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sole_late_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l.l_orderkey
+              AND l2.l_suppkey <> l.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l.l_orderkey
+              AND l3.l_suppkey <> l.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 80 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (late = shipped >80 days after order date; "
+    "testdata has no receipt/commit dates): late lines from orders with "
+    "multiple suppliers where no OTHER supplier was late.  The oracle "
+    "states it with correlated EXISTS + NOT EXISTS; the Spark plan is the "
+    "decorrelated SINGLE-PASS form — one per-order aggregate computes "
+    "distinct suppliers, distinct LATE suppliers, the late line count, "
+    "and (via max) the late supplier's key; when n_late_supp = 1 every "
+    "late line belongs to that one supplier, so EXISTS ⇔ n_supp > 1, "
+    "NOT-EXISTS-other-late ⇔ n_late_supp = 1, and numwait = the summed "
+    "late-line counts.  ONE shuffle on the even order key, then a tiny "
+    "per-supplier agg — the naive two-consumer formulation re-ran the "
+    "fact⨝orders join twice (verified executedPlan: 5 scans → 3).",
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    lines = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+        ).alias("_late"),
+    )
+    late_supp = F.when(F.col("_late"), F.col("l_suppkey"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(late_supp).alias("_n_late_supp"),
+        F.max(late_supp).alias("_late_suppkey"),
+        F.sum(F.when(F.col("_late"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "_late_lines"
+        ),
+    )
+    return (
+        per_order.filter(
+            (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("_late_suppkey") == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.sum("_late_lines").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
