@@ -22,7 +22,7 @@ from data_engineering_etl_demo_spark.functions.cleaning import money_sum
 from data_engineering_etl_demo_spark.operators import rangejoin as R
 from data_engineering_etl_demo_spark.operators import sketches as K
 from data_engineering_etl_demo_spark.plans import register
-from data_engineering_etl_demo_spark.plans.analytics import sql_money_sum
+from data_engineering_etl_demo_spark.plans.analytics import SQL_CANON, sql_money_sum
 
 # ---------------------------------------------------------------------------
 # Bucketed interval join: clicks within 30 min after each purchase
@@ -330,4 +330,112 @@ def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_v").over(w).alias("value_fixed_1h"),
         )
         .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: day-N return rates per first-touch cohort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL),
+    firsts AS (SELECT user_id, MIN(d) AS cohort FROM activity GROUP BY 1)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+           date_diff('day', f.cohort, a.d) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity a
+    JOIN firsts f USING (user_id)
+    WHERE date_diff('day', f.cohort, a.d) IN (0, 1, 3, 7)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="cohort retention matrix: users bucketed by first-active date, "
+    "counted again on days +1/+3/+7.  The oracle states it as activity "
+    "self-joined to a per-user MIN; the Spark plan is single-pass — "
+    "distinct user-days (one shuffle on (user_id, day)), then the cohort "
+    "via MIN over a user_id window (one shuffle on the high-cardinality "
+    "user key), never a second events scan or a self-join.  COUNT(*) "
+    "suffices post-distinct; the final cohort×offset grid is tiny.",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    activity = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        activity.withColumn("cohort", F.min("d").over(w))
+        .withColumn("day_offset", F.datediff(F.col("d"), F.col("cohort")))
+        .filter(F.col("day_offset").isin(0, 1, 3, 7))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: pageview → signup → purchase, order-sensitive
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ordered_funnel",
+    f"""
+    WITH e AS (
+        SELECT user_id, {SQL_CANON} AS event, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id IS NOT NULL),
+    u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event = 'pageview' THEN ts_us END) AS t_view,
+               MIN(CASE WHEN event = 'signup' THEN ts_us END) AS t_signup,
+               MIN(CASE WHEN event = 'purchase' THEN ts_us END) AS t_purchase
+        FROM e
+        GROUP BY user_id)
+    SELECT COUNT(t_view) AS viewed,
+           COUNT(CASE WHEN t_signup > t_view THEN 1 END) AS signup_after_view,
+           COUNT(CASE WHEN t_signup > t_view AND t_purchase > t_signup
+                      THEN 1 END) AS purchase_after_signup
+    FROM u
+    """,
+    doc="order-sensitive funnel (the reference's A5 funnel counts steps "
+    "per day regardless of order; this one requires pageview BEFORE "
+    "signup BEFORE purchase): per-user conditional MINs of each step's "
+    "first occurrence, then ordering comparisons.  ONE shuffle on the "
+    "high-cardinality user key with map-side partial mins, then a 1-row "
+    "global agg — the sequential-pattern query without any self-join "
+    "or window sort.  Event names are canonicalized first (F1-F3: the "
+    "generator's 'view' → 'pageview').",
+)
+def q_events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans.analytics import events_silver
+
+    def first_of(step: str):
+        return F.min(F.when(F.col("event") == step, F.col("ts_us")))
+
+    u = (
+        events_silver(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            first_of("pageview").alias("t_view"),
+            first_of("signup").alias("t_signup"),
+            first_of("purchase").alias("t_purchase"),
+        )
+    )
+    ordered2 = F.col("t_signup") > F.col("t_view")
+    ordered3 = ordered2 & (F.col("t_purchase") > F.col("t_signup"))
+    return u.agg(
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(ordered2, F.lit(1))).alias("signup_after_view"),
+        F.count(F.when(ordered3, F.lit(1))).alias("purchase_after_signup"),
     )
