@@ -439,3 +439,65 @@ def q_events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(ordered2, F.lit(1))).alias("signup_after_view"),
         F.count(F.when(ordered3, F.lit(1))).alias("purchase_after_signup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch session windows: native session_window aggregation
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+@register(
+    "events_session_window",
+    f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id IS NOT NULL),
+    flagged AS (
+        SELECT user_id, ts_us,
+               CASE WHEN LAG(ts_us) OVER w IS NULL
+                      OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {_SESSION_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    doc="batch sessionization via Spark's NATIVE session_window aggregate "
+    "(gap 6 h): one groupBy(user_id, session_window(ts)) — JVM-side "
+    "session merging inside the aggregate, one shuffle on the user key, "
+    "no sort-based gaps-and-islands pass.  The oracle states the classic "
+    "two-window LAG + running-sum island numbering; Spark's session end "
+    "is defined as last-event + gap, which the oracle mirrors "
+    "(MAX(ts)+gap).  Complements the streaming sessionizers "
+    "(applyInPandasWithState) with the batch-native operator.",
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_s = _SESSION_GAP_US // 1_000_000
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
