@@ -969,14 +969,24 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
         ).alias("_late"),
     )
-    late_supp = F.when(F.col("_late"), F.col("l_suppkey"))
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(late_supp).alias("_n_late_supp"),
-        F.max(late_supp).alias("_late_suppkey"),
+    # Two-level aggregate instead of countDistinct: two DISTINCT aggs in
+    # one groupBy plan as an Expand (3x the joined fact rows through the
+    # shuffle).  Pre-aggregating per (order, supplier) first needs no
+    # Expand, keeps map-side partials, and the second level runs on the
+    # already-tiny per-(order,supplier) relation (3.2s -> measured below).
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_any_late"),
         F.sum(F.when(F.col("_late"), F.lit(1)).otherwise(F.lit(0))).alias(
-            "_late_lines"
+            "_supp_late_lines"
         ),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum(F.col("_any_late").cast("int")).alias("_n_late_supp"),
+        F.max(F.when(F.col("_any_late"), F.col("l_suppkey"))).alias(
+            "_late_suppkey"
+        ),
+        F.sum("_supp_late_lines").alias("_late_lines"),
     )
     return (
         per_order.filter(
