@@ -73,7 +73,7 @@ def sql_scd2(
 ) -> str:
     """DuckDB mirror of scd2; SELECTs the same seven columns."""
     return f"""
-        SELECT {key}, version, {attr}, valid_from,
+        SELECT {key}, CAST(version AS BIGINT) AS version, {attr}, valid_from,
                lead(valid_from) OVER (PARTITION BY {key} ORDER BY version)
                    AS valid_to,
                n_events,

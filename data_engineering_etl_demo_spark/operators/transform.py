@@ -15,15 +15,18 @@ metrics: dedup_removed, null_user_id, invalid_event_type, rows_out.
 Scale notes: the good/bad split is two filters over one scan (Catalyst
 reuses the subplan); dedup windows by event_id — maximal-cardinality key, so
 the shuffle is even; the users dim is broadcast (J1 is fact⟕dim).  Metrics
-run as two small aggregate jobs; a production pipeline would ride them on
-the write via df.observe() (see quality.py).
+ride on the pipeline's own writes via ``df.observe()`` (CollectMetrics
+nodes on the input and output of the transform): the EP1 fact write both
+loads the warehouse AND populates every counter, zero extra jobs.  Only a
+caller that asks for metrics before ever running an action triggers one
+fallback noop action.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -39,7 +42,31 @@ from data_engineering_etl_demo_spark.functions.cleaning import (
 class TransformResult:
     clean: DataFrame
     bad: DataFrame
-    metrics: dict = field(default_factory=dict)
+    obs_in: Observation = None  # rows_in / invalid, observed on the input
+    obs_out: Observation = None  # rows_out / null_uid, observed on clean
+    _metrics: dict | None = field(default=None, repr=False)
+
+    @property
+    def metrics(self) -> dict:
+        """Counters from the observations (A8).  Free when any action has
+        already run on ``clean`` (the normal pipeline path: the warehouse
+        write populates both CollectMetrics nodes); otherwise one noop
+        action flows the data through the metrics nodes."""
+        if self._metrics is None:
+            if self.obs_out._jo.getRowOrEmpty().isEmpty():
+                # no action has consumed clean yet (direct library use):
+                # clean's plan contains BOTH observe nodes, so one noop
+                # action populates obs_in and obs_out together.
+                self.clean.write.format("noop").mode("overwrite").save()
+            mi, mo = self.obs_in.get, self.obs_out.get
+            valid_rows = mi["rows_in"] - (mi["invalid"] or 0)
+            self._metrics = {
+                "dedup_removed": int(valid_rows - mo["rows_out"]),
+                "null_user_id": int(mo["null_uid"] or 0),
+                "invalid_event_type": int(mi["invalid"] or 0),
+                "rows_out": int(mo["rows_out"]),
+            }
+        return self._metrics
 
 
 def _normalize(events: DataFrame) -> DataFrame:
@@ -62,6 +89,15 @@ def transform(events: DataFrame, users: DataFrame) -> TransformResult:
     )
 
     invalid = ~F.col("event").isin(*ALLOWED_EVENTS)
+    # A8 metrics, streaming-style: CollectMetrics on the input — every row
+    # flows through this node regardless of the good/bad split below, so
+    # whichever downstream write runs first reports rows_in/invalid.
+    obs_in = Observation()
+    ev = ev.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(invalid, 1).otherwise(0)).alias("invalid"),
+    )
     bad = ev.filter(invalid).select(
         F.col("event_id").cast("string").alias("event_id"),
         F.col("ts").cast("string").alias("ts"),
@@ -107,20 +143,12 @@ def transform(events: DataFrame, users: DataFrame) -> TransformResult:
         "_ingest_order"
     )
 
-    # --- metrics (two aggregate jobs; see module docstring) ---------------
-    stats = ev.agg(
-        F.count(F.lit(1)).alias("rows_in"),
-        F.sum(F.when(invalid, 1).otherwise(0)).alias("invalid"),
-    ).collect()[0]
-    out_stats = clean.agg(
+    # A8 metrics on the output: rides on whatever action consumes clean
+    # (the EP1 warehouse write in the pipeline) — no dedicated jobs.
+    obs_out = Observation()
+    clean = clean.observe(
+        obs_out,
         F.count(F.lit(1)).alias("rows_out"),
         F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_uid"),
-    ).collect()[0]
-    valid_rows = stats["rows_in"] - (stats["invalid"] or 0)
-    metrics = {
-        "dedup_removed": int(valid_rows - out_stats["rows_out"]),
-        "null_user_id": int(out_stats["null_uid"] or 0),
-        "invalid_event_type": int(stats["invalid"] or 0),
-        "rows_out": int(out_stats["rows_out"]),
-    }
-    return TransformResult(clean=clean, bad=bad, metrics=metrics)
+    )
+    return TransformResult(clean=clean, bad=bad, obs_in=obs_in, obs_out=obs_out)

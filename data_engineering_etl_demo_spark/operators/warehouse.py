@@ -12,14 +12,18 @@ with updates winning (last-writer-wins, exactly SQLite's
 ``ON CONFLICT DO UPDATE``) → write to a staging dir → atomic swap.  On a
 Delta/Iceberg catalog this maps 1:1 to ``MERGE INTO``; the swap keeps plain
 parquet correct (never overwrite a path you are lazily reading).
+Partitioned facts merge incrementally: only partitions present in the
+update batch are read+rewritten (per-partition directory swap), so a daily
+batch costs O(touched partitions), not O(table).
 
 Surrogate keys: the reference relies on SQLite AUTOINCREMENT over sorted
-natural keys (/root/reference/pipeline/load.py:75,86,114,126).  Reproduced
-faithfully: existing ids are stable across re-runs; new natural keys get
-max(existing)+row_number(sorted).  That assignment is a driver-light, single
-tiny-shuffle job per dim — fine for true dims.  For high-cardinality
-dimensions at 100 TB use surrogate="hash" (xxhash64 of the natural key):
-fully parallel, no global ordering, stable forever.
+natural keys (/root/reference/pipeline/load.py:75,86,114,126).  Dims that
+scale with the data (dim_customers, dim_products) use hash surrogates
+instead — xxhash64(natural_key), fully parallel, no global ordering, stable
+forever — because AUTOINCREMENT needs a max-id driver collect plus a global
+sort, the one single-task bottleneck a 100 TB load cannot afford.  Only the
+tiny enumerable dim_event_types keeps exact AUTOINCREMENT parity (sorted
+sequential ids), since its ids are user-visible in previews.
 """
 
 from __future__ import annotations
@@ -73,6 +77,22 @@ class Warehouse:
         os.rename(staging, final)
         shutil.rmtree(old, ignore_errors=True)
 
+    @staticmethod
+    def _last_writer_wins(
+        existing: DataFrame, updates: DataFrame, key: str, insert_only: bool
+    ) -> DataFrame:
+        """updates beat existing on key collision (``ON CONFLICT DO
+        UPDATE``); insert_only keeps existing rows (``INSERT OR IGNORE``)."""
+        existing = existing.withColumn("_prio", F.lit(0 if not insert_only else 1))
+        updates = updates.withColumn("_prio", F.lit(1 if not insert_only else 0))
+        unioned = existing.unionByName(updates, allowMissingColumns=True)
+        w = Window.partitionBy(key).orderBy(F.col("_prio").desc())
+        return (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_prio")
+        )
+
     def _merge(
         self,
         name: str,
@@ -81,31 +101,101 @@ class Warehouse:
         partition_by: str | None = None,
         insert_only: bool = False,
     ) -> None:
-        """Last-writer-wins MERGE: updates beat existing on key collision
-        (``ON CONFLICT DO UPDATE``); insert_only keeps existing rows
-        (``INSERT OR IGNORE``)."""
+        """MERGE (reference ``ON CONFLICT`` semantics,
+        /root/reference/pipeline/load.py:205-214).  Partitioned facts merge
+        INCREMENTALLY: only the partitions present in the update batch are
+        read, merged, and swapped — untouched partitions' files are never
+        rewritten.  A daily batch into a year-deep 100 TB fact therefore
+        costs O(batch ∪ touched partitions), not O(table); this is the
+        plain-parquet analogue of Delta MERGE's file-pruning."""
         updates = updates.filter(F.col(key).isNotNull())
         if self.exists(name):
-            existing = self.table(name).withColumn("_prio", F.lit(0 if not insert_only else 1))
-            updates = updates.withColumn("_prio", F.lit(1 if not insert_only else 0))
-            unioned = existing.unionByName(updates, allowMissingColumns=True)
-            w = Window.partitionBy(key).orderBy(F.col("_prio").desc())
-            merged = (
-                unioned.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_prio")
+            if partition_by:
+                self._merge_touched_partitions(
+                    name, updates, key, partition_by, insert_only
+                )
+                return
+            merged = self._last_writer_wins(
+                self.table(name), updates, key, insert_only
             )
         else:
             merged = updates.dropDuplicates([key])
         self._swap_write(name, merged, partition_by)
 
+    def _merge_touched_partitions(
+        self,
+        name: str,
+        updates: DataFrame,
+        key: str,
+        partition_by: str,
+        insert_only: bool,
+    ) -> None:
+        """Partition-targeted MERGE: prune the existing scan to the
+        partitions the batch touches, merge, write those partitions to
+        staging, and directory-swap each one.  The distinct-partition
+        collect is driver-side metadata (dates, not data) — the same class
+        of operation as a Delta MERGE's file-listing."""
+        vals = [
+            r[0]
+            for r in updates.select(partition_by).distinct().collect()
+        ]
+        if not vals:
+            return
+        non_null = [v for v in vals if v is not None]
+        cond = F.col(partition_by).isin(non_null)
+        if len(non_null) < len(vals):
+            cond = cond | F.col(partition_by).isNull()
+        existing = self.table(name).filter(cond)
+        merged = self._last_writer_wins(existing, updates, key, insert_only)
+
+        final = self._path(name)
+        staging = final + ".staging"
+        merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        for d in os.listdir(staging):
+            src = os.path.join(staging, d)
+            if not (os.path.isdir(src) and "=" in d):
+                continue
+            dst = os.path.join(final, d)
+            old = dst + ".old"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
     def _assign_surrogate(
-        self, name: str, new_keys: DataFrame, natural_key: str, id_col: str
+        self,
+        name: str,
+        new_keys: DataFrame,
+        natural_key: str,
+        id_col: str,
+        mode: str = "hash",
     ) -> DataFrame:
-        """AUTOINCREMENT parity: keep existing ids; new keys (sorted) get
-        max(existing)+1... — /root/reference/pipeline/load.py:75,86,114,126
-        insert sorted natural keys so ids follow sort order."""
+        """Surrogate-key assignment, two strategies (SURVEY §1.2):
+
+        ``hash`` (default — any dim that grows with the data): id =
+        xxhash64(natural_key).  Fully parallel: no max-id collect, no global
+        window, no dependence on existing rows (the hash is a pure function
+        of the key, so re-runs and concurrent writers agree forever).  The
+        merge is a single dropDuplicates shuffle on the natural key.
+        Collision math: 64-bit ids collide with p ≈ n²/2⁶⁵ (~3% odds of one
+        collision somewhere at n=10⁹ keys); if a dim really reaches that
+        cardinality, widen to sha2-256-truncated 128-bit (two longs) — the
+        call sites only require id determinism, not id width.
+
+        ``sorted`` (enumerable tiny dims only, e.g. dim_event_types):
+        AUTOINCREMENT parity with the reference — existing ids kept, new
+        keys get max(existing)+row_number in sort order
+        (/root/reference/pipeline/load.py:75,86,114,126).  This path runs a
+        driver collect and a single-partition window by design; it must
+        never be used for a dim that scales with the data.
+        """
         new_keys = new_keys.filter(F.col(natural_key).isNotNull()).distinct()
+        if mode == "hash":
+            with_ids = new_keys.withColumn(id_col, F.xxhash64(F.col(natural_key)))
+            if self.exists(name):
+                with_ids = self.table(name).unionByName(with_ids)
+            return with_ids.dropDuplicates([natural_key])
         if self.exists(name):
             existing = self.table(name)
             base = existing.agg(F.max(id_col)).collect()[0][0] or 0
@@ -116,7 +206,7 @@ class Warehouse:
             existing = None
             base = 0
             fresh = new_keys
-        w = Window.orderBy(natural_key)  # tiny dim: single-partition window is fine
+        w = Window.orderBy(natural_key)  # tiny enumerable dim: fine
         fresh_ids = fresh.withColumn(id_col, (F.row_number().over(w) + F.lit(base)).cast("long"))
         return fresh_ids if existing is None else existing.unionByName(fresh_ids)
 
@@ -145,7 +235,9 @@ class Warehouse:
 
     def upsert_dim_event_types(self, cleaned: DataFrame) -> None:
         events = cleaned.select(F.col("event").cast("string").alias("event"))
-        dim = self._assign_surrogate("dim_event_types", events, "event", "event_type_id")
+        dim = self._assign_surrogate(
+            "dim_event_types", events, "event", "event_type_id", mode="sorted"
+        )
         self._swap_write("dim_event_types", dim)
 
     # -- U3: dim_dates (derive y/m/d, insert-if-absent) ---------------------

@@ -28,6 +28,7 @@ class QuerySpec:
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
+    module: str = ""  # defining module (basename), drives verify ordering
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -56,10 +57,36 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
             spark_fn = memo_fn
         else:
             spark_fn = fn
-        REGISTRY[name] = QuerySpec(name=name, spark_fn=spark_fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            spark_fn=spark_fn,
+            oracle=oracle,
+            doc=doc,
+            module=fn.__module__.rsplit(".", 1)[-1],
+        )
         return fn
 
     return wrap
+
+
+def _verify_priority(spec: QuerySpec) -> int:
+    """Driver-verification order (the driver walks ``queries()`` in dict
+    order and its round-1 run stopped after 50 queries, leaving the last
+    modules without hard-signal correctness rows).  Order risk-first:
+
+    0. modules with no round-1 driver row (timeseries, tpch);
+    1. queries whose round-1 row hash-mismatched (type-cast fixes);
+    2. everything else, in registration order;
+    3. streaming queries — all green in round 1 and by far the most
+       expensive to verify (real micro-batch drains), so they go last.
+    """
+    if spec.module in ("timeseries", "tpch"):
+        return 0
+    if spec.name in ("docs_pack_batches", "events_user_scd2"):
+        return 1
+    if spec.module == "streaming_plans":
+        return 3
+    return 2
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -74,4 +101,7 @@ def all_specs() -> dict[str, QuerySpec]:
         timeseries,
         tpch,
     )
-    return dict(REGISTRY)
+    # Stable sort: registration order preserved within each priority class.
+    return dict(
+        sorted(REGISTRY.items(), key=lambda kv: _verify_priority(kv[1]))
+    )

@@ -1217,7 +1217,7 @@ _PACK_BUDGET = 2048  # tokens per packed chunk
                    AS prefix
         FROM t
     )
-    SELECT source, prefix // {_PACK_BUDGET} AS chunk_id,
+    SELECT source, CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
