@@ -25,6 +25,8 @@ micro-batch keys.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Iterator
 from pathlib import Path
 
@@ -119,11 +121,17 @@ def foreach_batch_merge(warehouse_path: str):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # Rewrite via a staging dir so the read above never races the write.
-        tmp = str(path.with_suffix(".staging"))
+        # Materialize to staging, then atomic rename-swap (same pattern as
+        # the batch Warehouse._swap_write): the live directory is never
+        # half-written — a crash mid-write leaves either the old table or
+        # the new one, and the staging dir never outlives the batch.
+        tmp = str(path) + ".staging"
         winner.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(warehouse_path)
+        old = str(path) + ".old"
+        if path.exists():
+            os.rename(str(path), old)
+        os.rename(tmp, str(path))
+        shutil.rmtree(old, ignore_errors=True)
 
     return merge
 
@@ -170,16 +178,22 @@ def sessionize(
         else:
             start_us, last_us, n = None, None, 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts"]):
-                ts_us = int(ts.value // 1_000)  # pandas ns → µs
-                if start_us is None:
-                    start_us, last_us, n = ts_us, ts_us, 1
-                elif ts_us - last_us > gap_us:
-                    closed.append((key[0], start_us, last_us, n))
-                    start_us, last_us, n = ts_us, ts_us, 1
-                else:
-                    last_us, n = max(last_us, ts_us), n + 1
+        # Buffer the group's FULL micro-batch before the gap scan: Arrow
+        # hands the group's rows as multiple chunks in arrival order, so
+        # sorting per-chunk is not enough — a later chunk can carry an
+        # earlier timestamp, which would mis-assign it to the current
+        # session (session_start never moves backward).  Only the ts values
+        # are buffered (one int per event), not the whole frames.
+        all_ts = sorted(ts for pdf in pdfs for ts in pdf["ts"])
+        for ts in all_ts:
+            ts_us = int(ts.value // 1_000)  # pandas ns → µs
+            if start_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > gap_us:
+                closed.append((key[0], start_us, last_us, n))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us, n = max(last_us, ts_us), n + 1
         state.update((start_us, last_us, n))
         if flush_on_timeout and last_us is not None:
             # fire when the watermark passes the session's gap deadline
