@@ -56,13 +56,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS): read as int64, truncate to µs.
-        # (nanosAsLong only affects NANOS fields; other tables are ms/µs.)
+        # events.ts physical encoding has drifted across testdata generations
+        # (TIMESTAMP(NANOS), then timestamp[us] with no tz); enable the nanos
+        # fallback and normalize whatever the reader produced below.
         spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — epoch nanos (~1.7e18) overflow double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = _normalize_ts(df, "ts")
+    return df
+
+
+def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a parquet timestamp column to Spark ``TimestampType``
+    regardless of how it was physically encoded:
+
+    - TIMESTAMP(NANOS)  → read as int64 under nanosAsLong; truncate to µs
+      (integer division — epoch nanos ~1.7e18 overflow double precision),
+      matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation.
+    - timestamp[us] no tz → Spark infers TIMESTAMP_NTZ; cast under the UTC
+      session tz preserves the wall clock, matching DuckDB's naive read.
+    - timestamp[us] with tz → already TimestampType; pass through.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

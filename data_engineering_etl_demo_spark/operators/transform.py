@@ -44,21 +44,56 @@ class TransformResult:
     bad: DataFrame
     obs_in: Observation = None  # rows_in / invalid, observed on the input
     obs_out: Observation = None  # rows_out / null_uid, observed on clean
+    _ev: DataFrame = None  # normalized pre-split input (aggregate fallback)
     _metrics: dict | None = field(default=None, repr=False)
+
+    def _observed(self) -> tuple[dict, dict]:
+        """Free path: counters from the CollectMetrics nodes that rode the
+        pipeline's own writes.  Raises if the observations are unusable
+        (no action ran, or the JVM handed back a schemaless row — seen on
+        pipeline re-runs, where ``Observation.get``'s ``toPyRow`` asserts)."""
+        if self.obs_out._jo.getRowOrEmpty().isEmpty():
+            # no action has consumed clean yet (direct library use):
+            # clean's plan contains BOTH observe nodes, so one noop
+            # action populates obs_in and obs_out together.
+            self.clean.write.format("noop").mode("overwrite").save()
+        return self.obs_in.get, self.obs_out.get
+
+    def _aggregated(self) -> tuple[dict, dict]:
+        """Fallback: the same four counters from two aggregate jobs.
+        Deterministic and re-entrant, at the cost of re-scanning the input."""
+        invalid = ~F.col("event").isin(*ALLOWED_EVENTS)
+        mi = (
+            self._ev.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(invalid, 1).otherwise(0)).alias("invalid"),
+            )
+            .first()
+            .asDict()
+        )
+        mo = (
+            self.clean.agg(
+                F.count(F.lit(1)).alias("rows_out"),
+                F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+                    "null_uid"
+                ),
+            )
+            .first()
+            .asDict()
+        )
+        return mi, mo
 
     @property
     def metrics(self) -> dict:
-        """Counters from the observations (A8).  Free when any action has
-        already run on ``clean`` (the normal pipeline path: the warehouse
-        write populates both CollectMetrics nodes); otherwise one noop
-        action flows the data through the metrics nodes."""
+        """Counters (A8).  Free when any action has already run on ``clean``
+        (the normal pipeline path: the warehouse write populates both
+        CollectMetrics nodes); falls back to explicit aggregation when the
+        observation machinery fails (e.g. idempotent pipeline re-runs)."""
         if self._metrics is None:
-            if self.obs_out._jo.getRowOrEmpty().isEmpty():
-                # no action has consumed clean yet (direct library use):
-                # clean's plan contains BOTH observe nodes, so one noop
-                # action populates obs_in and obs_out together.
-                self.clean.write.format("noop").mode("overwrite").save()
-            mi, mo = self.obs_in.get, self.obs_out.get
+            try:
+                mi, mo = self._observed()
+            except Exception:
+                mi, mo = self._aggregated()
             valid_rows = mi["rows_in"] - (mi["invalid"] or 0)
             self._metrics = {
                 "dedup_removed": int(valid_rows - mo["rows_out"]),
@@ -151,4 +186,6 @@ def transform(events: DataFrame, users: DataFrame) -> TransformResult:
         F.count(F.lit(1)).alias("rows_out"),
         F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_uid"),
     )
-    return TransformResult(clean=clean, bad=bad, obs_in=obs_in, obs_out=obs_out)
+    return TransformResult(
+        clean=clean, bad=bad, obs_in=obs_in, obs_out=obs_out, _ev=ev
+    )

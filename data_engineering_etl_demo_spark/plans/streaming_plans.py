@@ -15,18 +15,33 @@ from pyspark.sql import types as T
 from data_engineering_etl_demo_spark.plans import register
 from data_engineering_etl_demo_spark.streaming import pipeline as P
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long
-# under spark.sql.legacy.parquet.nanosAsLong, truncated to µs like DuckDB).
-_EVENTS_READ_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_read_schema(sf_dir: str) -> tuple[T.StructType, str]:
+    """Build the streaming read schema for events.parquet from its actual
+    footer.  The testdata's physical ts encoding has drifted across
+    generations (TIMESTAMP(NANOS), then timestamp[us] no-tz); a hardcoded
+    schema silently corrupts timestamps when the data drifts again, so
+    inspect the file and return (schema, ts_mode) where ts_mode is one of
+    'nanos_long' | 'ntz' | 'ltz'."""
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if ts_type.unit == "ns":
+        spark_ts, mode = T.LongType(), "nanos_long"
+    elif ts_type.tz is None:
+        spark_ts, mode = T.TimestampNTZType(), "ntz"
+    else:
+        spark_ts, mode = T.TimestampType(), "ltz"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", spark_ts),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, mode
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,9 +57,17 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not link.exists():
         os.symlink(f"{sf_dir}/events.parquet", link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_READ_SCHEMA).parquet(str(stage))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema, mode = _events_read_schema(sf_dir)
+    if mode == "nanos_long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(schema).parquet(str(stage))
+    if mode == "nanos_long":
+        # integer division — epoch nanos (~1.7e18) overflow double precision
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if mode == "ntz":
+        # UTC session tz → cast preserves the wall clock (DuckDB naive read)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 @register(

@@ -108,6 +108,19 @@ def foreach_batch_merge(warehouse_path: str):
         spark = batch_df.sparkSession
         staged = batch_df.withColumn("_batch", F.lit(batch_id))
         path = Path(warehouse_path)
+        old = str(path) + ".old"
+        # Crash recovery before reading: a crash between the two renames
+        # below leaves the previous table stranded in .old with no live
+        # dir — restore it so the retried micro-batch (at-least-once
+        # semantics) merges against the full history instead of silently
+        # rebuilding from only the current batch.  A stale .old alongside
+        # a live dir is leftover garbage from a crash after the second
+        # rename; clear it so os.rename(path, old) can't hit ENOTEMPTY.
+        if os.path.exists(old):
+            if not path.exists():
+                os.rename(old, str(path))
+            else:
+                shutil.rmtree(old, ignore_errors=True)
         if path.exists() and any(path.iterdir()):
             current = spark.read.parquet(warehouse_path)
             staged = current.unionByName(staged)
@@ -121,13 +134,16 @@ def foreach_batch_merge(warehouse_path: str):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # Materialize to staging, then atomic rename-swap (same pattern as
-        # the batch Warehouse._swap_write): the live directory is never
-        # half-written — a crash mid-write leaves either the old table or
-        # the new one, and the staging dir never outlives the batch.
+        # Materialize to staging, then rename-swap (same pattern as the
+        # batch Warehouse._swap_write): the live directory is never
+        # half-written.  The swap is two renames, not atomic — a crash
+        # between them leaves the table in .old, which the recovery block
+        # above restores on the retried batch.  os.rename/shutil.rmtree
+        # assume warehouse_path is on the LOCAL filesystem (matching the
+        # local-only batch Warehouse); an HDFS/S3 sink would need the
+        # Hadoop FileSystem API instead.
         tmp = str(path) + ".staging"
         winner.write.mode("overwrite").parquet(tmp)
-        old = str(path) + ".old"
         if path.exists():
             os.rename(str(path), old)
         os.rename(tmp, str(path))
@@ -183,10 +199,10 @@ def sessionize(
         # sorting per-chunk is not enough — a later chunk can carry an
         # earlier timestamp, which would mis-assign it to the current
         # session (session_start never moves backward).  Only the ts values
-        # are buffered (one int per event), not the whole frames.
-        all_ts = sorted(ts for pdf in pdfs for ts in pdf["ts"])
-        for ts in all_ts:
-            ts_us = int(ts.value // 1_000)  # pandas ns → µs
+        # are buffered (one int per event, pandas ns → µs), not the whole
+        # frames.
+        all_ts = sorted(int(ts.value) // 1_000 for pdf in pdfs for ts in pdf["ts"])
+        for ts_us in all_ts:
             if start_us is None:
                 start_us, last_us, n = ts_us, ts_us, 1
             elif ts_us - last_us > gap_us:
