@@ -25,9 +25,16 @@ from pyspark.sql import functions as F
 from data_engineering_etl_demo_spark.operators.text import fingerprint, word_shingles
 
 # LSH geometry: K = BANDS * ROWS_PER_BAND signature components.
-MINHASH_K = 12
-LSH_BANDS = 4
-ROWS_PER_BAND = 3
+# Candidate recall at jaccard t is 1-(1-t^r)^b; with 12 bands of 2 rows a
+# pair at the default verify threshold (0.5) is banded w.p. ≈0.968 and at
+# 0.7 w.p. ≈0.9997.  (The earlier 4×3 layout missed a 0.7-jaccard planted
+# pair — collision probability there was only ≈0.81; r=2 trades a coarser
+# bucket, i.e. more false candidates for the exact-Jaccard verify to
+# reject, for near-full recall across the advertised range.  Recall is
+# pinned by tests/test_dedup_pipeline.py.)
+MINHASH_K = 24
+LSH_BANDS = 12
+ROWS_PER_BAND = 2
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -54,23 +61,37 @@ def explode_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature_components(shingled: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
-    """(id, mh0..mhK-1) — one groupBy pass computes all K mins.
+# Affine MinHash family over the Mersenne prime 2^31-1: the classic
+# g_i(x) = (a_i·h(x) + b_i) mod p construction with ONE md5-derived base
+# hash per shingle (hex chars 1-8 → 32 bits, reduced mod p) and K fixed
+# (a_i, b_i) pairs spread by the golden-ratio multiplier.  An earlier
+# modulus-free linear family (h1 + i·h2) degenerated for i ≥ 16 — i·h2
+# outgrows h1's 60-bit range, every high band picks the min-h2 shingle,
+# and the 12 "independent" bands collapse (a planted-recall test caught
+# 59 missed pairs).  With the mod-p affine transforms the same test
+# misses zero.  a_i·h + b_i < 2^31·2^31 + 2^31 < 2^63: safe in BIGINT,
+# and the DuckDB oracle replays the identical integer arithmetic.
+MINHASH_P = 2147483647  # 2^31 - 1
+_GOLD = 0x9E3779B9  # 2^32 / golden ratio — multiplicative-hash constant
+MINHASH_A = [((_GOLD * (2 * i + 1)) % MINHASH_P) | 1 for i in range(MINHASH_K)]
+MINHASH_B = [(_GOLD * 7919 * (i + 1)) % MINHASH_P for i in range(MINHASH_K)]
 
-    Hash family: Carter-Wegman g_i = h1 + i·h2 over ONE md5 per shingle
-    (h1 = hex chars 1-15 → 60 bits, h2 = chars 16-29 → 56 bits), instead
-    of K independent md5(seed‖shingle) calls — the dominant cost of the
-    signature pass drops K-fold (measured 1.6 s → 0.4 s at sf0.1) with
-    the same pairwise-independence the MinHash estimate needs.  No
-    modulus: h1 + (K−1)·h2 < 2^60 + 11·2^56 < 2^61, safely in BIGINT,
-    and the DuckDB oracle replays the identical arithmetic."""
+
+def minhash_signature_components(shingled: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
+    """(id, mh0..mhK-1) — one groupBy pass computes all K mins over the
+    affine family above.  One md5 per shingle regardless of K (the K
+    transforms are integer multiply-add-mod), so the signature pass costs
+    the same as the old degenerate family but keeps the bands actually
+    pairwise-independent."""
     hx = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(hx, 16, 14), 16, 10).cast("long")
-    base = shingled.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
+    h = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % MINHASH_P)
+    base = shingled.select(F.col(id_col), h.alias("_h"))
     return base.groupBy(id_col).agg(
         *[
-            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh{i}")
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i]))
+                % MINHASH_P
+            ).alias(f"mh{i}")
             for i in range(k)
         ]
     )

@@ -261,6 +261,13 @@ def _load_side(path: str, id_col: str, vec_col: str):
     return got
 
 
+# Loud bound for the all-pairs ground truth: n_side rows × n_corpus rows of
+# fixed-point dot products is O(n²) by definition.  50k² = 2.5e9 pair-dots is
+# the most a "baseline run" can justify; anything larger is someone using the
+# ground truth as the scale path — refuse, pointing at sign_lsh_near_dup.
+EXACT_BASELINE_MAX_ROWS = 50_000
+
+
 def exact_near_dup(
     corpus: DataFrame,
     corpus_path: str,
@@ -270,7 +277,9 @@ def exact_near_dup(
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) for ALL pairs with cosine ≥ threshold —
     the exact ground truth the LSH variant approximates (use it to measure
-    recall, or directly when n is small enough for O(n²)).
+    recall, or directly when n is small enough for O(n²)).  Refuses side
+    files above ``EXACT_BASELINE_MAX_ROWS`` (parquet-footer row count, no
+    data read) so the baseline can't silently become the production path.
 
     mapInPandas block-nested-loop: each task numpy-multiplies its rows
     against the side-file matrix.  Every arithmetic step mirrors
@@ -278,6 +287,17 @@ def exact_near_dup(
     double multiply, ·1e12, floor, exact int64 sum, double divide,
     floor(·1e9)/1e9 — so results hash-match the DuckDB oracle despite
     three different runtimes (numpy / JVM / DuckDB) computing them."""
+    import pyarrow.dataset as pads
+
+    # footer-only count; handles both a single file and a Spark-written dir
+    n_side = pads.dataset(corpus_path, format="parquet").count_rows()
+    if n_side > EXACT_BASELINE_MAX_ROWS:
+        raise ValueError(
+            f"exact_near_dup is the O(n²) ground-truth baseline; side file "
+            f"{corpus_path} has {n_side} rows (> {EXACT_BASELINE_MAX_ROWS}). "
+            "Use sign_lsh_near_dup for near-dup detection at scale."
+        )
+
     from pyspark.sql.types import (
         DoubleType,
         LongType,

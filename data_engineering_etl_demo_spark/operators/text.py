@@ -34,6 +34,33 @@ LANG_MARKERS = {
 
 STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+# PII / URL patterns for scrub-before-training.  Kept to the regex subset
+# Java (Spark) and RE2 (DuckDB) interpret identically — character classes,
+# bounded repetition, word boundaries — so the oracle replays the exact
+# same match set.  Real pipelines layer NER models on top; the regex tier
+# is the standard cheap first pass (and the only fully deterministic one).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d() -]{6,}\d"
+URL_RE = r"https?://[^\s]+"
+
+# Redaction applies longest-structure first (email before ipv4 before
+# phone) so a pattern consumed by an earlier pass can't double-count.
+PII_REDACTIONS = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_redact(col: Column) -> Column:
+    """text with emails → <EMAIL>, IPv4s → <IP>, phone-like digit runs →
+    <PHONE>; pure Catalyst regexp_replace chain (JVM-side, no UDF)."""
+    out = col
+    for pattern, token in PII_REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
 
 def trunc6(x: Column) -> Column:
     """floor(x·1e6)/1e6 — engine-portable 6-decimal truncation (ROUND on

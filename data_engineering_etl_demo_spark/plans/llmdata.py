@@ -205,6 +205,43 @@ def q_docs_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_pii_scrub",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{X.PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{X.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{X.URL_RE}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{X.PII_IPV4_RE}', '<IP>', 'g'),
+               '{X.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII scrub-before-training: per-doc email/IPv4/phone/URL counts and "
+    "the md5 of the redacted text (regex tier; both engines replay the "
+    "identical match set).  The synthetic corpus plants no PII, so counts "
+    "are zero here — the redaction semantics are pinned on planted bytes "
+    "in tests/test_fingerprint.py.",
+)
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return (
+        _docs_wide(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_count(t, F.lit(X.PII_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(t, F.lit(X.PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+            F.regexp_count(t, F.lit(X.PII_PHONE_RE)).cast("long").alias("n_phones"),
+            F.regexp_count(t, F.lit(X.URL_RE)).cast("long").alias("n_urls"),
+            F.md5(X.pii_redact(t)).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -238,10 +275,12 @@ def _sql_hexbig(expr: str, start: int, n: int) -> str:
 
 
 def _sql_minhash_near_dup(threshold: float, order: bool = True) -> str:
-    # Carter-Wegman g_i = h1 + i·h2 from ONE md5 per shingle — mirrors
-    # operators/dedup.py minhash_signature_components term-for-term.
+    # Affine family g_i = (a_i·h + b_i) mod p from ONE md5 per shingle —
+    # mirrors operators/dedup.py minhash_signature_components term-for-term
+    # (same p = 2^31-1 and the same generated a_i/b_i constants).
     sig_cols = ",\n               ".join(
-        f"min(h1 + {i} * h2) AS mh{i}" for i in range(D.MINHASH_K)
+        f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P}) AS mh{i}"
+        for i in range(D.MINHASH_K)
     )
     band_selects = "\n        UNION ALL\n".join(
         "        SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
@@ -266,8 +305,7 @@ def _sql_minhash_near_dup(threshold: float, order: bool = True) -> str:
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     hs AS (
         SELECT doc_id,
-               {_sql_hexbig('shingle', 1, 15)} AS h1,
-               {_sql_hexbig('shingle', 16, 14)} AS h2
+               {_sql_hexbig('shingle', 1, 8)} % {D.MINHASH_P} AS h
         FROM ex
     ),
     sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
@@ -745,6 +783,15 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_SAMPLE = 40  # doc_id bound: the demo keeps all-pairs O(sample²)
 _NGRAM_THRESHOLD = 0.1
+# Loud bound: this module's all-pairs ngram baseline exists to ground-truth
+# the MinHash-LSH scale path, never to replace it.  Keep the sample small
+# enough that sample² stays trivially cheap; raising it past 1000 means
+# someone is trying to use the baseline as the production path — stop them
+# at import time.
+assert _NGRAM_SAMPLE <= 1000, (
+    f"_NGRAM_SAMPLE={_NGRAM_SAMPLE}: the all-pairs ngram-jaccard baseline is "
+    "O(sample²) by construction — use docs_minhash_near_dup as the scale path"
+)
 
 _SQL_NGRAM = f"""
     WITH s AS (

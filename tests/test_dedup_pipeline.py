@@ -17,6 +17,9 @@ BASE = (
     "turtles watch from a mossy log near the river bend in early autumn"
 )
 
+# vocabulary for the recall corpus: deterministic pseudo-words
+_VOCAB = [f"w{i:03d}" for i in range(400)]
+
 
 @pytest.fixture(scope="module")
 def corpus(spark):
@@ -82,3 +85,66 @@ def test_survivor_set_reconstructs(corpus):
     # every dropped doc's cluster representative (or fingerprint keeper)
     # survives — nothing is orphaned
     assert all(s in {"kept", "exact_dup", "near_dup"} for s in got.values())
+
+
+def _recall_corpus():
+    """40 planted near-dup pairs spanning the advertised jaccard range
+    (~0.5 … ~0.95) plus 20 unrelated docs.  Each pair (2i, 2i+1) shares a
+    prefix of a 40-word document; suffix words are swapped for fresh
+    vocabulary to dial the shingle overlap.  Deterministic — no RNG."""
+    rows = []
+    n_words = 40
+    for i in range(40):
+        base = [_VOCAB[(i * 7 + j) % 200] for j in range(n_words)]
+        # replace the last k words: shingle jaccard ≈ (n-k-2)/(n+k+2)
+        k = 2 + (i % 12)  # k in 2..13 → jaccard ≈ 0.95 … 0.48
+        variant = base[: n_words - k] + [
+            _VOCAB[200 + (i * 13 + j) % 200] for j in range(k)
+        ]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(variant)))
+    for i in range(20):
+        rows.append(
+            (100 + i, " ".join(_VOCAB[(100 + i * 11 + j) % 397] for j in range(25)))
+        )
+    return rows
+
+
+def test_lsh_recall_at_advertised_threshold(spark):
+    """Recall pin (SURVEY §2 dedup contract): every pair whose EXACT shingle
+    jaccard clears the default verify threshold must be produced by the
+    banded pipeline.  The exact ground truth is the brute-force all-pairs
+    jaccard over the same shingle sets; the 12×2 band geometry gives
+    ≈0.97 collision probability at 0.5 and this deterministic fixture
+    (fixed md5 hashes) collides on every qualifying pair, so any geometry
+    regression that reopens the round-1 recall hole turns this red."""
+    corpus = spark.createDataFrame(_recall_corpus(), "doc_id long, text string")
+
+    shingled = D.explode_shingles(corpus, "doc_id", "text")
+    sa = shingled.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("id_b"), "shingle")
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sa.join(sb, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), on="id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), on="id_b")
+        .withColumn("j", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        .filter(F.col("j") >= 0.5)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    assert len(want) >= 25, "fixture must actually plant pairs above threshold"
+    # the planted range must include near-threshold pairs, not just easy ones
+    j_vals = [r["j"] for r in truth.collect()]
+    assert min(j_vals) < 0.6 and max(j_vals) > 0.85
+
+    got_df = D.minhash_near_dup(corpus, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in got_df.collect()}
+    missed = want - got
+    assert not missed, f"banding missed {len(missed)} qualifying pairs: {sorted(missed)[:5]}"
+    # and nothing below threshold sneaks through the exact verify
+    assert all(r["jaccard"] >= 0.5 for r in got_df.collect())

@@ -67,3 +67,60 @@ def test_empty_and_short_docs(spark):
     assert got[3] == (0, 0, None, None)
     assert got[4][0] == 1 and got[4][1] == 1
     assert got[5] == (3, 1, got[5][2], got[5][2])  # single min window
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (planted bytes — the sf corpus contains no PII)
+# ---------------------------------------------------------------------------
+
+_PII_DOCS = [
+    (0, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+    (1, "server at 192.168.0.1 and backup at 10.0.0.255 responded"),
+    (2, "call +1 555 123-4567 or (020) 7946 0958 now"),
+    (3, "see https://example.com/path?q=1 and http://other.org"),
+    (4, "perfectly clean text with no sensitive content at all"),
+]
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(_PII_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(X.PII_EMAIL_RE)).alias("e"),
+            F.regexp_count(F.col("text"), F.lit(X.PII_IPV4_RE)).alias("i"),
+            F.regexp_count(F.col("text"), F.lit(X.PII_PHONE_RE)).alias("p"),
+            F.regexp_count(F.col("text"), F.lit(X.URL_RE)).alias("u"),
+            X.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[0]["e"], got[0]["i"], got[0]["p"], got[0]["u"]) == (2, 0, 0, 0)
+    assert "<EMAIL>" in got[0]["red"] and "alice" not in got[0]["red"]
+    assert got[1]["i"] == 2 and "<IP>" in got[1]["red"]
+    assert "192.168.0.1" not in got[1]["red"]
+    assert got[2]["p"] >= 2 and "<PHONE>" in got[2]["red"]
+    assert got[3]["u"] == 2
+    assert got[4] is not None and got[4]["red"] == _PII_DOCS[4][1]
+
+
+def test_pii_redaction_matches_duckdb(spark):
+    """Cross-engine: the oracle's regexp_replace chain produces the same
+    redacted text for the planted bytes (same regex subset both dialects)."""
+    import duckdb
+
+    df = spark.createDataFrame(_PII_DOCS, ["doc_id", "text"])
+    spark_red = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", X.pii_redact(F.col("text")).alias("red")).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in _PII_DOCS:
+        (duck_red,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+            f" '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+            f" '{X.PII_IPV4_RE}', '<IP>', 'g'),"
+            f" '{X.PII_PHONE_RE}', '<PHONE>', 'g')",
+            [text],
+        ).fetchone()
+        assert spark_red[doc_id] == duck_red, doc_id

@@ -19,9 +19,114 @@ def media(spark):
     return M.synth_media(load(spark, SF_DIR, "documents"))
 
 
-def test_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_with_codec(b"\x89PNG", "image/png")
+def _make_png(w: int, h: int, color_type: int = 2) -> bytes:
+    """Well-formed PNG built from scratch (header + zlib'd scanlines)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    n_ch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + bytes(w * n_ch) for _ in range(h))
+    return (
+        M.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(n_frames: int, rate: int = 22050, channels: int = 2) -> bytes:
+    """Real WAV via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(2 * channels * n_frames))
+    return buf.getvalue()
+
+
+def _make_gif(w: int, h: int, n_frames: int) -> bytes:
+    """Minimal animated GIF: global color table + n image descriptors."""
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0])
+    out += bytes(6)  # global color table, depth 0 → 2 entries × 3 bytes
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02\x01\x44\x00"  # LZW min code + 1 data sub-block + end
+    return out + b"\x3b"
+
+
+def test_codec_decodes_real_png():
+    meta = M.decode_with_codec(_make_png(17, 9, color_type=2), "image/png")
+    assert meta == {
+        "width": 17, "height": 9, "channels": 3, "n_frames": 1, "sample_rate": None,
+    }
+    assert M.decode_with_codec(_make_png(3, 4, color_type=6), "image/png")["channels"] == 4
+
+
+def test_codec_decodes_real_wav():
+    meta = M.decode_with_codec(_make_wav(480, rate=22050, channels=2), "audio/wav")
+    assert meta["sample_rate"] == 22050
+    assert meta["channels"] == 2
+    assert meta["n_frames"] == 480
+    assert meta["width"] is None
+
+
+def test_codec_decodes_real_gif_frame_count():
+    meta = M.decode_with_codec(_make_gif(12, 7, n_frames=4), "video/gif")
+    assert meta["width"] == 12 and meta["height"] == 7
+    assert meta["n_frames"] == 4
+
+
+def test_codec_rejects_unknown_container():
+    with pytest.raises(ValueError):
+        M.decode_with_codec(b"plain text payload", "image/unknown")
+    # corrupt PNG: right magic, wrong IHDR placement
+    with pytest.raises(ValueError):
+        M.decode_with_codec(M.PNG_MAGIC + b"\x00" * 30, "image/png")
+
+
+def test_decode_pipeline_uses_real_codec_for_real_bytes(spark):
+    """End-to-end: real PNG/WAV/GIF payloads through the same Arrow-batched
+    mapInPandas stage the synthetic path uses — real metadata comes out."""
+    rows = [
+        (1, _make_png(33, 21), "image/png"),
+        (2, _make_wav(1000, rate=8000, channels=1), "audio/wav"),
+        (3, _make_gif(5, 6, n_frames=3), "video/gif"),
+        (4, b"not media at all " * 10, "image/synthetic"),  # falls back
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"), F.octet_length("payload").alias("n_bytes")
+        ).alias("meta"),
+    )
+    got = {r["doc_id"]: r for r in M.decode_media_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (33, 21, 3)
+    assert (got[2]["sample_rate"], got[2]["n_frames"]) == (8000, 1000)
+    assert (got[3]["width"], got[3]["n_frames"]) == (5, 3)
+    # fallback payload gets the synthetic length-derived metadata
+    n = len(rows[3][1])
+    assert got[4]["width"] == n % 64 + 1
 
 
 def test_payload_is_binary_with_typed_meta(media):
