@@ -78,6 +78,53 @@ def test_foreach_batch_merge_is_idempotent_upsert(spark, tmp_path):
     }
 
 
+def test_foreach_batch_merge_recovers_from_crashed_swap(spark, tmp_path):
+    """The rename-swap is two renames, not atomic.  Simulate both crash
+    states the recovery block must handle:
+
+    1. crash BETWEEN the renames: table stranded in .old, no live dir —
+       the retried batch must restore .old and merge against full history
+       (not silently rebuild from only the current batch);
+    2. crash AFTER the second rename: stale .old next to a live dir —
+       the next batch must clear it (os.rename into a non-empty dir would
+       raise ENOTEMPTY)."""
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    wh = str(tmp_path / "fact_events")
+    _write_batch(src, "b1.jsonl", [_ev("e1", 0, amount=10.0), _ev("e2", 1, amount=5.0)])
+
+    def run(i):
+        stream = P.read_event_stream(spark, str(src))
+        q = (
+            stream.writeStream.foreachBatch(P.foreach_batch_merge(wh))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(0)
+    assert {r["event_id"] for r in spark.read.parquet(wh).collect()} == {"e1", "e2"}
+
+    # state 1: crash between renames — live dir gone, history in .old
+    os.rename(wh, wh + ".old")
+    _write_batch(src, "b2.jsonl", [_ev("e3", 30, amount=7.0)])
+    run(1)  # fresh checkpoint: replays b1 + b2
+    rows = {r["event_id"] for r in spark.read.parquet(wh).collect()}
+    assert rows == {"e1", "e2", "e3"}
+    assert not os.path.exists(wh + ".old")
+
+    # state 2: stale .old alongside a live dir
+    shutil.copytree(wh, wh + ".old")
+    _write_batch(src, "b3.jsonl", [_ev("e4", 60, amount=1.0)])
+    run(2)
+    rows = {r["event_id"] for r in spark.read.parquet(wh).collect()}
+    assert rows == {"e1", "e2", "e3", "e4"}
+    assert not os.path.exists(wh + ".old")
+
+
 def test_sessionize_emits_closed_sessions(spark, tmp_path):
     src = tmp_path / "src"
     # u1: two sessions (gap 45 min > 30); u2: one open session -> not emitted.
