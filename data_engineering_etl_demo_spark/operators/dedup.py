@@ -192,6 +192,61 @@ def minhash_near_dup(
     return jaccard_pairs(shingled, pairs, id_col, threshold)
 
 
+def incremental_near_dup(
+    docs: DataFrame,
+    split_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingest dedup: for each INCOMING doc (id >= split_id),
+    find its best near-duplicate in the EXISTING corpus (id < split_id).
+    Returns (doc_id, dup_of, jaccard) — one row per flagged incoming doc,
+    best match by (jaccard desc, dup_of asc).
+
+    This is the production shape for continuous ingestion: the bucket join
+    is incoming-buckets × existing-buckets, so per-batch cost scales with
+    the increment's collisions, never corpus² — and in a real deployment
+    the existing side's signatures/buckets are precomputed once and stored,
+    making the marginal cost O(increment) end-to-end.  (Here both sides are
+    recomputed from the one documents table for self-containment.)"""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    shingled = explode_shingles(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signature_components(shingled, id_col)
+    buckets = lsh_band_buckets(sig, id_col)
+    existing = buckets.filter(F.col(id_col) < split_id)
+    incoming = buckets.filter(F.col(id_col) >= split_id)
+    pairs = (
+        existing.alias("a")
+        .join(
+            incoming.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    scored = jaccard_pairs(shingled, pairs, id_col, threshold)
+    w = Window.partitionBy("id_b").orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (Spark-side only — bit-twiddling has no portable SQL mirror)
 # ---------------------------------------------------------------------------

@@ -274,7 +274,11 @@ def _sql_hexbig(expr: str, start: int, n: int) -> str:
     )
 
 
-def _sql_minhash_near_dup(threshold: float, order: bool = True) -> str:
+def _sql_minhash_near_dup(
+    threshold: float,
+    order: bool = True,
+    pair_pred: str = "a.doc_id < b.doc_id",
+) -> str:
     # Affine family g_i = (a_i·h + b_i) mod p from ONE md5 per shingle —
     # mirrors operators/dedup.py minhash_signature_components term-for-term
     # (same p = 2^31-1 and the same generated a_i/b_i constants).
@@ -315,7 +319,7 @@ def _sql_minhash_near_dup(threshold: float, order: bool = True) -> str:
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-                           AND a.doc_id < b.doc_id
+                           AND ({pair_pred})
     ),
     dsh AS (SELECT DISTINCT doc_id, shingle FROM ex),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
@@ -346,6 +350,29 @@ def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup(_docs_wide(spark, sf_dir), threshold=0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+_INCR_SPLIT = 250  # doc_id boundary: < existing corpus, >= incoming batch
+
+
+@register(
+    "docs_incremental_dedup",
+    f"""
+    SELECT id_b AS doc_id, id_a AS dup_of, jaccard
+    FROM ({_sql_minhash_near_dup(0.5, order=False,
+           pair_pred=f"a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}")})
+    QUALIFY row_number() OVER (PARTITION BY id_b
+                               ORDER BY jaccard DESC, id_a) = 1
+    ORDER BY doc_id
+    """,
+    doc="incremental ingest dedup: each incoming doc (id >= split) checked "
+    "against the existing corpus (id < split) through the LSH buckets — "
+    "per-batch cost scales with the increment's collisions, never corpus².",
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.incremental_near_dup(
+        _docs_wide(spark, sf_dir), split_id=_INCR_SPLIT, threshold=0.5
+    ).orderBy("doc_id")
 
 
 # Dup-cluster oracle: the same MinHash pair set, clustered by transitive
@@ -644,6 +671,75 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("norm_s").cast("double") / F.lit(1e6)).alias("total_l2_norm"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings
+    )
+    SELECT vec_id,
+           floor(maxabs * 1e9) / 1e9 AS max_abs,
+           CASE WHEN maxabs = 0 THEN 0 ELSE
+               CAST(list_sum(list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT)
+               )) AS BIGINT) END AS sum_q,
+           CASE WHEN maxabs = 0 THEN 0 ELSE
+               CAST(list_sum(list_transform(embedding, x ->
+                   CAST(floor(abs(CAST(x AS DOUBLE)
+                       - CAST(CAST(floor(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT) AS DOUBLE)
+                         * maxabs / 127) * 1e9) AS BIGINT)
+               )) AS BIGINT) END AS sum_abs_err_e9
+    FROM m
+    ORDER BY vec_id
+    """,
+    doc="int8 symmetric quantization of the embedding column: per-vector "
+    "scale (max |x| / 127), quantized-component checksum and total "
+    "reconstruction error in exact fixed-point — the compression step a "
+    "vector store applies before indexing, checkable bit-for-bit because "
+    "every float op is a single IEEE primitive replayed in both engines.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(e, F.abs))
+
+    def q(x):  # quantized component: floor((x / maxabs) * 127) — BIGINT
+        return F.floor(x / maxabs * F.lit(127))
+
+    sum_q = F.aggregate(
+        e, F.lit(0).cast("long"), lambda acc, x: acc + q(x)
+    )
+    sum_err = F.aggregate(
+        e,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(
+            F.abs(x - q(x).cast("double") * maxabs / F.lit(127)) * F.lit(1e9)
+        ).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        emb.select(
+            "vec_id",
+            maxabs.alias("_maxabs"),
+            sum_q.alias("_sq"),
+            sum_err.alias("_se"),
+        )
+        .select(
+            "vec_id",
+            (F.floor(F.col("_maxabs") * F.lit(1e9)) / F.lit(1e9)).alias("max_abs"),
+            F.when(F.col("_maxabs") == 0, zero).otherwise(F.col("_sq")).alias("sum_q"),
+            F.when(F.col("_maxabs") == 0, zero)
+            .otherwise(F.col("_se"))
+            .alias("sum_abs_err_e9"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -1,0 +1,91 @@
+"""Registry-wide physical-plan lint: the 100 TB posture, enforced.
+
+Walks every registered batch query at sf0.001 and asserts the properties
+the design rules promise (README "Design rules", PLANS.md):
+
+- no CartesianProduct node anywhere, except the explicitly documented
+  bounded all-pairs baselines;
+- no BatchEvalPython node (row-at-a-time Python UDF) anywhere — Python in
+  the row path must be Arrow-batched (MapInPandas / FlatMapGroupsInPandas);
+- every parquet scan of the wide tables prunes its ReadSchema (never reads
+  all columns of events/lineitem unless the query genuinely needs them).
+
+Streaming queries are exempt: building their plan runs the stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_etl_demo_spark.plans import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Documented bounded all-pairs baselines (ground truth for the LSH paths):
+# - docs_ngram_jaccard: doc_id < _NGRAM_SAMPLE (import-time asserted ≤1000)
+# - embedding_near_dup_exact: mapInPandas block-nested-loop, side file
+#   bounded by EXACT_BASELINE_MAX_ROWS (not a Catalyst cartesian, but its
+#   query plan also carries a small crossJoin for the oracle projection)
+_CARTESIAN_OK = {
+    "docs_ngram_jaccard",
+    "embedding_near_dup_exact",
+}
+
+
+def _specs():
+    return [
+        (name, spec)
+        for name, spec in all_specs().items()
+        if spec.module != "streaming_plans"
+    ]
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """name → (optimized, executed) plan strings for every batch query."""
+    out = {}
+    for name, spec in _specs():
+        df = spec.spark_fn(spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        out[name] = (qe.optimizedPlan().toString(), qe.executedPlan().toString())
+    return out
+
+
+def test_no_undeclared_cartesian_products(plans):
+    offenders = {
+        name
+        for name, (opt, phys) in plans.items()
+        if "CartesianProduct" in phys and name not in _CARTESIAN_OK
+    }
+    assert not offenders, f"undeclared cartesian products in: {sorted(offenders)}"
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    offenders = {
+        name for name, (opt, phys) in plans.items() if "BatchEvalPython" in phys
+    }
+    assert not offenders, f"row-at-a-time Python UDFs in: {sorted(offenders)}"
+
+
+def test_wide_table_scans_prune_columns(plans):
+    """events has 6 columns, lineitem 16: a scan that reads every column
+    feeds an unpruned plan.  Whitelist queries whose SEMANTICS need all
+    columns (previews/dedup emit whole rows)."""
+    full_events_ok = {
+        "events_preview",  # emits the full row on purpose
+        "dedup_keep_latest",  # keep-latest returns whole events
+        "quarantine_invalid_events",  # quarantine carries the full record
+        "props_k_stats",  # needs props + all grouping columns
+    }
+    offenders = []
+    for name, (opt, phys) in plans.items():
+        for line in phys.splitlines():
+            if "FileScan parquet" not in line or "events.parquet" not in line:
+                continue
+            if "ReadSchema" not in line:
+                continue
+            schema = line.split("ReadSchema:")[1]
+            n_cols = schema.count(":")
+            if n_cols >= 6 and name not in full_events_ok:
+                offenders.append((name, schema.strip()[:80]))
+    assert not offenders, f"unpruned events scans: {offenders}"
