@@ -63,24 +63,40 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # min neighbor label per vertex, folded with the vertex's own label
         msgs = sym.join(
             labels.withColumnRenamed("node", "b"), on="b"
         ).select(F.col("a").alias("node"), "component")
-        new_labels = (
+        folded = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # Convergence detection rides the SAME action that materializes the
+        # round's labels: join the previous labels back in and observe the
+        # changed-count, so each round is ONE job instead of two (the
+        # join is node ⋈ node over two already-materialized tiny frames).
+        obs = Observation()
+        new_labels = (
+            folded.join(
+                labels.select(
+                    "node", F.col("component").alias("_prev")
+                ),
+                on="node",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("_prev"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

@@ -206,10 +206,14 @@ def _decode_any(payload: bytes, media_type: str) -> dict:
     magic (PNG/WAV/GIF), else the deterministic synthetic stand-in.  The
     sf testdata's synthetic payloads are utf-8 text and never match a
     magic, so the oracle-checked rows flow through _fake_decode unchanged
-    while real media bytes get real decoding."""
+    while real media bytes get real decoding.  Truncated/corrupt real
+    containers surface as struct/index errors from the parsers — treated
+    the same as not-a-container (fall back, never crash the Arrow batch)."""
+    import struct
+
     try:
         return decode_with_codec(payload, media_type)
-    except ValueError:
+    except (ValueError, IndexError, struct.error):
         return _fake_decode(payload, media_type)
 
 

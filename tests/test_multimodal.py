@@ -217,3 +217,29 @@ def test_audio_features_exact_sums(spark, media):
     assert r["n_samples"] == len(payload)
     assert r["sum_amp"] == sum(payload)
     assert r["sum_sq"] == sum(b * b for b in payload)
+
+
+def test_truncated_real_containers_fall_back_not_crash(spark):
+    """A payload with a valid magic but truncated body must fall back to
+    the synthetic decode, not blow up the Arrow batch."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, _make_png(10, 10)[:20], "image/png"),  # cut inside IHDR
+        (2, _make_wav(100)[:10], "audio/wav"),  # cut inside RIFF header
+        (3, _make_gif(4, 4, 2)[:8], "video/gif"),  # cut inside screen desc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("media_type"), F.octet_length("payload").alias("n_bytes")
+        ).alias("meta"),
+    )
+    got = {r["doc_id"]: r for r in M.decode_media_features(df).collect()}
+    assert set(got) == {1, 2, 3}
+    for doc_id, payload, _ in rows:
+        # fallback = length-derived fake metadata (image/video branches)
+        assert got[doc_id]["n_bytes"] == len(payload)
