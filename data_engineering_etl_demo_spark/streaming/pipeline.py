@@ -236,13 +236,29 @@ def run_to_completion(
     """Drain a bounded stream (availableNow) into a memory sink and return
     the materialized result as a static DataFrame.  Aggregations should pass
     output_mode='complete' so windows still open at the final watermark are
-    emitted too."""
+    emitted too.
+
+    The checkpoint goes to a fresh per-run dir on tmpfs when available
+    (/dev/shm): the state store fsyncs its delta files at every micro-batch
+    commit, which on a disk-backed /tmp dominates small-drain latency.  A
+    long-lived production stream would instead point this at durable
+    storage (HDFS/S3) — the checkpoint is the recovery contract there."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = os.path.join(base, f"spark_graft_ckpt-{query_name}-{uuid.uuid4().hex}")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(query_name)
