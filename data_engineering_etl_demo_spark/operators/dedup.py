@@ -7,10 +7,12 @@ Design for 100 TB (the whole point of these operators):
 - MinHash-LSH: shingle → K portable min-hashes → B bands; docs sharing a
   band bucket become candidate pairs; exact Jaccard verifies candidates.
   The band join touches only colliding buckets — the O(n²) all-pairs
-  comparison never materializes.  Hash = md5(seed || shingle) so the DuckDB
-  oracle computes identical signatures (Spark xxhash64 and DuckDB hash()
-  are different algorithms; md5 is the portable common denominator, and at
-  scale the extra hashing cost is dwarfed by the shuffle LSH avoids).
+  comparison never materializes.  Base hash = md5 per WORD + an integer
+  polynomial fold per shingle (portable: Spark xxhash64 and DuckDB hash()
+  are different algorithms; md5 is the common denominator, and hashing
+  words once instead of md5-ing every shingle string makes the signature
+  pass ~7x cheaper — at scale the hash cost is dwarfed by the shuffle LSH
+  avoids anyway).
 - SimHash: 64-bit signature whose Hamming distance tracks cosine similarity
   of token sets; near-dup candidates = equal signature prefix bands.
 - embedding near-dup: random-hyperplane sign-LSH over the embedding column;
@@ -22,18 +24,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_engineering_etl_demo_spark.operators.text import fingerprint, word_shingles
+from data_engineering_etl_demo_spark.operators.text import fingerprint, words
 
 # LSH geometry: K = BANDS * ROWS_PER_BAND signature components.
-# Candidate recall at jaccard t is 1-(1-t^r)^b; with 12 bands of 2 rows a
-# pair at the default verify threshold (0.5) is banded w.p. ≈0.968 and at
-# 0.7 w.p. ≈0.9997.  (The earlier 4×3 layout missed a 0.7-jaccard planted
-# pair — collision probability there was only ≈0.81; r=2 trades a coarser
-# bucket, i.e. more false candidates for the exact-Jaccard verify to
-# reject, for near-full recall across the advertised range.  Recall is
+# Candidate recall at jaccard t is 1-(1-t^r)^b; with 20 bands of 2 rows a
+# pair at the default verify threshold (0.5) is banded w.p. ≈0.997 and at
+# 0.7 w.p. ≈0.999999.  (The earlier 4×3 layout missed a 0.7-jaccard
+# planted pair at ≈0.81 collision probability, and 12×2/16×2
+# deterministically missed jaccard≈0.50 pairs under the word-fold base
+# hash; r=2 trades a coarser bucket, i.e. more false candidates for the
+# exact-Jaccard verify to reject, for near-full recall across the
+# advertised range.  The extra bands are cheap now that the K
+# min-aggregates fold longs instead of md5-ing shingle strings.  Recall is
 # pinned by tests/test_dedup_pipeline.py.)
-MINHASH_K = 24
-LSH_BANDS = 12
+MINHASH_K = 40
+LSH_BANDS = 20
 ROWS_PER_BAND = 2
 
 
@@ -50,14 +55,90 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# Shingle hashing: one md5 per WORD (cached per batch), then each 5-word
+# shingle's hash is the left fold  acc -> (acc*BASE + wh) mod P  over the
+# shingle's word hashes (init 0).  Both engines replay the identical
+# integer arithmetic: Spark runs the vectorized numpy kernel below, the
+# DuckDB oracle runs list_transform(md5-decode) + list_reduce.  BASE and
+# every intermediate stay < 2^31, so acc*BASE + wh < 2^63 — exact in
+# BIGINT/int64 on both sides.  (Earlier rounds built each shingle as a
+# space-joined STRING and md5'd it — the interpreted transform/slice/
+# array_join chain cost ~3 s of the 3.9 s sf0.1 bench entry; hashing words
+# once and folding integers is ~7x cheaper and shrinks every downstream
+# shuffle from 30-char strings to longs.)
+SHINGLE_N = 5
+SHINGLE_BASE = 2147483629
+
+
 def explode_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) — DISTINCT shingles per doc, exploded once.  Both the
-    signature pass and the Jaccard verify consume this; computing it once
-    (and persisting it across the two passes) halves the dominant cost —
-    min() over md5 is unaffected by dropping duplicate shingles."""
-    return docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
+    """(id, shingle) — DISTINCT shingle HASHES (long) per doc, exploded
+    once.  Both the signature pass and the Jaccard verify consume this;
+    computing it once (and persisting it across the two passes) halves the
+    dominant cost.  Jaccard over hashed shingles equals Jaccard over the
+    shingle strings up to mod-2^31 collisions, which the oracle mirrors
+    exactly (same arithmetic, same collisions).
+
+    Arrow-batched mapInPandas: the per-doc work (md5 per distinct word +
+    a width-5 integer fold) is row-local, so the kernel scales linearly
+    with input splits — no shuffle is introduced; callers repartition the
+    single-file local testdata first (see plans/llmdata._docs_wide)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("shingle", LongType()),
+        ]
+    )
+    n, base, p = SHINGLE_N, SHINGLE_BASE, MINHASH_P
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        word_h: dict[str, int] = {}  # md5 cache — corpora repeat words heavily
+
+        def wh(tok: str) -> int:
+            h = word_h.get(tok)
+            if h is None:
+                h = (
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "big")
+                    % p
+                )
+                word_h[tok] = h
+            return h
+
+        for pdf in batches:
+            ids, hs = [], []
+            for did, warr in zip(pdf[id_col], pdf["_w"]):
+                whs = np.fromiter(
+                    (wh(t) for t in warr), dtype=np.int64, count=len(warr)
+                )
+                nw = len(whs)
+                if nw >= n:
+                    acc = np.zeros(nw - n + 1, dtype=np.int64)
+                    for j in range(n):
+                        acc = (acc * base + whs[j : j + nw - n + 1]) % p
+                else:
+                    # short doc: its single shingle folds over all nw words
+                    # (empty doc -> the init value 0), mirroring the clamped
+                    # slice whs[i:i+4] the oracle evaluates.
+                    a = 0
+                    for v in whs:
+                        a = (a * base + int(v)) % p
+                    acc = np.array([a], dtype=np.int64)
+                u = np.unique(acc)
+                ids.append(np.full(len(u), did, dtype=np.int64))
+                hs.append(u)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids), "shingle": np.concatenate(hs)}
+                )
+
+    return docs.select(F.col(id_col), words(F.col(text_col)).alias("_w")).mapInPandas(
+        kernel, out_schema
     )
 
 
@@ -79,13 +160,11 @@ MINHASH_B = [(_GOLD * 7919 * (i + 1)) % MINHASH_P for i in range(MINHASH_K)]
 
 def minhash_signature_components(shingled: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
     """(id, mh0..mhK-1) — one groupBy pass computes all K mins over the
-    affine family above.  One md5 per shingle regardless of K (the K
-    transforms are integer multiply-add-mod), so the signature pass costs
-    the same as the old degenerate family but keeps the bands actually
-    pairwise-independent."""
-    hx = F.md5(F.col("shingle"))
-    h = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % MINHASH_P)
-    base = shingled.select(F.col(id_col), h.alias("_h"))
+    affine family above.  The shingle column already IS the reduced base
+    hash (< p, from explode_shingles), so the K transforms are pure integer
+    multiply-add-mod over longs — whole-stage-codegen'd, no string work —
+    and the bands stay pairwise-independent."""
+    base = shingled.select(F.col(id_col), F.col("shingle").alias("_h"))
     return base.groupBy(id_col).agg(
         *[
             F.min(

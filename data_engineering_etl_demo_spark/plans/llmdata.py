@@ -279,9 +279,14 @@ def _sql_minhash_near_dup(
     order: bool = True,
     pair_pred: str = "a.doc_id < b.doc_id",
 ) -> str:
-    # Affine family g_i = (a_i·h + b_i) mod p from ONE md5 per shingle —
-    # mirrors operators/dedup.py minhash_signature_components term-for-term
-    # (same p = 2^31-1 and the same generated a_i/b_i constants).
+    # Affine family g_i = (a_i·h + b_i) mod p — mirrors operators/dedup.py
+    # minhash_signature_components term-for-term (same p = 2^31-1 and the
+    # same generated a_i/b_i constants).  Base hash h per shingle replays
+    # the kernel in dedup.explode_shingles exactly: md5 per WORD reduced
+    # mod p, then list_reduce's left fold acc -> (acc*BASE + wh) mod p over
+    # the shingle's 5 word hashes (list_reduce seeds with the first
+    # element, which equals fold-with-init-0 since (0*BASE + wh0) mod p =
+    # wh0).  All intermediates < 2^63: exact BIGINT on both engines.
     sig_cols = ",\n               ".join(
         f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P}) AS mh{i}"
         for i in range(D.MINHASH_K)
@@ -296,23 +301,29 @@ def _sql_minhash_near_dup(
         )
         for b in range(D.LSH_BANDS)
     )
+    fold = (
+        f"list_reduce(whs[i:i+{D.SHINGLE_N - 1}], "
+        f"(a, x) -> (a * {D.SHINGLE_BASE} + x) % {D.MINHASH_P})"
+    )
     return f"""
     WITH ws AS (
         SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents
     ),
-    sh AS (
+    wh AS (
         SELECT doc_id,
-               list_transform(range(1, greatest(len(w) - 4, 1) + 1),
-                              i -> array_to_string(w[i:i+4], ' ')) AS shingles
+               list_transform(w, x -> {_sql_hexbig('x', 1, 8)} % {D.MINHASH_P}) AS whs
         FROM ws
     ),
-    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    hs AS (
+    ex AS (
         SELECT doc_id,
-               {_sql_hexbig('shingle', 1, 8)} % {D.MINHASH_P} AS h
-        FROM ex
+               unnest(list_distinct(CASE
+                   WHEN len(whs) = 0 THEN [CAST(0 AS BIGINT)]
+                   ELSE list_transform(range(1, greatest(len(whs) - {D.SHINGLE_N - 1}, 1) + 1),
+                                       i -> {fold})
+               END)) AS h
+        FROM wh
     ),
-    sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
     bk AS (
 {band_selects}
     ),
@@ -321,7 +332,7 @@ def _sql_minhash_near_dup(
         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                            AND ({pair_pred})
     ),
-    dsh AS (SELECT DISTINCT doc_id, shingle FROM ex),
+    dsh AS (SELECT doc_id, h AS shingle FROM ex),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
     inter AS (
         SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
