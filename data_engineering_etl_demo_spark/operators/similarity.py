@@ -124,29 +124,188 @@ def ivf_assign(
     n_cells: int = IVF_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_vec: bool = False,
+    centroids=None,
 ) -> DataFrame:
-    """(id, cell): nearest-centroid assignment by cosine, ties → lowest cell.
+    """(id, cell) — nearest-centroid assignment by cosine, ties → lowest
+    cell; ``with_vec=True`` passes the vector through so downstream steps
+    (probe scoring, Lloyd mean-update) skip a re-join with the corpus.
 
     Centroid 'training' is a deterministic stand-in — the first ``n_cells``
     vectors (vec_id < n_cells) seed the cells, so the oracle can reproduce
     the assignment exactly; a production build would run k-means (e.g.
     pyspark.ml.clustering.KMeans) and broadcast the fitted centroids the
-    same way.  The assignment is one broadcast nested-loop over n_cells
-    centroids — no shuffle of the corpus."""
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    same way.  The n_cells-row collect IS that broadcast (a fitted-model
+    constant, not data); the corpus itself streams through an Arrow-batched
+    numpy kernel — no shuffle at all.  The kernel mirrors scaled_dot/trunc9
+    IEEE op-for-op (widen, multiply, ·1e12, floor, exact int64 sum, divide,
+    floor(·1e9)/1e9), so assignments are bit-identical to the previous
+    Catalyst expression form and to the DuckDB oracle — but ~10× cheaper
+    than n_cells interpreted HOF cosines per row."""
+    cents = centroids or _collect_centroids(corpus, n_cells, id_col, vec_col)
+    return _assign_to_centroids(corpus, cents, id_col, vec_col, with_vec)
+
+
+def _collect_centroids(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    """(cells, cmat, sqrt_css) numpy triple for the n_cells seed vectors —
+    the fitted-model constant every assignment task closes over."""
+    import numpy as np
+
+    rows = sorted(
+        corpus.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(cents)
+    cells = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return _finish_centroids(cells, cmat)
+
+
+def centroids_from_parquet(path: str, n_cells: int = IVF_CELLS,
+                           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Same centroid constant, read driver-side straight from the parquet
+    file (predicate-pushdown on the id) — skips the extra Spark job a
+    collect() schedules.  Loading a fitted model's K vectors is driver
+    work, not a distributed scan; float32→float64 widening is exact, so
+    the triple is bit-identical to _collect_centroids'."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet")
+    tbl = ds.to_table(
+        columns=[id_col, vec_col], filter=pads.field(id_col) < n_cells
     )
-    w = Window.partitionBy(id_col).orderBy(
-        cosine(F.col(vec_col), F.col("cvec")).desc(), F.col("cell")
+    order = np.argsort(tbl[id_col].to_numpy())
+    cells = tbl[id_col].to_numpy()[order]
+    flat = tbl[vec_col].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    cmat = flat.astype(np.float64).reshape(len(cells), -1)[order]
+    return _finish_centroids(cells, cmat)
+
+
+def _finish_centroids(cells, cmat):
+    import numpy as np
+
+    css = np.floor((cmat * cmat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+    return cells, cmat, np.sqrt(css.astype(np.float64))
+
+
+def _nearest_cells(mat, cents):
+    """best cell per row of ``mat`` (float64) — the shared Lloyd-assignment
+    arithmetic: fixed-point cosine vs each centroid, ascending cells with a
+    strict > so ties keep the LOWEST cell (the order the old window
+    (cos DESC, cell ASC) picked).  Used identically by the distributed
+    kernel and the driver-side query-assignment fast path."""
+    import numpy as np
+
+    cells, cmat, sqrt_css = cents
+    ss = np.floor((mat * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+    sqrt_ss = np.sqrt(ss.astype(np.float64))
+    best_cos = np.full(len(mat), -np.inf)
+    best_cell = np.zeros(len(mat), dtype=np.int64)
+    for ci in range(len(cells)):
+        dots = np.floor(mat * cmat[ci] * PROD_SCALE).astype(np.int64).sum(axis=1)
+        cos = np.floor(dots.astype(np.float64) / (sqrt_ss * sqrt_css[ci]) * 1e9) / 1e9
+        upd = cos > best_cos
+        best_cos[upd] = cos[upd]
+        best_cell[upd] = cells[ci]
+    return best_cell
+
+
+def vectors_from_parquet(path: str, lo: int, hi: int,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(ids, mat float64) for id ∈ [lo, hi), read driver-side with
+    predicate pushdown — for broadcast-sized sides (query vectors) where a
+    distributed scan is all fixed cost."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet")
+    fld = pads.field(id_col)
+    tbl = ds.to_table(columns=[id_col, vec_col], filter=(fld >= lo) & (fld < hi))
+    order = np.argsort(tbl[id_col].to_numpy())
+    ids = tbl[id_col].to_numpy()[order]
+    flat = tbl[vec_col].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), -1)[order]
+    return ids, mat
+
+
+def _assign_to_centroids(
+    df: DataFrame, cents, id_col: str, vec_col: str, with_vec: bool
+) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cells, cmat, sqrt_css = cents
+    in_fields = {f.name: f for f in df.schema.fields}
+    fields = [in_fields[id_col], StructField("cell", LongType())]
+    if with_vec:
+        fields.insert(1, in_fields[vec_col])
+    out_schema = StructType(fields)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            best_cell = _nearest_cells(mat, (cells, cmat, sqrt_css))
+            out = {id_col: pdf[id_col].to_numpy(), "cell": best_cell}
+            if with_vec:
+                out[vec_col] = pdf[vec_col].to_numpy()
+            yield pd.DataFrame(out)[[f.name for f in fields]]
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pairwise_cosine(
+    df: DataFrame,
+    id_a: str,
+    id_b: str,
+    vec_a: str,
+    vec_b: str,
+    out: str = "cosine_sim",
+) -> DataFrame:
+    """(id_a, id_b, cosine) for rows carrying BOTH vectors side by side
+    (the shape a broadcast join produces) — one vectorized Arrow batch
+    instead of an interpreted 3×zip_with/aggregate lambda chain per row.
+    Same fixed-point op sequence as scaled_dot/trunc9, so values are
+    bit-identical to the expression form and the DuckDB oracle."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[id_a], in_fields[id_b], StructField(out, DoubleType())]
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cell")
-    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[vec_a].to_numpy()).astype(np.float64)
+            b = np.stack(pdf[vec_b].to_numpy()).astype(np.float64)
+            dots = np.floor(a * b * PROD_SCALE).astype(np.int64).sum(axis=1)
+            ssa = np.floor(a * a * PROD_SCALE).astype(np.int64).sum(axis=1)
+            ssb = np.floor(b * b * PROD_SCALE).astype(np.int64).sum(axis=1)
+            cos = (
+                np.floor(
+                    dots.astype(np.float64)
+                    / (np.sqrt(ssa.astype(np.float64)) * np.sqrt(ssb.astype(np.float64)))
+                    * 1e9
+                )
+                / 1e9
+            )
+            yield pd.DataFrame(
+                {
+                    id_a: pdf[id_a].to_numpy(),
+                    id_b: pdf[id_b].to_numpy(),
+                    out: cos,
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def ivf_topk(
@@ -156,28 +315,100 @@ def ivf_topk(
     n_cells: int = IVF_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
+    query_vectors=None,
 ) -> DataFrame:
     """(query_id, cand_id, cosine_sim, rank): approximate top-k — each query
     probes only its own IVF cell (nprobe=1).  The scale path vs brute force:
-    candidate count drops by ~n_cells×, and the probe join shuffles on the
-    cell id, never the full corpus×queries cross product."""
-    assign = ivf_assign(corpus, n_cells, id_col, vec_col)
-    c = corpus.join(assign, on=id_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cell"
-    )
-    q = (
-        queries.join(assign, on=id_col)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell")
-    )
-    scored = (
-        c.join(F.broadcast(q), on="cell")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    candidate count drops by ~n_cells×.
+
+    Single-pass probe: the query side is broadcast-sized BY CONTRACT (a
+    handful of vectors), so it is assigned driver-side (same _nearest_cells
+    arithmetic) and closed over by ONE corpus kernel that assigns each
+    corpus row to its cell and scores it against that cell's queries in
+    the same Arrow batch — one pass over the corpus, no join, no second
+    Python stage.  All arithmetic mirrors scaled_dot/trunc9 op-for-op, so
+    values are bit-identical to the expression form and the DuckDB oracle.
+
+    ``query_vectors`` = (ids, mat float64) from vectors_from_parquet skips
+    even the query-collect Spark job (driver-side parquet pushdown)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cents = centroids or _collect_centroids(corpus, n_cells, id_col, vec_col)
+    if query_vectors is not None:
+        qids, qmat = query_vectors
+    else:
+        rows = sorted(
+            queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
         )
+        qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        qmat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    qcell = _nearest_cells(qmat, cents)
+    qss = np.floor((qmat * qmat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+    # cell -> (qids, qmat, sqrt_qss): the per-cell probe sets each task
+    # closes over — the broadcast side of the probe, as a plain constant
+    by_cell = {}
+    for c in np.unique(qcell):
+        m = qcell == c
+        by_cell[int(c)] = (
+            qids[m],
+            qmat[m],
+            np.sqrt(qss[m].astype(np.float64)),
+        )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
     )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cell = _nearest_cells(mat, cents)
+            ss = np.floor((mat * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+            sqrt_ss = np.sqrt(ss.astype(np.float64))
+            outs = []
+            for c, (qi, qm, sq) in by_cell.items():
+                m = cell == c
+                if not m.any():
+                    continue
+                cm, ci, cs = mat[m], ids[m], sqrt_ss[m]
+                for j in range(len(qi)):
+                    dots = (
+                        np.floor(cm * qm[j] * PROD_SCALE)
+                        .astype(np.int64)
+                        .sum(axis=1)
+                    )
+                    cos = (
+                        np.floor(dots.astype(np.float64) / (sq[j] * cs) * 1e9)
+                        / 1e9
+                    )
+                    keep = ci != qi[j]
+                    if keep.any():
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": np.full(
+                                        int(keep.sum()), qi[j], dtype=np.int64
+                                    ),
+                                    "cand_id": ci[keep],
+                                    "cosine_sim": cos[keep],
+                                }
+                            )
+                        )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("cand_id")
     )
@@ -186,6 +417,51 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def lloyd_partials(
+    corpus: DataFrame,
+    centroids,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-Arrow-batch partial sums for one k-means Lloyd step:
+    (cell, n, s0..s{dims-1}) where s_d = Σ floor(v[d]·1e9) as int64 — the
+    map-side combine fused into the assignment kernel, so the final
+    groupBy(cell).sum() exchanges ≤ n_cells rows per batch instead of the
+    whole assigned corpus.  Fixed-point integer partials are exact and
+    order-independent, so the fused form is bit-identical to assigning
+    then aggregating."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("cell", LongType()), StructField("n", LongType())]
+        + [StructField(f"s{d}", LongType()) for d in range(dims)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = _nearest_cells(mat, centroids)
+            comp = np.floor(mat[:, :dims] * 1e9).astype(np.int64)
+            cells = np.unique(cell)
+            out = {
+                "cell": cells,
+                "n": np.array([(cell == c).sum() for c in cells], dtype=np.int64),
+            }
+            for d in range(dims):
+                out[f"s{d}"] = np.array(
+                    [comp[cell == c, d].sum() for c in cells], dtype=np.int64
+                )
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -1046,7 +1046,12 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
     )
-    return S.ivf_topk(emb, queries, k=_TOPK_K)
+    # centroid constant + query vectors read driver-side (pushdown on
+    # vec_id) — neither broadcast-sized side deserves a Spark stage
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = S.centroids_from_parquet(path)
+    qvecs = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
+    return S.ivf_topk(emb, queries, k=_TOPK_K, centroids=cents, query_vectors=qvecs)
 
 
 # ---------------------------------------------------------------------------
@@ -1483,19 +1488,17 @@ _KMEANS_DIMS = 4  # centroid components reported (of 64)
 )
 def q_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    assign = S.ivf_assign(emb)  # the Lloyd assignment step (ties → low cell)
-    comp_sums = [
-        F.sum(
-            F.floor(
-                F.element_at(F.col("embedding"), d + 1).cast("double") * F.lit(1e9)
-            ).cast("long")
-        ).alias(f"s{d}")
-        for d in range(_KMEANS_DIMS)
-    ]
-    upd = (
-        emb.join(assign, on="vec_id")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_assigned"), *comp_sums)
+    # Lloyd assignment (ties → low cell) fused with map-side partial sums:
+    # one kernel pass over the corpus, then a ≤16-rows-per-batch exchange.
+    # The centroid constant is read driver-side (no collect job).
+    partials = S.lloyd_partials(
+        emb,
+        S.centroids_from_parquet(f"{sf_dir}/embeddings.parquet"),
+        dims=_KMEANS_DIMS,
+    )
+    upd = partials.groupBy("cell").agg(
+        F.sum("n").alias("n_assigned"),
+        *[F.sum(f"s{d}").alias(f"s{d}") for d in range(_KMEANS_DIMS)],
     )
     means = [
         S.trunc9(
@@ -1504,4 +1507,10 @@ def q_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mean_d{d}")
         for d in range(_KMEANS_DIMS)
     ]
-    return upd.select("cell", "n_assigned", *means).orderBy("cell")
+    # coalesce(1)+sortWithinPartitions == orderBy on ≤16 rows, minus the
+    # range-partitioner sampling job a global sort schedules
+    return (
+        upd.select("cell", "n_assigned", *means)
+        .coalesce(1)
+        .sortWithinPartitions("cell")
+    )
