@@ -38,13 +38,20 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 # DataFrame plan cache: spark.read.parquet re-lists files and re-resolves the
 # schema on every call; reusing the (immutable) plan object removes that
-# fixed per-query cost.  Keyed by session id so a restarted session never
-# sees stale plans.
+# fixed per-query cost.  Keyed by the context's applicationId — unlike
+# id(spark), it can never be recycled by a stop()+restart that allocates a
+# new session at the same address, so a stale analyzed plan is unreachable.
 _df_cache: dict[tuple, DataFrame] = {}
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable identity of the underlying SparkContext (applicationId is
+    unique per context; a restarted session gets a fresh one)."""
+    return spark.sparkContext.applicationId
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     cached = _df_cache.get(key)
     if cached is not None:
         return cached

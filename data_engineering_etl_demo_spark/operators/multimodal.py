@@ -116,23 +116,30 @@ def _parse_wav(payload: bytes) -> dict:
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("WAV: not a RIFF/WAVE container")
-    pos, channels, rate, bits, n_frames = 12, None, None, None, None
+    pos, channels, rate, bits, data_size = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and size >= 16:
             _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data" and channels:
-            n_frames = size // (channels * max(bits // 8, 1))
+        elif cid == b"data":
+            # record the size only — RIFF permits data BEFORE fmt_, so the
+            # frame math waits until the walk has seen both chunks
+            data_size = size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if channels is None or rate is None:
         raise ValueError("WAV: no fmt chunk")
+    n_frames = (
+        data_size // (channels * max(bits // 8, 1))
+        if data_size is not None and channels
+        else 0
+    )
     return {
         "width": None,
         "height": None,
         "channels": channels,
-        "n_frames": n_frames or 0,
+        "n_frames": n_frames,
         "sample_rate": rate,
     }
 

@@ -47,7 +47,12 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
         if memoize:
 
             def memo_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-                key = (name, id(spark), sf_dir)
+                from data_engineering_etl_demo_spark.catalog import session_key
+
+                # applicationId, not id(spark): a stopped+restarted session
+                # can reuse the same object address, which would serve a
+                # stale analyzed plan from the dead context
+                key = (name, session_key(spark), sf_dir)
                 df = _plan_memo.get(key)
                 if df is None:
                     df = fn(spark, sf_dir)
@@ -69,32 +74,31 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-3 verification ordering, derived from CORRECTNESS_r01/r02.json.
-# The driver walks ``queries()`` in dict order and stops after ~50 of the
-# 77 registered queries, so ordering decides which queries get hard-signal
-# rows.  Risk-first: queries with NO green row in any round, then round-2
-# reds (the ts-NTZ regression, fixed this round), then the 4 streaming
-# queries (round-2's reader silently corrupted timestamps — never verified
-# against the current µs testdata), then round-1-green-only queries that
-# fell past round 2's cap.  Round-2 greens carry the freshest evidence and
-# can safely sit beyond the cap.
-_NEVER_GREEN = {
-    "events_purchase_window",
-    "events_rolling_hour",
-    "events_ordered_funnel",
-    "events_session_window",
-    "events_user_scd2",
-}
-_ROUND2_RED = {
-    "dau",
-    "revenue",
-    "event_counts",
-    "funnel",
-    "events_preview",
-    "quarantine_invalid_events",
-    "dedup_keep_latest",
-    "props_k_stats",
-    "events_click_attribution",
+# Round-4 verification ordering.  The driver walks ``queries()`` in dict
+# order and stops after ~50 of the 80 registered queries, so ordering
+# decides which queries get hard-signal rows.  Principle (round-3 advice):
+# order by EVIDENCE STALENESS OF THE CURRENT IMPLEMENTATION, not by last
+# round's colors —
+#   0. queries whose implementation changed THIS round (their green rows
+#      are for code that no longer exists),
+#   1. queries whose freshest green is round 2 (they sat beyond round 3's
+#      cap; two rounds stale),
+#   2. everything green in round 3 (freshest evidence; safe beyond cap),
+#   3. streaming last — round-3 green AND each one costs multiple seconds
+#      of driver budget.
+_CHANGED_THIS_ROUND = {
+    # MinHash base hash reworked (word-fold kernel, 20x2 bands)
+    "docs_minhash_near_dup",
+    "docs_incremental_dedup",
+    "docs_dedup_survivors",
+    "docs_dup_clusters",
+    # IVF/k-means vectorized single-pass kernels
+    "embedding_topk_ivf",
+    "embedding_kmeans_step",
+    # shuffle-hash join
+    "sole_late_supplier",
+    # oracle empty-array guard
+    "embedding_quantize",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",
@@ -114,15 +118,13 @@ _ROUND2_GREEN = {
 
 
 def _verify_priority(spec: QuerySpec) -> int:
-    if spec.name in _NEVER_GREEN:
+    if spec.name in _CHANGED_THIS_ROUND:
         return 0
-    if spec.name in _ROUND2_RED:
+    if spec.name in _ROUND2_GREEN:
         return 1
     if spec.module == "streaming_plans":
-        return 2
-    if spec.name in _ROUND2_GREEN:
-        return 4
-    return 3
+        return 3
+    return 2
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -690,8 +690,10 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT vec_id, embedding,
-               list_max(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+               -- coalesce: list_max([]) is NULL; an empty vector must take
+               -- the degenerate-scale branch (0), matching the Spark side
+               coalesce(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 0) AS maxabs
         FROM embeddings
     )
     SELECT vec_id,
@@ -725,7 +727,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = emb.select(
         "vec_id",
         e.alias("_e"),
-        F.array_max(F.transform(e, F.abs)).alias("_maxabs"),
+        # coalesce: array_max([]) is NULL; an empty vector must take the
+        # maxabs = 0 branch (sum_q / err = 0), mirrored in the oracle
+        F.coalesce(F.array_max(F.transform(e, F.abs)), F.lit(0.0)).alias(
+            "_maxabs"
+        ),
     )
     maxabs = F.col("_maxabs")
 

@@ -24,14 +24,30 @@ def _events_read_schema(sf_dir: str) -> tuple[T.StructType, str]:
     'nanos_long' | 'ntz' | 'ltz'."""
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if not pa.types.is_timestamp(ts_type):
+        # int64 epoch-nanos is the only non-timestamp drift seen in the
+        # wild (pandas writing raw ns); anything else must fail loudly,
+        # not AttributeError inside the drift-resilience helper itself
+        if pa.types.is_int64(ts_type):
+            return _schema_with_ts(T.LongType()), "nanos_long"
+        raise TypeError(
+            f"events.ts has unsupported parquet type {ts_type}; expected a "
+            "timestamp (any unit/tz) or int64 epoch-nanos"
+        )
     if ts_type.unit == "ns":
         spark_ts, mode = T.LongType(), "nanos_long"
     elif ts_type.tz is None:
         spark_ts, mode = T.TimestampNTZType(), "ntz"
     else:
         spark_ts, mode = T.TimestampType(), "ltz"
-    schema = T.StructType(
+    return _schema_with_ts(spark_ts), mode
+
+
+def _schema_with_ts(spark_ts: T.DataType) -> T.StructType:
+    return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", spark_ts),
@@ -41,7 +57,6 @@ def _events_read_schema(sf_dir: str) -> tuple[T.StructType, str]:
             T.StructField("props", T.StringType()),
         ]
     )
-    return schema, mode
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

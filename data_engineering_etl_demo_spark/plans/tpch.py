@@ -959,8 +959,12 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supp = load(spark, sf_dir, "supplier")
+    # shuffle-hash build on the smaller orders side: same co-partitioned
+    # exchange as sort-merge but skips both sort passes over the 4x-larger
+    # lineitem side (~15% at sf0.1, more at scale where the sorts spill;
+    # orders is NOT broadcast — it scales with the fact table).
     lines = li.join(
-        orders, li["l_orderkey"] == orders["o_orderkey"]
+        orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
     ).select(
         "l_orderkey",
         "l_suppkey",

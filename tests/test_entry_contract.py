@@ -42,15 +42,59 @@ def test_every_query_is_callable_and_oracle_keys_subset():
         assert isinstance(osql[name], str) and osql[name].strip(), name
 
 
-def test_verify_order_puts_risk_first():
-    """The driver walks queries() in dict order and stops near 50; the
-    head of the ordering must be the queries that still need hard-signal
-    rows (never-green, round-2 reds, streaming), with round-2 greens —
-    the freshest evidence — beyond the cap."""
-    from data_engineering_etl_demo_spark.plans import _ROUND2_GREEN
+def test_verify_order_puts_stale_evidence_first():
+    """The driver walks queries() in dict order and stops near its cap, so
+    the ordering must be an evidence-staleness sort: every query whose
+    implementation changed this round sorts before every unchanged one,
+    and every unchanged query with only round-2 evidence sorts before
+    every round-3-green one.  Relative-order property only — no hardcoded
+    cap index, so adding queries or a driver cap change can't break it."""
+    from data_engineering_etl_demo_spark.plans import (
+        _CHANGED_THIS_ROUND,
+        _ROUND2_GREEN,
+        all_specs,
+    )
 
     names = list(E.queries())
-    beyond_cap = names[50:]
-    assert all(n in _ROUND2_GREEN for n in beyond_cap), [
-        n for n in beyond_cap if n not in _ROUND2_GREEN
+    pos = {n: i for i, n in enumerate(names)}
+    specs = all_specs()
+    changed = [n for n in names if n in _CHANGED_THIS_ROUND]
+    stale = [
+        n for n in names if n in _ROUND2_GREEN and n not in _CHANGED_THIS_ROUND
     ]
+    fresh = [
+        n
+        for n in names
+        if n not in _ROUND2_GREEN
+        and n not in _CHANGED_THIS_ROUND
+        and specs[n].module != "streaming_plans"
+    ]
+    streaming = [n for n in names if specs[n].module == "streaming_plans"]
+    assert changed and stale and fresh and streaming
+    assert max(pos[n] for n in changed) < min(pos[n] for n in stale)
+    assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
+    assert max(pos[n] for n in fresh) < min(pos[n] for n in streaming)
+
+
+def test_plan_caches_keyed_by_application_id(spark, monkeypatch):
+    """A stopped+restarted session can allocate a new SparkSession at the
+    same object address, so id(spark) could serve a stale plan from the
+    dead context; the caches must key on applicationId instead."""
+    from data_engineering_etl_demo_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    calls: list[str] = []
+    real_load = catalog._load
+
+    def counting_load(s, d, n):
+        calls.append(n)
+        return real_load(s, d, n)
+
+    monkeypatch.setattr(catalog, "_load", counting_load)
+    catalog._df_cache.clear()
+    assert catalog.load(spark, sf, "nation") is catalog.load(spark, sf, "nation")
+    assert calls.count("nation") == 1  # memo hit within one applicationId
+    # simulate a restart: same session object, different applicationId
+    monkeypatch.setattr(catalog, "session_key", lambda s: "app-after-restart")
+    catalog.load(spark, sf, "nation")
+    assert calls.count("nation") == 2  # stale entry NOT served

@@ -86,6 +86,26 @@ def test_codec_decodes_real_wav():
     assert meta["width"] is None
 
 
+def test_codec_wav_data_chunk_before_fmt():
+    """RIFF permits the data chunk ahead of fmt_; the frame count must be
+    computed after the whole chunk walk, not only when fmt_ came first."""
+    import struct
+
+    normal = _make_wav(480, rate=22050, channels=2)
+    # rebuild with chunks swapped: RIFF header + data + fmt_
+    pos, chunks = 12, {}
+    while pos + 8 <= len(normal):
+        cid = normal[pos : pos + 4]
+        (size,) = struct.unpack("<I", normal[pos + 4 : pos + 8])
+        chunks[cid] = normal[pos : pos + 8 + size + (size & 1)]
+        pos += 8 + size + (size & 1)
+    body = chunks[b"data"] + chunks[b"fmt "]
+    swapped = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    meta = M.decode_with_codec(swapped, "audio/wav")
+    assert meta["n_frames"] == 480
+    assert meta["channels"] == 2 and meta["sample_rate"] == 22050
+
+
 def test_codec_decodes_real_gif_frame_count():
     meta = M.decode_with_codec(_make_gif(12, 7, n_frames=4), "video/gif")
     assert meta["width"] == 12 and meta["height"] == 7
