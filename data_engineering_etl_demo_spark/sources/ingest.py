@@ -3,11 +3,17 @@
 The reference reads JSONL line-by-line, routing malformed JSON / missing
 required fields / unparseable timestamps to a bad-records list
 (/root/reference/pipeline/ingest.py:28-70).  Spark-first, the same contract
-is one PERMISSIVE scan with a corrupt-record column and a three-way filter
-split — a single distributed pass, no row-at-a-time Python.
+is a text scan + from_json with a corrupt-record column and a three-way
+filter split — declarative, no row-at-a-time Python.
 
-The reference's `_line` number has no cheap distributed analog; bad records
-carry the raw line (`_raw`) instead, which is strictly more debuggable.
+`_line` provenance (reference enumerate(f, start=1), ingest.py:41): true
+per-file 1-based line numbers, computed distributed — a tiny per-input-split
+count pre-pass gives each (file, split) its starting offset, then a window
+keyed by (file, split) adds the local index.  The shuffle is keyed by input
+split (even by construction, never one-reducer-per-file), and the offset
+table is #splits rows.  Numbering includes blank lines (the reference
+counts them before skipping), and bad records keep the raw line (`_raw`)
+for decode errors exactly as the reference does.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_etl_demo_spark.functions.cleaning import strict_utc_ts
 from data_engineering_etl_demo_spark.schemas import RAW_EVENT
@@ -26,7 +33,39 @@ REQUIRED_EVENT_FIELDS = ("event_id", "ts", "event")  # pipeline/ingest.py:12
 @dataclass
 class IngestResult:
     events: DataFrame  # good rows, ts parsed to TimestampType
-    bad_records: DataFrame  # quarantined rows tagged with _reason
+    bad_records: DataFrame  # quarantined rows tagged with _reason + _line
+
+
+def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(value, _file, _line): every text line with its per-file 1-based
+    line number.  Within one scan partition lines stream in file order,
+    and a file's splits are planned offset-ascending (equal-size splits
+    keep their relative order through Spark's stable size sort, and the
+    odd-size tail is the file's last chunk), so (split-offset + local
+    row_number) reproduces the sequential reader's numbering — the same
+    foundation RDD.zipWithIndex stands on, but per file and without
+    leaving the DataFrame API."""
+    txt = spark.read.text(path).select(
+        "value",
+        F.col("_metadata.file_path").alias("_file"),
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    # pre-pass: rows per (file, split).  #splits rows — driver-safe.
+    counts = txt.groupBy("_file", "_pid").count().collect()
+    offsets, running = [], {}
+    for r in sorted(counts, key=lambda r: (r["_file"], r["_pid"])):
+        offsets.append((r["_file"], r["_pid"], running.get(r["_file"], 0)))
+        running[r["_file"]] = running.get(r["_file"], 0) + r["count"]
+    off = spark.createDataFrame(
+        offsets, "_file string, _pid int, _off long"
+    )
+    w = Window.partitionBy("_file", "_pid").orderBy("_mid")
+    return (
+        txt.join(F.broadcast(off), on=["_file", "_pid"])
+        .withColumn("_line", (F.row_number().over(w) + F.col("_off")))
+        .select("value", "_file", "_line")
+    )
 
 
 def read_events_jsonl(spark: SparkSession, path: str) -> IngestResult:
@@ -36,14 +75,20 @@ def read_events_jsonl(spark: SparkSession, path: str) -> IngestResult:
       1. malformed JSON line          → _reason 'json_decode_error'
       2. missing any required field   → _reason 'missing_fields=<names>'
       3. ts present but unparseable   → _reason 'invalid_timestamp'
-    Blank lines are dropped by the JSON reader itself.
+    Blank lines are counted for `_line` then dropped (reference ingest.py:
+    42-44); bad records carry the true source line number.
     """
-    raw = (
-        spark.read.schema(RAW_EVENT)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+    numbered = _numbered_lines(spark, path).filter(
+        F.trim(F.col("value")) != ""
     )
+    raw = numbered.withColumn(
+        "_p",
+        F.from_json(
+            "value",
+            RAW_EVENT,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    ).select("_line", F.col("value").alias("_value"), "_p.*")
     parsed_ts = strict_utc_ts(F.col("ts"))
 
     corrupt = F.col("_corrupt_record").isNotNull()
@@ -69,13 +114,14 @@ def read_events_jsonl(spark: SparkSession, path: str) -> IngestResult:
         "ts",
         "user_id",
         "event",
+        F.col("_line"),
         F.col("_reason"),
         F.col("_corrupt_record").alias("_raw"),
     )
     good = (
         tagged.filter(F.col("_reason").isNull())
         .withColumn("ts", parsed_ts)
-        .drop("_reason", "_corrupt_record")
+        .drop("_reason", "_corrupt_record", "_line", "_value")
     )
     return IngestResult(events=good, bad_records=bad)
 

@@ -21,7 +21,10 @@ MALFORMED = '{"event_id": "e4", busted'
 @pytest.fixture
 def events_path(tmp_path):
     p = tmp_path / "events.jsonl"
-    lines = [json.dumps(GOOD), json.dumps(MISSING_TS), json.dumps(BAD_TS), MALFORMED]
+    # blank line at position 2: the reference counts it in _line numbering
+    # (enumerate start=1) and then skips it — pinned below
+    lines = [json.dumps(GOOD), "", json.dumps(MISSING_TS), json.dumps(BAD_TS),
+             MALFORMED]
     p.write_text("\n".join(lines) + "\n")
     return str(p)
 
@@ -39,6 +42,30 @@ def test_three_way_quarantine_split(spark, events_path):
     assert "json_decode_error" in reasons
     assert bad["e2"]["_reason"] == "missing_fields=ts"
     assert bad["e3"]["_reason"] == "invalid_timestamp"
+    # true line provenance (reference ingest.py:41 enumerate start=1,
+    # blank line at 2 counted): e2 is line 3, e3 line 4, malformed line 5
+    assert bad["e2"]["_line"] == 3
+    assert bad["e3"]["_line"] == 4
+    assert bad[None]["_line"] == 5  # malformed JSON: no event_id, raw kept
+    assert bad[None]["_raw"] == MALFORMED
+
+
+def test_line_numbers_survive_multi_split_reads(spark, tmp_path):
+    """Per-file numbering must hold when one read spans several files (and
+    therefore several input splits): each file restarts at 1."""
+    a, b = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+    a.write_text(json.dumps(GOOD) + "\n" + MALFORMED + "\n")
+    b.write_text(MALFORMED + "\n")
+    res = read_events_jsonl(spark, str(tmp_path / "*.jsonl"))
+    from data_engineering_etl_demo_spark.sources.ingest import _numbered_lines
+
+    nums = {
+        (r["_file"].rsplit("/", 1)[-1], r["_line"])
+        for r in _numbered_lines(spark, str(tmp_path / "*.jsonl")).collect()
+    }
+    assert nums == {("a.jsonl", 1), ("a.jsonl", 2), ("b.jsonl", 1)}
+    bad_lines = sorted(r["_line"] for r in res.bad_records.collect())
+    assert bad_lines == [1, 2]  # a.jsonl line 2 and b.jsonl line 1
 
 
 def test_bad_records_sink_roundtrip(spark, events_path, tmp_path):
