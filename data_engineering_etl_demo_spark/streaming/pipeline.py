@@ -67,10 +67,21 @@ _SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source JSONL stream with the canonical event schema (the
-    streaming analog of ingest.read_events_jsonl)."""
-    return spark.readStream.schema(EVENT_STREAM_SCHEMA).json(input_dir)
+    streaming analog of ingest.read_events_jsonl).
+
+    ``max_files_per_trigger`` bounds each micro-batch to N input files —
+    with availableNow the backlog then drains as SEVERAL ordered
+    micro-batches instead of one, which is how the multi-batch tests prove
+    state/watermark/timeout semantics across batch boundaries (a real
+    deployment sets it for ingest smoothing)."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(input_dir)
 
 
 def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:

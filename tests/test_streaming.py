@@ -147,3 +147,100 @@ def test_sessionize_emits_closed_sessions(spark, tmp_path):
     assert s["n_events"] == 2
     assert s["session_start"] == T0
     assert s["session_end"] == T0 + timedelta(minutes=10)
+
+
+# ---------------------------------------------------------------------------
+# Multi-micro-batch drains (maxFilesPerTrigger=1): state, watermark and
+# timeout semantics must hold ACROSS batch boundaries, not just inside one
+# availableNow batch.  File mtimes are staggered so the source processes
+# the files in writing order.
+# ---------------------------------------------------------------------------
+
+
+def _stagger_mtimes(src, names):
+    import os
+    import time
+
+    base = time.time() - 3600
+    for i, n in enumerate(names):
+        os.utime(src / n, (base + i * 60, base + i * 60))
+
+
+def test_dedup_state_survives_micro_batch_boundary(spark, tmp_path):
+    """A retransmit arriving in a LATER micro-batch (within the watermark
+    delay) must still be dropped — the dedup state store carries across
+    batches."""
+    src = tmp_path / "src"
+    _write_batch(src, "b1.jsonl", [_ev("e1", 0), _ev("e2", 1)])
+    _write_batch(src, "b2.jsonl", [_ev("e1", 0), _ev("e3", 2)])  # e1 again
+    _stagger_mtimes(src, ["b1.jsonl", "b2.jsonl"])
+    stream = P.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = P.run_to_completion(P.dedup_within_watermark(stream), "t_dedup_mb")
+    assert sorted(r["event_id"] for r in out.collect()) == ["e1", "e2", "e3"]
+
+
+def test_sessionize_continues_session_across_batches(spark, tmp_path):
+    """Events in a later micro-batch within the gap must EXTEND the open
+    session (state carries over); an out-of-gap event in a later batch
+    closes the batch-1 session with batch-1's start."""
+    src = tmp_path / "src"
+    _write_batch(src, "b1.jsonl", [_ev("a1", 0, user="u1"), _ev("a2", 10, user="u1")])
+    # 20 min after a2: inside the 30-min gap -> same session continues
+    _write_batch(src, "b2.jsonl", [_ev("a3", 30, user="u1")])
+    # 90 min: beyond gap -> closes the session spanning batches 1 and 2
+    _write_batch(src, "b3.jsonl", [_ev("a4", 120, user="u1")])
+    _stagger_mtimes(src, ["b1.jsonl", "b2.jsonl", "b3.jsonl"])
+    stream = P.read_event_stream(spark, str(src), max_files_per_trigger=1).select(
+        "user_id", "ts"
+    )
+    out = P.run_to_completion(P.sessionize(stream, gap_minutes=30), "t_sess_mb")
+    sessions = out.collect()
+    assert len(sessions) == 1
+    s = sessions[0]
+    assert s["session_start"] == T0
+    assert s["session_end"] == T0 + timedelta(minutes=30)  # extended in b2
+    assert s["n_events"] == 3
+
+
+def test_sessionize_timeout_flush_across_batches(spark, tmp_path):
+    """EventTimeTimeout: a session idle in batch 1 must flush once a LATER
+    batch's events advance the watermark past its gap deadline — without
+    any further events for that user."""
+    src = tmp_path / "src"
+    _write_batch(src, "b1.jsonl", [_ev("a1", 0, user="u1"), _ev("a2", 5, user="u1")])
+    # other user far in the future: watermark jumps past u1's deadline
+    _write_batch(src, "b2.jsonl", [_ev("b1", 180, user="u2")])
+    _stagger_mtimes(src, ["b1.jsonl", "b2.jsonl"])
+    stream = (
+        P.read_event_stream(spark, str(src), max_files_per_trigger=1)
+        .select("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = P.run_to_completion(
+        P.sessionize(stream, gap_minutes=30, flush_on_timeout=True), "t_flush_mb"
+    )
+    by_user = {r["user_id"]: r for r in out.collect()}
+    # u1 flushed by timeout (no u1 event after batch 1); u2 flushed at
+    # end-of-drain by the final watermark advance
+    assert "u1" in by_user
+    assert by_user["u1"]["session_start"] == T0
+    assert by_user["u1"]["session_end"] == T0 + timedelta(minutes=5)
+    assert by_user["u1"]["n_events"] == 2
+
+
+def test_windowed_counts_merge_late_data_across_batches(spark, tmp_path):
+    """A late row arriving in a later micro-batch (inside the watermark
+    delay) must still land in its original window."""
+    src = tmp_path / "src"
+    _write_batch(src, "b1.jsonl", [_ev("e1", 0), _ev("e2", 12)])
+    # minute 3 is LATE relative to batch-1's max (12) but within the
+    # 10-minute delay -> must still count into the [0,10) window
+    _write_batch(src, "b2.jsonl", [_ev("e3", 3)])
+    _stagger_mtimes(src, ["b1.jsonl", "b2.jsonl"])
+    stream = P.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = P.run_to_completion(
+        P.windowed_event_counts(stream), "t_win_mb", output_mode="complete"
+    )
+    counts = {r["window_start"]: r["events"] for r in out.collect()}
+    assert counts[T0] == 2  # e1 + late e3
+    assert counts[T0 + timedelta(minutes=10)] == 1
