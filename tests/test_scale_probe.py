@@ -1,0 +1,176 @@
+"""Scale probes for the 100x claim: run the heaviest paths on a ~10x
+synthetic blow-up of the real testdata (disjoint copies with id offsets —
+no new fixtures) and assert the LINEAR-SCALING invariants that a plan
+which survives 100x must have:
+
+- output cardinality exactly 10x (no cross-copy pair/cluster explosion:
+  a super-linear candidate space is how banded LSH dies at scale);
+- the widest shuffle key group (LSH bucket) does NOT grow with the data —
+  hotspot width is set by data similarity, not corpus size;
+- post-shuffle rows spread across partitions (no single-reducer funnel);
+- wall-clock grows sub-quadratically (loose 30x bound on 10x data — this
+  catches accidental O(n^2) re-shapes, not constant-factor noise).
+
+The copies are made pairwise-disjoint by prefixing every word with a
+copy tag (shingle/token spaces never intersect across copies), so each
+copy reproduces the original's near-dup structure exactly once.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.operators import dedup as D
+from data_engineering_etl_demo_spark.operators import text as X
+from data_engineering_etl_demo_spark.operators.graph import connected_components
+
+SF_DIR = "/root/testdata/sf0.01"
+_OFFSET = 1_000_000
+_COPIES = 10
+
+
+def _docs_x(spark, copies: int):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(c * _OFFSET)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    X.words(F.col("text")),
+                    lambda w, c=c: F.concat(F.lit(f"c{c}x"), w),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        for c in range(copies)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _events_x(spark, copies: int):
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(c * _OFFSET)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(c * _OFFSET)).alias("user_id"),
+        )
+        for c in range(copies)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@pytest.fixture(scope="module")
+def minhash_runs(spark):
+    """(pairs_count, max_bucket, seconds) for 1x and 10x."""
+
+    def run(copies):
+        docs = _docs_x(spark, copies)
+        t0 = time.perf_counter()
+        n_pairs = D.minhash_near_dup(docs, threshold=0.5).count()
+        secs = time.perf_counter() - t0
+        sh = D.explode_shingles(docs, "doc_id", "text")
+        buckets = D.lsh_band_buckets(
+            D.minhash_signature_components(sh, "doc_id"), "doc_id"
+        )
+        max_bucket = (
+            buckets.groupBy("band", "bucket")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        return n_pairs, max_bucket, secs
+
+    one = run(1)
+    ten = run(_COPIES)
+    return one, ten
+
+
+def test_minhash_pairs_scale_linearly(minhash_runs):
+    (p1, _, _), (p10, _, _) = minhash_runs
+    assert p1 > 0, "base corpus must contain near-dups for this probe"
+    assert p10 == _COPIES * p1, (
+        f"near-dup pairs must scale 1:1 with disjoint copies "
+        f"(got {p10} vs {_COPIES}x{p1}) — super-linear growth means "
+        "cross-copy bucket collisions, the scale-killer shape"
+    )
+
+
+def test_minhash_bucket_width_does_not_grow(minhash_runs):
+    # Each copy re-rolls the hash draw (its word space is tagged), so the
+    # widest bucket varies a little copy to copy — the invariant is that
+    # it tracks similarity structure (±copy noise), NOT corpus size: 10x
+    # data must stay far from 10x width.
+    (_, b1, _), (_, b10, _) = minhash_runs
+    assert b10 <= 2 * b1, (
+        f"widest LSH bucket grew {b1} -> {b10} under 10x disjoint data; "
+        "bucket width must be set by similarity structure, not corpus size"
+    )
+
+
+def test_minhash_wallclock_subquadratic(minhash_runs):
+    (_, _, t1), (_, _, t10) = minhash_runs
+    assert t10 < 30 * max(t1, 0.2), (
+        f"10x data took {t10:.1f}s vs {t1:.1f}s at 1x — superlinear blow-up"
+    )
+
+
+def test_dup_clusters_scale_linearly(spark):
+    def clusters(copies):
+        pairs = D.minhash_near_dup(_docs_x(spark, copies), threshold=0.5)
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        return comp.select("component").distinct().count()
+
+    c1 = clusters(1)
+    c10 = clusters(_COPIES)
+    assert c1 > 0
+    assert c10 == _COPIES * c1
+
+
+def test_session_window_scales_linearly_and_spreads(spark):
+    gap_s = 6 * 3600
+    base = _events_x(spark, 1)
+
+    def sessions(ev):
+        return (
+            ev.filter(F.col("user_id").isNotNull())
+            .groupBy(
+                "user_id", F.session_window(F.col("ts"), f"{gap_s} seconds")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    n1 = sessions(base).count()
+    big = sessions(_events_x(spark, _COPIES))
+    n10 = big.count()
+    assert n10 == _COPIES * n1
+    # Post-shuffle spread: the session aggregate must hash user_id evenly
+    # across reducers — no single-reducer funnel.  AQE's size coalescing
+    # legitimately merges these tiny local partitions into one, so switch
+    # it off for the observation: what matters at 100x is the RAW hash
+    # distribution the coalescer would start from.
+    conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        sizes = [
+            r["n"]
+            for r in sessions(_events_x(spark, _COPIES))
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+    finally:
+        spark.conf.set(conf, old)
+    assert len(sizes) > 1, "session agg collapsed to a single partition"
+    assert max(sizes) < 0.5 * sum(sizes), (
+        f"one partition holds {max(sizes)} of {sum(sizes)} session rows"
+    )
