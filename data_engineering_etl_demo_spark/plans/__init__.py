@@ -95,6 +95,9 @@ _CHANGED_THIS_ROUND = {
     # IVF/k-means vectorized single-pass kernels
     "embedding_topk_ivf",
     "embedding_kmeans_step",
+    # SimHash signature kernelized (word-md5 + numpy bit votes)
+    "docs_simhash",
+    "docs_simhash_near_dup",
     # shuffle-hash join
     "sole_late_supplier",
     # oracle empty-array guard
