@@ -190,9 +190,29 @@ def lsh_band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_width: int | None = None
+) -> DataFrame:
     """distinct (id_a < id_b) pairs sharing any band bucket — the self-join
-    shuffles on (band, bucket), never on all pairs."""
+    shuffles on (band, bucket), never on all pairs.
+
+    ``max_bucket_width`` is the mega-bucket guard for boilerplate-heavy
+    corpora: a bucket shared by W docs contributes W·(W−1)/2 candidate
+    pairs, so one boilerplate band bucket (the sf0.01 corpus already has
+    a 283-wide one) dominates the verify cost — the LSH skew failure
+    mode at 100 TB.  Buckets wider than the cap are dropped from
+    CANDIDATE GENERATION only (stop-bucket removal, the stop-word
+    analogy): a pair whose every collision is a mega-bucket is lost,
+    which is the explicit trade.  Default None keeps exact advertised
+    recall; the planted-recall test pins the default path."""
+    if max_bucket_width is not None:
+        keep = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") <= max_bucket_width)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(keep, on=["band", "bucket"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -256,10 +276,14 @@ def minhash_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle-explode (once, persisted
     across the signature and verify passes) → signature → bands → candidate
-    pairs → exact-Jaccard verify.  Returns (id_a, id_b, jaccard)."""
+    pairs → exact-Jaccard verify.  Returns (id_a, id_b, jaccard).
+
+    ``max_bucket_width`` (default off) drops boilerplate mega-buckets from
+    candidate generation — see lsh_candidate_pairs for the trade."""
     from pyspark import StorageLevel
 
     shingled = explode_shingles(docs, id_col, text_col).persist(
@@ -267,7 +291,7 @@ def minhash_near_dup(
     )
     sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
-    pairs = lsh_candidate_pairs(buckets, id_col)
+    pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_width)
     return jaccard_pairs(shingled, pairs, id_col, threshold)
 
 

@@ -339,3 +339,66 @@ def word_shingles(col: Column, n: int = 5) -> Column:
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (pretraining / RAG context windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 128  # tokens per chunk
+CHUNK_OVERLAP = 32  # tokens shared between consecutive chunks
+CHUNK_HASH_P = 2147483647  # word-hash modulus (same 2^31-1 as MinHash)
+
+
+def chunk_windows(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+):
+    """(id, chunk_id, start_tok, n_tokens, checksum): fixed-size sliding
+    token windows with overlap — the chunking step a pretraining/RAG
+    pipeline runs before embedding or packing.  Chunk k covers token
+    positions [k·step, k·step+size) with step = size−overlap; the last
+    chunk truncates at the document end; empty docs produce no chunks.
+
+    Plan shape (the whole point): NO per-chunk string is ever built.
+    posexplode the token array once, compute each token's chunk-id range
+    arithmetically (a token belongs to ≤ ceil(size/step) chunks), explode
+    that tiny integer range, and aggregate per (doc, chunk) — one shuffle
+    keyed by (doc, chunk), maximal cardinality, even partitions.  The
+    chunk checksum is the SUM of md5-derived word hashes (order-free,
+    < 2^63: exact in BIGINT on every engine), so the DuckDB oracle can
+    rebuild identical rows from slices without replaying explode order."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    ex = docs.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("p", "tok")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % CHUNK_HASH_P
+    )
+    # token at 0-based position p belongs to chunks k with
+    # max(ceil((p-size+1)/step), 0) <= k <= floor(p/step); the positive-
+    # only ceil form (p-size+step) div step avoids engine-specific
+    # negative-division semantics.
+    kmax = F.floor(F.col("p") / F.lit(step)).cast("long")
+    kmin = (
+        F.when(F.col("p") < size, F.lit(0))
+        .otherwise(F.floor((F.col("p") - size + step) / F.lit(step)))
+        .cast("long")
+    )
+    rows = ex.select(
+        F.col(id_col),
+        F.col("p"),
+        h.alias("h"),
+        F.explode(F.sequence(kmin, kmax)).alias("chunk_id"),
+    )
+    return rows.groupBy(id_col, "chunk_id").agg(
+        F.min("p").cast("long").alias("start_tok"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("h").alias("checksum"),
+    )

@@ -1370,6 +1370,50 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window chunking (pretraining / RAG context windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_STEP = X.CHUNK_SIZE - X.CHUNK_OVERLAP
+
+
+@register(
+    "docs_chunk_windows",
+    f"""
+    WITH ws AS (SELECT doc_id, {{ws}} AS w FROM documents),
+    wh AS (
+        SELECT doc_id,
+               list_transform(w, x -> {{hex}} % {X.CHUNK_HASH_P}) AS whs
+        FROM ws
+    ),
+    ks AS (
+        SELECT doc_id, whs,
+               CASE WHEN len(whs) = 0 THEN CAST([] AS BIGINT[])
+                    ELSE range(0, 1 + (len(whs) - 1) // {_CHUNK_STEP}) END AS k
+        FROM wh
+    )
+    SELECT doc_id,
+           unnest(k) AS chunk_id,
+           unnest(list_transform(k, i -> i * {_CHUNK_STEP})) AS start_tok,
+           unnest(list_transform(k,
+               i -> len(whs[i*{_CHUNK_STEP}+1 : i*{_CHUNK_STEP}+{X.CHUNK_SIZE}])
+           )) AS n_tokens,
+           unnest(list_transform(k,
+               i -> CAST(list_sum(whs[i*{_CHUNK_STEP}+1 : i*{_CHUNK_STEP}+{X.CHUNK_SIZE}]) AS BIGINT)
+           )) AS checksum
+    FROM ks
+    ORDER BY doc_id, chunk_id
+    """.format(ws=_fmt(SQL_WORDS), hex=_sql_hexbig("x", 1, 8)),
+    doc="sliding-window chunking (size 128, overlap 32): the context-window "
+    "split a pretraining/RAG pipeline runs before embedding or packing.  "
+    "No per-chunk strings: each token's chunk-id range is computed "
+    "arithmetically and aggregated in one (doc, chunk)-keyed shuffle; the "
+    "order-free word-hash checksum makes rows engine-exact.",
+)
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_windows(_docs_wide(spark, sf_dir)).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk batches per source)
 # ---------------------------------------------------------------------------
 

@@ -148,3 +148,27 @@ def test_lsh_recall_at_advertised_threshold(spark):
     assert not missed, f"banding missed {len(missed)} qualifying pairs: {sorted(missed)[:5]}"
     # and nothing below threshold sneaks through the exact verify
     assert all(r["jaccard"] >= 0.5 for r in got_df.collect())
+
+
+def test_stop_bucket_cap_drops_mega_buckets_only(spark):
+    """max_bucket_width: 30 identical boilerplate docs form mega-buckets in
+    every band (their pairs are the quadratic cost); a small planted
+    near-dup pair lives in narrow buckets.  With the cap, the boilerplate
+    pair space is dropped while the narrow-bucket pair survives; with the
+    default (None) everything is found."""
+    rows = [(i, "common boilerplate header repeated on every page of the "
+                "site with nothing else to say " * 3) for i in range(30)]
+    rows += [(100, BASE), (101, BASE + " and a little more")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {(r["id_a"], r["id_b"])
+            for r in D.minhash_near_dup(corpus, threshold=0.5).collect()}
+    assert (100, 101) in full
+    assert (0, 1) in full  # identical docs: found when uncapped
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in D.minhash_near_dup(
+                  corpus, threshold=0.5, max_bucket_width=10).collect()}
+    assert (100, 101) in capped  # narrow-bucket pair survives the cap
+    assert not any(a < 100 and b < 100 for a, b in capped), (
+        "mega-bucket (boilerplate) pairs must be dropped by the cap")

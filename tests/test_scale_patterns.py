@@ -153,3 +153,32 @@ def test_winnow_fingerprints_match_catalyst(spark):
     )
     assert got == ref
     assert not any(d == 3 for d, _ in got)  # too short -> empty, no rows
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_overlap_semantics(spark):
+    vocab = " ".join(f"w{i:03d}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, vocab), (2, "a b c d e"), (3, ""), (4, vocab)],
+        "doc_id long, text string",
+    )
+    rows = X.chunk_windows(df, size=128, overlap=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # doc 1: 300 tokens, step 96 -> starts 0/96/192/288
+    d1 = by_doc[1]
+    assert sorted(d1) == [0, 1, 2, 3]
+    assert [d1[k]["start_tok"] for k in sorted(d1)] == [0, 96, 192, 288]
+    assert [d1[k]["n_tokens"] for k in sorted(d1)] == [128, 128, 108, 12]
+    # short doc: one truncated chunk; empty doc: no chunks
+    assert by_doc[2][0]["n_tokens"] == 5 and by_doc[2][0]["start_tok"] == 0
+    assert 3 not in by_doc
+    # identical text -> identical chunk checksums (content-addressable)
+    assert {
+        (k, v["checksum"]) for k, v in by_doc[1].items()
+    } == {(k, v["checksum"]) for k, v in by_doc[4].items()}
