@@ -102,6 +102,19 @@ _CHANGED_THIS_ROUND = {
     "sole_late_supplier",
     # oracle empty-array guard
     "embedding_quantize",
+    # NEW this round — never had a driver green row at all
+    "forecast_revenue",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
+    "shipping_delay_priority",
+    "promo_revenue",
+    "docs_chunk_sliding",
+    "min_cost_supplier",
+    "important_parts",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "dominant_part_suppliers",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -1002,3 +1002,682 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue change (scan-only filter + aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue",
+    f"""
+    SELECT {sql_money_sum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: the canonical scan-only query — every predicate "
+    "(date range, discount band, quantity cap) must reach the parquet "
+    "scan as a pushed filter; the aggregate is pure map-side combine into "
+    "a single row.  At 100 TB this is the query whose entire cost is IO, "
+    "so row-group pruning on l_shipdate does the heavy lifting.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: shipments between two specific nations, grouped "
+    "by (supplier nation, customer nation, ship year).  The same dim "
+    "table (nation) joins TWICE under different roles — the disjunctive "
+    "nation-pair predicate can only be applied after both joins, but both "
+    "nation sides and supplier are broadcast, so the only big shuffle is "
+    "lineitem ⨝ orders on the order key; customer joins by key under AQE.",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            # cast: DuckDB EXTRACT(year) is BIGINT; Spark year() is int
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region
+# ---------------------------------------------------------------------------
+
+# Exact cross-engine ratio: numerator and denominator are fixed-point LONG
+# sums (exact, associative); the share divides them AS DOUBLES (BIGINT →
+# double is correctly rounded in both engines) and truncates with
+# floor(x*1e6)/1e6 — IEEE-exact in both engines, unlike ROUND(double, n)
+# whose last ulp is engine-defined (NOTES.md exactness rule 1).
+
+
+def _share(num_long, den_long):
+    """floor-truncated 6-dp ratio of two exact LONG sums — Spark half."""
+    return F.floor(
+        (num_long.cast("double") / den_long.cast("double")) * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+
+
+def _sql_share(num: str, den: str) -> str:
+    return (
+        f"FLOOR((CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) * 1000000.0)"
+        " / 1000000.0"
+    )
+
+
+@register(
+    "market_share",
+    f"""
+    SELECT o_year,
+           {_sql_share("SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol_fixed ELSE 0 END)",
+                       "SUM(vol_fixed)")} AS mkt_share,
+           ROUND(SUM(vol_fixed) / 1000000.0, 2) AS total_volume
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               n1.n_name AS supp_nation,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT) AS vol_fixed
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: NATION_5's share of STANDARD-part volume sold "
+    "into ASIA, per order year.  Eight-table join where every dim "
+    "(customer-side nation+region, supplier+nation, part) broadcasts and "
+    "lineitem ⨝ orders is the single big shuffle; the share is a "
+    "conditional-over-total ratio computed from exact fixed-point sums "
+    "(see _share — floor-truncation, never ROUND(double)).",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    vol_fixed = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000)
+    ).cast("long")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_rkey") == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("supp_nation"),
+            vol_fixed.alias("vol_fixed"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("vol_fixed")).otherwise(
+            F.lit(0)
+        )
+    )
+    den = F.sum(F.col("vol_fixed"))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            _share(num, den).alias("mkt_share"),
+            F.round(den / F.lit(1000000.0), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)'
+                          ' - 0.6 * p.p_retailprice * l.l_quantity')} AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (adapted: no partsupp table in testdata, so "
+    "supply cost is modeled as 60% of p_retailprice): profit on red parts "
+    "by supplier nation and order year.  part/supplier/nation broadcast; "
+    "the p_name prefix filter prunes the broadcast side BEFORE the join "
+    "so only matching lineitem rows survive into the one big shuffle "
+    "(lineitem ⨝ orders).",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ) - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(money_sum(profit).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: priority mix by shipping-delay bucket
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_delay_priority",
+    """
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'LATE'
+                WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY THEN 'SLOW'
+                ELSE 'FAST' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q12 shape (adapted: no l_shipmode/commitdate in testdata — "
+    "the group key is a derived ship-delay bucket instead of shipmode): "
+    "did late shipments skew toward low-priority orders?  One big shuffle "
+    "(lineitem ⨝ orders on the order key), conditional counts, 3-row "
+    "output.  The date filter prunes the lineitem scan; the CASE runs "
+    "post-join (it needs both sides).",
+)
+def q_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit("LATE"),
+        )
+        .when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            F.lit("SLOW"),
+        )
+        .otherwise(F.lit("FAST"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue",
+    f"""
+    SELECT month_us,
+           {_sql_share("SUM(CASE WHEN p_type = 'PROMO' THEN rev_fixed ELSE 0 END)",
+                       "SUM(rev_fixed)")} AS promo_share,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev_fixed ELSE 0 END)
+                 / 1000000.0, 2) AS promo_rev
+    FROM (
+        SELECT epoch_us(date_trunc('month', l.l_shipdate)) AS month_us,
+               p.p_type,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT) AS rev_fixed
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY month_us
+    ORDER BY month_us
+    """,
+    doc="TPC-H Q14 shape: what fraction of each month's revenue came from "
+    "PROMO-type parts.  lineitem ⨝ broadcast part (no shuffle on the "
+    "fact), grouped by truncated ship month (compared as epoch-µs, per "
+    "the timestamp convention), share via exact fixed-point sums + "
+    "floor-truncation.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev_fixed = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000)
+    ).cast("long")
+    promo_fixed = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_fixed")).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.unix_micros(F.date_trunc("month", F.col("l_shipdate"))).alias(
+                "month_us"
+            ),
+            "p_type",
+            rev_fixed.alias("rev_fixed"),
+        )
+        .groupBy("month_us")
+        .agg(
+            _share(promo_fixed, F.sum(F.col("rev_fixed"))).alias("promo_share"),
+            F.round(promo_fixed / F.lit(1000000.0), 2).alias("promo_rev"),
+        )
+        .orderBy("month_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-acctbal supplier per part (min-per-group + dims)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier",
+    """
+    SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name
+    FROM (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 25 AND r.r_name = 'EUROPE'
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.p_partkey ORDER BY s.s_acctbal, s.s_suppkey
+    ) = 1
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q2 shape (adapted: no partsupp table — the part↔supplier "
+    "relation is the DISTINCT (l_partkey, l_suppkey) projection of the "
+    "fact, and s_acctbal stands in for ps_supplycost): the best-terms "
+    "supplier per size-25 part within EUROPE.  The correlated "
+    "min-subquery is decorrelated into a row_number window partitioned "
+    "by the high-cardinality part key with a deterministic (acctbal, "
+    "suppkey) tiebreak; supplier/nation/region/part all broadcast; the "
+    "only shuffles are the pair-distinct and the window, both on partkey.",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal"), F.col("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), pairs["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: parts worth more than a fraction of global revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_parts",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS rev_fixed
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(rev_fixed / 1000000.0, 2) AS revenue
+    FROM pr, (SELECT CAST(SUM(rev_fixed) AS BIGINT) AS tot_fixed FROM pr) t
+    WHERE rev_fixed * 1400 > tot_fixed
+    ORDER BY revenue DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (adapted: value = lineitem revenue instead of "
+    "partsupp stock value): parts whose revenue exceeds 1/1400 of the "
+    "global total.  The global scalar is a 1-row aggregate OVER THE "
+    "ALREADY-REDUCED per-part relation (not a second fact scan) joined "
+    "back as a broadcast cross join — the Q22 pattern; the threshold "
+    "compare is exact LONG fixed-point arithmetic on both engines "
+    "(rev*1000 > tot, no division).",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_fixed = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000)
+    ).cast("long")
+    pr = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_fixed).alias("rev_fixed"))
+    )
+    # persist: pr feeds both the global scalar and the filter — without it
+    # Spark re-runs the fact scan + agg twice (no common-subplan reuse)
+    pr = pr.persist()
+    tot = pr.agg(F.sum("rev_fixed").alias("tot_fixed"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_fixed") * F.lit(1400) > F.col("tot_fixed"))
+        .select(
+            "l_partkey",
+            F.round(F.col("rev_fixed") / F.lit(1000000.0), 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier variety per part attribute group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_part_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (9, 19, 29, 39, 49)
+      AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (adapted: part↔supplier pairs from the fact; "
+    "negative-acctbal suppliers stand in for the complaints exclusion): "
+    "how many distinct suppliers serve each surviving (brand, type, "
+    "size) group.  The NOT IN is a broadcast LEFT ANTI against a "
+    "6-row exclusion list; part filters prune the broadcast side; the "
+    "single COUNT(DISTINCT) plans expand-free as a two-phase aggregate.",
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(9, 19, 29, 39, 49)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue locked in small-quantity lines
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_q_fixed,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 1000000) AS BIGINT))
+                 / 7000000.0, 2) AS avg_weekly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE 2 * CAST(ROUND(l.l_quantity * 1000000) AS BIGINT) * pa.cnt
+          < pa.sum_q_fixed
+    """,
+    doc="TPC-H Q17 shape: revenue of lines whose quantity is below half "
+    "their part's average — the correlated AVG subquery decorrelated "
+    "into fact ⨝ agg(fact) on the part key (both sides hash-partition "
+    "the same way; co-partitioned shuffle join, no broadcast — the agg "
+    "side scales with |parts|).  The below-half-average predicate is "
+    "exact integer arithmetic: qty*2*cnt < sum(qty), no division, no "
+    "float average (NOTES.md exactness rule 2).",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q_fixed = F.round(F.col("l_quantity") * F.lit(1000000)).cast("long")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(q_fixed).alias("sum_q_fixed"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pa, li["l_partkey"] == pa["pa_partkey"])
+        .filter(
+            F.lit(2) * q_fixed * F.col("cnt") < F.col("sum_q_fixed")
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * F.lit(1000000)).cast("long"))
+                / F.lit(7000000.0),
+                2,
+            ).alias("avg_weekly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers holding an outsized share of a part's volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH sq AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT))
+                    AS BIGINT) AS qty_fixed
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT l_partkey, CAST(SUM(qty_fixed) AS BIGINT) AS tot_fixed
+        FROM sq GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sq
+    JOIN pt ON pt.l_partkey = sq.l_partkey
+    JOIN part p ON p.p_partkey = sq.l_partkey AND p.p_name LIKE 'red%'
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    WHERE 2 * sq.qty_fixed > pt.tot_fixed
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape (adapted: 'availqty surplus' becomes 'shipped "
+    "more than half of a red part's 1997 volume'): suppliers dominating "
+    "any single part's supply.  Hierarchical aggregation — the per-part "
+    "total reduces the ALREADY-AGGREGATED (part, supplier) relation, "
+    "never the fact twice; the join back is co-partitioned on partkey; "
+    "the share test is exact LONG arithmetic (2*q > tot); DISTINCT "
+    "collapses multi-part winners (the semi-join of the original).",
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    q_fixed = F.round(F.col("l_quantity") * F.lit(1000000)).cast("long")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q_fixed).alias("qty_fixed")
+    )
+    # persist: sq feeds both the per-part rollup and the join-back
+    sq = sq.persist()
+    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty_fixed").alias("tot_fixed")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        sq.join(pt, sq["l_partkey"] == pt["pt_partkey"])
+        .filter(F.lit(2) * F.col("qty_fixed") > F.col("tot_fixed"))
+        .join(F.broadcast(part), sq["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), sq["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
