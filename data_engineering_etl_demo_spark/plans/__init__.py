@@ -115,6 +115,8 @@ _CHANGED_THIS_ROUND = {
     "supplier_part_variety",
     "small_quantity_revenue",
     "dominant_part_suppliers",
+    "docs_word_bigrams",
+    "docs_unigram_surprisal",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -1564,3 +1564,117 @@ def q_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus word-bigram counts (tokenizer/LM vocabulary induction step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_word_bigrams",
+    f"""
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS pr
+        FROM (SELECT {_fmt(SQL_WORDS)} AS ws FROM documents)
+        WHERE len(ws) >= 2
+    ), LATERAL (SELECT pr['w1'] AS w1, pr['w2'] AS w2)
+    GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2
+    LIMIT 30
+    """,
+    doc="Adjacent word-pair frequencies over the corpus — the counting "
+    "step a tokenizer/LM vocabulary induction (BPE-style merge ranking) "
+    "runs repeatedly.  The pair relation is built array-side (zip of the "
+    "word list with its own tail — no self-join, no window) and exploded "
+    "once; the aggregate shuffles on the high-cardinality pair key with "
+    "map-side partial counts, then TakeOrderedAndProject keeps the "
+    "top 30 with a deterministic (count, w1, w2) tiebreak.",
+)
+def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = X.words(F.col("text"))
+    docs = _docs_wide(spark, sf_dir).select(ws.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)"),
+                F.expr("slice(ws, 2, size(ws) - 1)"),
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select(
+            F.col("pr").getField("0").alias("w1"),
+            F.col("pr").getField("1").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1"), F.col("w2"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_unigram_surprisal",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_fmt(SQL_WORDS)}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY tok),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(total // cnt))) AS BIGINT) AS sum_bits,
+           CAST((CAST(SUM(length(bin(total // cnt))) AS BIGINT) * 1000000)
+                // COUNT(*) AS BIGINT) AS mean_bits_e6
+    FROM ex JOIN v ON v.tok = ex.tok, n
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+    """,
+    doc="Perplexity-proxy quality score: mean per-token surprisal under "
+    "the corpus's own unigram distribution.  Engine-exact by "
+    "construction — surprisal is the INTEGER bit length of "
+    "floor(total/count) (both engines: length(bin(x)), no transcendental "
+    "log whose last ulp is libm-defined), and the per-doc mean is LONG "
+    "cross-multiplication, never a float divide.  Plan: one exploded "
+    "token relation persisted and consumed twice (vocabulary count, "
+    "per-doc join-back); the token join co-partitions both sides on the "
+    "token key (vocabulary scales with the corpus — not broadcast); the "
+    "corpus total is a 1-row broadcast.  Low score = templated/common "
+    "tokens, high = rare-token-heavy docs.",
+)
+def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_wide(spark, sf_dir)
+    ex = docs.select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("tok")
+    ).persist()
+    v = ex.groupBy(F.col("tok").alias("v_tok")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = v.agg(F.sum("cnt").alias("total"))
+    bits = F.length(F.bin(F.expr("total DIV cnt")))
+    return (
+        ex.join(v, ex["tok"] == F.col("v_tok"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            F.expr("(sum_bits * 1000000) DIV n_tokens").alias("mean_bits_e6"),
+        )
+        .orderBy("doc_id")
+    )
