@@ -831,3 +831,81 @@ def embedding_near_dup(
     pairs = bb.groupBy("band", "bucket").applyInPandas(bucket_pairs, out_schema)
     # a pair colliding in several bands yields identical rows — collapse
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: M subspaces × K codewords, fixed-point L2 assignment
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (dim 64 → 16 dims each)
+PQ_K = 16  # codewords per subspace → 4 bits/subspace, 16 bits/vector
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """(id, pq_code, err_fixed): product-quantization codes + exact
+    reconstruction error.
+
+    ``codebook`` is the (n_codes × dim) float64 matrix whose row j is
+    codeword j in EVERY subspace (deterministic stand-in codebook: the
+    first n_codes corpus vectors, read driver-side like the IVF centroids
+    — a fitted-model constant, not data).  Assignment metric is squared
+    L2 in fixed point: per element floor((x-c)²·1e12) summed as int64 —
+    every step (float32→float64 widen, subtract, multiply, floor) is an
+    IEEE-exact or correctly-rounded deterministic op, so the DuckDB
+    oracle reproduces codes AND errors bit-for-bit.  Ties keep the
+    lowest code (np.argmin first-occurrence == the oracle's
+    ROW_NUMBER ... ORDER BY d, code).
+
+    Scale: the corpus streams through one Arrow-batched kernel — no
+    shuffle, no join; the codebook is a closure constant (at 100 TB the
+    same kernel runs per input split; n_codes·dim doubles broadcast).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmat = np.asarray(codebook, dtype=np.float64)
+    dim = cmat.shape[1]
+    sub_d = dim // n_sub
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[id_col],
+            StructField("pq_code", LongType()),
+            StructField("err_fixed", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.zeros(len(mat), dtype=np.int64)
+            errs = np.zeros(len(mat), dtype=np.int64)
+            for m in range(n_sub):
+                sl = slice(m * sub_d, (m + 1) * sub_d)
+                diff = mat[:, None, sl] - cmat[None, :, sl]
+                d = np.floor(diff * diff * PROD_SCALE).astype(np.int64).sum(
+                    axis=2
+                )
+                best = np.argmin(d, axis=1)  # first occurrence = lowest code
+                codes += best.astype(np.int64) * (n_codes ** m)
+                errs += d[np.arange(len(mat)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "pq_code": codes,
+                    "err_fixed": errs,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)

@@ -109,7 +109,7 @@ _CHANGED_THIS_ROUND = {
     "product_profit",
     "shipping_delay_priority",
     "promo_revenue",
-    "docs_chunk_sliding",
+    "docs_chunk_windows",  # new last session (sliding-window chunking)
     "min_cost_supplier",
     "important_parts",
     "supplier_part_variety",
@@ -117,6 +117,7 @@ _CHANGED_THIS_ROUND = {
     "dominant_part_suppliers",
     "docs_word_bigrams",
     "docs_unigram_surprisal",
+    "embedding_pq_codes",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -156,3 +156,34 @@ def test_lsh_recall_vs_exact_ground_truth(corpus, tmp_path):
         assert exact.get(pair) == sim or pair not in exact
     # full recall on this corpus
     assert set(exact) == set(lsh)
+
+
+def test_pq_encode_codebook_self_zero_error(corpus):
+    """Codebook members must encode to themselves with zero reconstruction
+    error; every other vector's error must be >= 0 and its per-subspace
+    codes within [0, n_codes)."""
+    import numpy as np
+
+    rows = sorted(corpus.filter(F.col("vec_id") < 4).collect(),
+                  key=lambda r: r["vec_id"])
+    cb = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    out = {
+        r["vec_id"]: (r["pq_code"], r["err_fixed"])
+        for r in S.pq_encode(corpus, cb, n_sub=2, n_codes=4).collect()
+    }
+    # vec j < 4 is codeword j in both subspaces: code = j + 4*j, err = 0
+    for j in range(4):
+        assert out[j] == (j + 4 * j, 0)
+    for vid, (code, err) in out.items():
+        assert 0 <= code < 16 and err >= 0
+
+
+def test_pq_encode_tie_breaks_to_lowest_code(spark):
+    """Two identical codewords: the assignment must pick the LOWER code on
+    ties (mirrors the oracle's ROW_NUMBER ... ORDER BY d, code)."""
+    import numpy as np
+
+    df = spark.createDataFrame([(7, [1.0] * DIM)], SCHEMA)
+    cb = np.array([[1.0] * DIM, [1.0] * DIM], dtype=np.float64)
+    row = S.pq_encode(df, cb, n_sub=2, n_codes=2).collect()[0]
+    assert row["pq_code"] == 0 and row["err_fixed"] == 0
