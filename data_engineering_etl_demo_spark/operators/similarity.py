@@ -909,3 +909,33 @@ def pq_encode(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pq_adc_lut(
+    query_ids,
+    query_mat,
+    codebook,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+):
+    """Asymmetric-distance lookup table rows [(query_id, m, code, d_fixed)].
+
+    For each query vector: the fixed-point squared-L2 distance from its
+    m-th subvector to every codeword of subspace m — the |Q|·M·K table an
+    ADC scan adds per corpus code.  Driver-side numpy with the SAME op
+    order as pq_encode, so table entries equal the oracle's per-subspace
+    distances bit-for-bit."""
+    import numpy as np
+
+    cmat = np.asarray(codebook, dtype=np.float64)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    sub_d = cmat.shape[1] // n_sub
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        for m in range(n_sub):
+            sl = slice(m * sub_d, (m + 1) * sub_d)
+            diff = qmat[qi, None, sl] - cmat[:, sl]
+            d = np.floor(diff * diff * PROD_SCALE).astype(np.int64).sum(axis=1)
+            for code in range(n_codes):
+                rows.append((int(qid), m, code, int(d[code])))
+    return rows

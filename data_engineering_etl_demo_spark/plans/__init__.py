@@ -118,6 +118,7 @@ _CHANGED_THIS_ROUND = {
     "docs_word_bigrams",
     "docs_unigram_surprisal",
     "embedding_pq_codes",
+    "embedding_pq_adc_topk",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

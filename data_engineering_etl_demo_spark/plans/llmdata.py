@@ -1739,3 +1739,123 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     _, cb_mat = S.vectors_from_parquet(f"{sf_dir}/embeddings.parquet", 0, S.PQ_K)
     return S.pq_encode(emb, cb_mat).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# ADC top-k search over PQ codes (the query half of an IVF-PQ index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pq_adc_topk",
+    f"""
+    WITH cb AS (
+        SELECT vec_id AS code, embedding AS cvec FROM embeddings
+        WHERE vec_id < 16
+    ),
+    sub AS (
+        SELECT vec_id, embedding, m
+        FROM embeddings, (SELECT unnest(range(0, 4)) AS m)
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, cb.code,
+               CAST(list_sum(list_transform(range(1, 17), i ->
+                   CAST(floor(
+                       (CAST(s.embedding[CAST(s.m * 16 AS INT) + i] AS DOUBLE)
+                        - CAST(cb.cvec[CAST(s.m * 16 AS INT) + i] AS DOUBLE))
+                     * (CAST(s.embedding[CAST(s.m * 16 AS INT) + i] AS DOUBLE)
+                        - CAST(cb.cvec[CAST(s.m * 16 AS INT) + i] AS DOUBLE))
+                     * 1e12) AS BIGINT))) AS BIGINT) AS d
+        FROM sub s, cb
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    qdist AS (
+        SELECT vec_id AS query_id, m, code, d FROM dist
+        WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}
+    ),
+    adc AS (
+        SELECT qd.query_id, c.vec_id AS cand_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_fixed
+        FROM codes c
+        JOIN qdist qd ON qd.m = c.m AND qd.code = c.code
+        WHERE c.vec_id <> qd.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_fixed, rank FROM (
+        SELECT query_id, cand_id, adc_fixed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_fixed, cand_id) AS rank
+        FROM adc
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="ADC (asymmetric distance computation) top-5 over PQ codes — the "
+    "query phase of an IVF-PQ index: each query precomputes a 4×16 "
+    "lookup table of fixed-point subspace distances to every codeword "
+    "(driver-side, |Q|·M·K rows — fitted-model-scale, broadcast), and a "
+    "corpus vector's approximate distance is the SUM OF FOUR TABLE "
+    "LOOKUPS on its code — no float math against the corpus at all.  "
+    "Plan: the coded corpus (one kernel pass, no shuffle) posexplodes "
+    "its 4 sub-codes, broadcast-joins the LUT on (subspace, code), and "
+    "aggregates (query, cand) partial sums map-side; the only shuffle "
+    "is the final high-cardinality (query, cand) agg + per-query top-5 "
+    "window.  Engine-exact: LUT entries share pq_encode's IEEE op "
+    "order; ranking ties break on cand_id in both engines.",
+)
+def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = f"{sf_dir}/embeddings.parquet"
+    _, cb_mat = S.vectors_from_parquet(path, 0, S.PQ_K)
+    q_ids, q_mat = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
+    lut_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("lut_m", T.IntegerType()),
+            T.StructField("lut_code", T.IntegerType()),
+            T.StructField("d", T.LongType()),
+        ]
+    )
+    lut = spark.createDataFrame(
+        S.pq_adc_lut(q_ids, q_mat, cb_mat), lut_schema
+    )
+    codes = S.pq_encode(emb, cb_mat)
+    sub_codes = codes.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("pq_code") / F.lit(S.PQ_K ** m)).cast("long")
+                    % F.lit(S.PQ_K)
+                    for m in range(S.PQ_M)
+                ]
+            )
+        ).alias("m", "code"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fixed"), F.col("cand_id")
+    )
+    return (
+        sub_codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lut_m"))
+            & (F.col("code") == F.col("lut_code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d").cast("long").alias("adc_fixed"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
