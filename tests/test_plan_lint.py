@@ -89,3 +89,23 @@ def test_wide_table_scans_prune_columns(plans):
             if n_cols >= 6 and name not in full_events_ok:
                 offenders.append((name, schema.strip()[:80]))
     assert not offenders, f"unpruned events scans: {offenders}"
+
+
+def test_scan_only_queries_push_filters_to_parquet(plans):
+    """The Q6-shape contract: every predicate of a scan-only aggregate must
+    reach the parquet scan as a PushedFilters entry (at 100 TB this query
+    IS its IO; row-group pruning on the pushed range does the work)."""
+    phys = plans["forecast_revenue"][1]
+    scan_lines = [
+        ln
+        for ln in phys.splitlines()
+        if "FileScan parquet" in ln and "lineitem.parquet" in ln
+    ]
+    assert scan_lines, "forecast_revenue lost its lineitem FileScan"
+    line = scan_lines[0]
+    pushed = line.split("PushedFilters:")[1] if "PushedFilters:" in line else ""
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the scan: {pushed[:200]}"
+    schema = line.split("ReadSchema:")[1]
+    # projection pruned: only the 4 referenced columns are read
+    assert schema.count(":") <= 5, f"unpruned lineitem scan: {schema[:160]}"
