@@ -119,6 +119,7 @@ _CHANGED_THIS_ROUND = {
     "docs_unigram_surprisal",
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
+    "events_gapfill_daily",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

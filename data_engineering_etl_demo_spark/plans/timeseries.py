@@ -501,3 +501,84 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill (densification): zero-filled daily grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gapfill_daily",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS lo,
+               date_trunc('day', max(ts)) AS hi
+        FROM events
+    ),
+    cal AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    grid AS (
+        SELECT t.event_type, c.day
+        FROM (SELECT DISTINCT event_type FROM events) t, cal c
+    ),
+    agg AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value > 300
+        GROUP BY 1, 2
+    )
+    SELECT g.event_type, epoch_us(g.day) AS day_us, COALESCE(a.n, 0) AS n
+    FROM grid g
+    LEFT JOIN agg a ON a.event_type = g.event_type AND a.day = g.day
+    ORDER BY 1, 2
+    """,
+    doc="Calendar densification: daily counts of high-value (>300) events "
+    "per type, LEFT-joined onto the complete (type × day) grid so "
+    "missing days surface as explicit zeros — the gap-fill every "
+    "dashboard/forecasting feed needs before windowed math.  The grid is "
+    "derived, not stored: a 1-row global (min, max) aggregate explodes "
+    "into the day sequence and cross-joins the distinct-type relation — "
+    "both broadcast-sized AT ANY FACT SCALE because the calendar is "
+    "bounded by the observed range and types by the dimension's "
+    "cardinality; the fact-side agg is the only real work and the LEFT "
+    "join keys on (type, day) against the tiny grid.",
+)
+def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    agg = (
+        ev.filter(F.col("value") > 300)
+        .groupBy(
+            F.col("event_type").alias("a_type"),
+            F.date_trunc("day", F.col("ts")).alias("a_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(
+            agg,
+            (grid["event_type"] == F.col("a_type"))
+            & (grid["day"] == F.col("a_day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("day")).alias("day_us"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "day_us")
+    )
