@@ -120,6 +120,7 @@ _CHANGED_THIS_ROUND = {
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
     "events_gapfill_daily",
+    "events_revenue_anomaly_days",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

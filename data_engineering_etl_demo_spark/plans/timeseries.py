@@ -582,3 +582,92 @@ def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD day-level outlier flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_revenue_anomaly_days",
+    """
+    WITH day_rev AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 1000000) AS BIGINT))
+                    AS BIGINT) AS rev_f
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    med AS (
+        SELECT rev_f AS med_f FROM (
+            SELECT rev_f, ROW_NUMBER() OVER (ORDER BY rev_f, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM day_rev) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT d.day, d.rev_f, abs(d.rev_f - m.med_f) AS ad_f
+        FROM day_rev d, med m
+    ),
+    mad AS (
+        SELECT ad_f AS mad_f FROM (
+            SELECT ad_f, day, ROW_NUMBER() OVER (ORDER BY ad_f, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT epoch_us(dev.day) AS day_us,
+           ROUND(dev.rev_f / 1000000.0, 2) AS revenue,
+           CASE WHEN dev.ad_f > 2 * mad.mad_f THEN 1 ELSE 0 END AS is_anomaly
+    FROM dev, mad ORDER BY day_us
+    """,
+    doc="Data-quality monitoring: flag purchase-revenue outlier days with "
+    "the robust median/MAD rule (|x − median| > 2·MAD), ENTIRELY in exact "
+    "integer arithmetic — daily revenues are fixed-point LONG sums, both "
+    "medians are the lower-median picked by ROW_NUMBER at (n+1) DIV 2 "
+    "with a deterministic (value, day) tiebreak (no float average of "
+    "middle elements, no stddev — NOTES.md rules 1-2), and the flag test "
+    "is an integer compare.  Scale: the fact reduces to ONE row per day "
+    "before any window — the global-ordering windows and scalar cross "
+    "joins run on the |days|-bounded relation, never on the fact.",
+)
+def q_events_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rev_f = F.sum(
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1000000)).cast(
+            "long"
+        )
+    ).cast("long")
+    day_rev = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        rev_f.alias("rev_f")
+    )
+    w_all = Window.partitionBy()
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w_rn = Window.orderBy(F.col(val), F.col("day"))
+        return (
+            df.select(
+                F.col(val),
+                F.col("day"),
+                F.row_number().over(w_rn).alias("rn"),
+                F.count(F.lit(1)).over(w_all).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+            .select(F.col(val).alias(out))
+        )
+
+    med = _lower_median(day_rev, "rev_f", "med_f")
+    dev = day_rev.crossJoin(F.broadcast(med)).withColumn(
+        "ad_f", F.abs(F.col("rev_f") - F.col("med_f"))
+    )
+    mad = _lower_median(dev, "ad_f", "mad_f")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.unix_micros(F.col("day")).alias("day_us"),
+            F.round(F.col("rev_f") / F.lit(1000000.0), 2).alias("revenue"),
+            F.when(
+                F.col("ad_f") > F.lit(2) * F.col("mad_f"), F.lit(1)
+            ).otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+        .orderBy("day_us")
+    )
