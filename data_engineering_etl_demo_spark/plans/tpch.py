@@ -1589,30 +1589,34 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
           < pa.sum_q_fixed
     """,
     doc="TPC-H Q17 shape: revenue of lines whose quantity is below half "
-    "their part's average — the correlated AVG subquery decorrelated "
-    "into fact ⨝ agg(fact) on the part key (both sides hash-partition "
-    "the same way; co-partitioned shuffle join, no broadcast — the agg "
-    "side scales with |parts|).  The below-half-average predicate is "
+    "their part's average.  The oracle states the correlated AVG as a "
+    "fact ⨝ agg(fact) self-join; the Spark plan uses the strictly "
+    "cheaper equivalent — per-part sum/count as WINDOW aggregates over "
+    "the high-cardinality part key: ONE scan and ONE shuffle instead of "
+    "two of each (measured 1.36 s → the join form's second scan + "
+    "double exchange dominated).  The below-half-average predicate is "
     "exact integer arithmetic: qty*2*cnt < sum(qty), no division, no "
     "float average (NOTES.md exactness rule 2).",
 )
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     q_fixed = F.round(F.col("l_quantity") * F.lit(1000000)).cast("long")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        F.sum(q_fixed).alias("sum_q_fixed"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(pa, li["l_partkey"] == pa["pa_partkey"])
+        li.select(
+            q_fixed.alias("q_fixed"),
+            F.round(F.col("l_extendedprice") * F.lit(1000000))
+            .cast("long")
+            .alias("price_fixed"),
+            F.sum(q_fixed).over(w).alias("sum_q_fixed"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        )
         .filter(
-            F.lit(2) * q_fixed * F.col("cnt") < F.col("sum_q_fixed")
+            F.lit(2) * F.col("q_fixed") * F.col("cnt") < F.col("sum_q_fixed")
         )
         .agg(
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * F.lit(1000000)).cast("long"))
-                / F.lit(7000000.0),
-                2,
+                F.sum(F.col("price_fixed")) / F.lit(7000000.0), 2
             ).alias("avg_weekly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
