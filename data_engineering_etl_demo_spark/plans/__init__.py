@@ -121,6 +121,7 @@ _CHANGED_THIS_ROUND = {
     "embedding_pq_adc_topk",
     "events_gapfill_daily",
     "events_revenue_anomaly_days",
+    "streaming_enriched_counts",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -288,3 +288,55 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     ).orderBy("purchase_id", "click_id")
+
+
+@register(
+    "streaming_enriched_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 day', e.ts)) AS window_start_us,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           ROUND(CAST(SUM(CAST(ROUND(COALESCE(e.value, 0) * 1000000)
+                                AS BIGINT)) AS BIGINT) / 1000000.0, 2)
+               AS revenue
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.user_id IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Stream-static enrichment join — the most common production "
+    "streaming shape: the event stream broadcast-joins a static customer "
+    "dimension (per micro-batch, no state needed for the static side), "
+    "then daily tumbling-window counts + exact fixed-point revenue per "
+    "market segment.  The revenue stays a LONG sum inside the streaming "
+    "aggregate (order-independent across micro-batches) and is only "
+    "scaled/rounded AFTER the drain, so arrival order can't move the "
+    "result.  At scale the dim side refreshes per batch from the table "
+    "source; the stream side shuffles once on the window+segment key.",
+    memoize=False,
+)
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _event_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    rev_fixed = F.round(
+        F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1000000)
+    ).cast("long")
+    enriched = (
+        events.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(cust), events["user_id"] == cust["c_custkey"])
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(rev_fixed).alias("rev_f"),
+        )
+    )
+    result = P.run_to_completion(enriched, "stream_enriched_counts", "complete")
+    return result.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "segment",
+        "events",
+        F.round(F.col("rev_f") / F.lit(1000000.0), 2).alias("revenue"),
+    ).orderBy("window_start_us", "segment")

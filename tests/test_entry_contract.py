@@ -69,7 +69,14 @@ def test_verify_order_puts_stale_evidence_first():
         and n not in _CHANGED_THIS_ROUND
         and specs[n].module != "streaming_plans"
     ]
-    streaming = [n for n in names if specs[n].module == "streaming_plans"]
+    # a CHANGED/new streaming query has no fresh evidence and belongs in
+    # the changed bucket, not the deprioritized streaming tail
+    streaming = [
+        n
+        for n in names
+        if specs[n].module == "streaming_plans"
+        and n not in _CHANGED_THIS_ROUND
+    ]
     assert changed and stale and fresh and streaming
     assert max(pos[n] for n in changed) < min(pos[n] for n in stale)
     assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
