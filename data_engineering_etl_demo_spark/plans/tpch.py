@@ -1468,14 +1468,20 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(rev_fixed / 1000000.0, 2) AS revenue
-    FROM pr, (SELECT CAST(SUM(rev_fixed) AS BIGINT) AS tot_fixed FROM pr) t
-    WHERE rev_fixed * 1400 > tot_fixed
+    -- revenue truncated to cents via exact integer division:
+    -- ROUND(double, 2) is engine-defined at half-cent boundaries and
+    -- DID diverge in the last cent at sf0.1
+    SELECT l_partkey, (rev_fixed // 10000) / 100.0 AS revenue
+    FROM pr, (SELECT CAST(SUM(rev_fixed) AS BIGINT) AS tot_fixed,
+                     COUNT(*) AS np FROM pr) t
+    WHERE rev_fixed * np * 4 > 5 * tot_fixed
     ORDER BY revenue DESC, l_partkey
     """,
     doc="TPC-H Q11 shape (adapted: value = lineitem revenue instead of "
-    "partsupp stock value): parts whose revenue exceeds 1/1400 of the "
-    "global total.  The global scalar is a 1-row aggregate OVER THE "
+    "partsupp stock value): parts earning more than 1.25x the MEAN part "
+    "revenue — a scale-stable threshold (a fixed fraction-of-total "
+    "cutoff empties as the part count grows).  The global scalar is a "
+    "1-row aggregate OVER THE "
     "ALREADY-REDUCED per-part relation (not a second fact scan) joined "
     "back as a broadcast cross join — the Q22 pattern; the threshold "
     "compare is exact LONG fixed-point arithmetic on both engines "
@@ -1493,13 +1499,19 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: pr feeds both the global scalar and the filter — without it
     # Spark re-runs the fact scan + agg twice (no common-subplan reuse)
     pr = pr.persist()
-    tot = pr.agg(F.sum("rev_fixed").alias("tot_fixed"))
+    tot = pr.agg(
+        F.sum("rev_fixed").alias("tot_fixed"),
+        F.count(F.lit(1)).alias("np"),
+    )
     return (
         pr.crossJoin(F.broadcast(tot))
-        .filter(F.col("rev_fixed") * F.lit(1400) > F.col("tot_fixed"))
+        .filter(
+            F.col("rev_fixed") * F.col("np") * F.lit(4)
+            > F.lit(5) * F.col("tot_fixed")
+        )
         .select(
             "l_partkey",
-            F.round(F.col("rev_fixed") / F.lit(1000000.0), 2).alias("revenue"),
+            (F.expr("rev_fixed DIV 10000") / F.lit(100.0)).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_partkey"))
     )
