@@ -939,3 +939,60 @@ def pq_adc_lut(
             for code in range(n_codes):
                 rows.append((int(qid), m, code, int(d[code])))
     return rows
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    cents,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """(id, cell, pq_code): IVF cell assignment AND PQ encoding in ONE
+    Arrow-batched pass — the index-build step of an IVF-PQ index.  Both
+    model constants (centroids, codebook) are closure broadcasts; the
+    corpus is never joined with itself (the naive compose of ivf_assign +
+    pq_encode costs a corpus-sized shuffle join).  Arithmetic is the same
+    IEEE-exact fixed-point as the two standalone kernels, so cell and
+    code agree bit-for-bit with their oracles."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmat = np.asarray(codebook, dtype=np.float64)
+    sub_d = cmat.shape[1] // n_sub
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[id_col],
+            StructField("cell", LongType()),
+            StructField("pq_code", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = _nearest_cells(mat, cents)
+            codes = np.zeros(len(mat), dtype=np.int64)
+            for m in range(n_sub):
+                sl = slice(m * sub_d, (m + 1) * sub_d)
+                diff = mat[:, None, sl] - cmat[None, :, sl]
+                d = np.floor(diff * diff * PROD_SCALE).astype(np.int64).sum(
+                    axis=2
+                )
+                codes += np.argmin(d, axis=1).astype(np.int64) * (n_codes ** m)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell,
+                    "pq_code": codes,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)

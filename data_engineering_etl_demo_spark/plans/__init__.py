@@ -122,6 +122,7 @@ _CHANGED_THIS_ROUND = {
     "events_gapfill_daily",
     "events_revenue_anomaly_days",
     "streaming_enriched_counts",
+    "embedding_ivf_pq_topk",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

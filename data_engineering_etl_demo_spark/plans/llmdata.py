@@ -1859,3 +1859,162 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full IVF-PQ search: probe the query's cell, ADC-rank inside it
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_ivf_pq_topk",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {S.IVF_CELLS}
+    ),
+    at0 AS (
+        SELECT e.vec_id, c.cell,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM embeddings e, cent c, generate_series(1, 64) AS g(i)
+    ),
+    ag AS (
+        SELECT vec_id, cell,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cos
+        FROM at0 GROUP BY 1, 2
+    ),
+    ass AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ag
+        ) WHERE rn = 1
+    ),
+    cb AS (
+        SELECT vec_id AS code, embedding AS cvec FROM embeddings
+        WHERE vec_id < 16
+    ),
+    sub AS (
+        SELECT vec_id, embedding, m
+        FROM embeddings, (SELECT unnest(range(0, 4)) AS m)
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, cb.code,
+               CAST(list_sum(list_transform(range(1, 17), i ->
+                   CAST(floor(
+                       (CAST(s.embedding[CAST(s.m * 16 AS INT) + i] AS DOUBLE)
+                        - CAST(cb.cvec[CAST(s.m * 16 AS INT) + i] AS DOUBLE))
+                     * (CAST(s.embedding[CAST(s.m * 16 AS INT) + i] AS DOUBLE)
+                        - CAST(cb.cvec[CAST(s.m * 16 AS INT) + i] AS DOUBLE))
+                     * 1e12) AS BIGINT))) AS BIGINT) AS d
+        FROM sub s, cb
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    qcell AS (
+        SELECT vec_id AS query_id, cell FROM ass
+        WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}
+    ),
+    qdist AS (
+        SELECT vec_id AS query_id, m, code, d FROM dist
+        WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}
+    ),
+    adc AS (
+        SELECT qc.query_id, c.vec_id AS cand_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_fixed
+        FROM codes c
+        JOIN ass a ON a.vec_id = c.vec_id
+        JOIN qcell qc ON qc.cell = a.cell
+        JOIN qdist qd ON qd.query_id = qc.query_id
+                     AND qd.m = c.m AND qd.code = c.code
+        WHERE c.vec_id <> qc.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_fixed, rank FROM (
+        SELECT query_id, cand_id, adc_fixed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_fixed, cand_id) AS rank
+        FROM adc
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Full IVF-PQ search, composed end to end: ONE corpus kernel pass "
+    "assigns the IVF cell and the PQ code together "
+    "(operators/similarity.py::ivf_pq_encode — the naive compose of the "
+    "two standalone kernels would shuffle-join the corpus with itself); "
+    "each query resolves its probe cell and its 4×16 ADC lookup table "
+    "driver-side (fitted-model constants); candidates are restricted to "
+    "the query's cell by the broadcast join condition, then ranked by "
+    "the sum of four LUT lookups.  This is the production ANN shape at "
+    "100 TB: corpus streams once, no exchange except the (query, cand) "
+    "partial-sum agg over the probed cells, top-5 per query.",
+)
+def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = S.centroids_from_parquet(path)
+    _, cb_mat = S.vectors_from_parquet(path, 0, S.PQ_K)
+    q_ids, q_mat = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
+    q_cells = S._nearest_cells(q_mat, cents)
+    cell_of = {int(q): int(c) for q, c in zip(q_ids, q_cells)}
+    lut_rows = [
+        (qid, cell_of[qid], m, code, d)
+        for (qid, m, code, d) in S.pq_adc_lut(q_ids, q_mat, cb_mat)
+    ]
+    lut_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("q_cell", T.LongType()),
+            T.StructField("lut_m", T.IntegerType()),
+            T.StructField("lut_code", T.IntegerType()),
+            T.StructField("d", T.LongType()),
+        ]
+    )
+    lut = spark.createDataFrame(lut_rows, lut_schema)
+    coded = S.ivf_pq_encode(emb, cents, cb_mat)
+    sub_codes = coded.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("pq_code") / F.lit(S.PQ_K ** m)).cast("long")
+                    % F.lit(S.PQ_K)
+                    for m in range(S.PQ_M)
+                ]
+            )
+        ).alias("m", "code"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fixed"), F.col("cand_id")
+    )
+    return (
+        sub_codes.join(
+            F.broadcast(lut),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("m") == F.col("lut_m"))
+            & (F.col("code") == F.col("lut_code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d").cast("long").alias("adc_fixed"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
