@@ -187,3 +187,30 @@ def test_pq_encode_tie_breaks_to_lowest_code(spark):
     cb = np.array([[1.0] * DIM, [1.0] * DIM], dtype=np.float64)
     row = S.pq_encode(df, cb, n_sub=2, n_codes=2).collect()[0]
     assert row["pq_code"] == 0 and row["err_fixed"] == 0
+
+
+def test_adc_of_own_code_equals_reconstruction_error(corpus):
+    """Ties the three PQ ops together: for any vector x, the ADC distance
+    of x (as query) against x's OWN code must equal x's reconstruction
+    error — both are the summed subspace distances to the assigned
+    codewords, computed through different code paths (kernel vs driver
+    LUT)."""
+    import numpy as np
+
+    rows = sorted(corpus.filter(F.col("vec_id") < 4).collect(),
+                  key=lambda r: r["vec_id"])
+    cb = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    enc = {
+        r["vec_id"]: (r["pq_code"], r["err_fixed"])
+        for r in S.pq_encode(corpus, cb, n_sub=2, n_codes=4).collect()
+    }
+    all_rows = corpus.collect()
+    ids = [r["vec_id"] for r in all_rows]
+    mat = np.array([list(r["embedding"]) for r in all_rows], dtype=np.float64)
+    lut = {}
+    for qid, m, code, d in S.pq_adc_lut(ids, mat, cb, n_sub=2, n_codes=4):
+        lut[(qid, m, code)] = d
+    for vid, (code, err) in enc.items():
+        c0, c1 = code % 4, code // 4
+        adc_self = lut[(vid, 0, c0)] + lut[(vid, 1, c1)]
+        assert adc_self == err, (vid, adc_self, err)
