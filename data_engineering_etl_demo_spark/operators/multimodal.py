@@ -410,3 +410,66 @@ def sample_frames(media: DataFrame, max_frames: int = MAX_SAMPLED_FRAMES) -> Dat
         "doc_id", "payload", F.col("meta.media_type").alias("media_type")
     )
     return flat.mapInPandas(explode_batches, schema=FRAME_SCHEMA)
+
+
+PATCH_GRID = 4  # 4×4 = 16 patches per image (ViT-style tiling)
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row int, patch_col int, patch_n_bytes long, "
+    "patch_sum long, patch_md5 string"
+)
+
+
+def patch_grid(media: DataFrame, grid: int = PATCH_GRID) -> DataFrame:
+    """ViT-style patch tiling for image payloads: each image explodes into
+    grid² byte-range patches (patch p covers [⌊p·n/g²⌋, ⌊(p+1)·n/g²⌋) —
+    exact integer boundaries, so the oracle reproduces every slice), with
+    per-patch byte count, exact amplitude sum, and md5 of the
+    lowercase-hex slice.  One Arrow pass, 1→16 row explode — the batch
+    prep a vision-transformer pipeline runs before patch embedding."""
+
+    n_patches = grid * grid
+
+    def patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, media_type in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if not media_type.startswith("image"):
+                    continue
+                n = len(payload)
+                for p in range(n_patches):
+                    lo = p * n // n_patches
+                    hi = (p + 1) * n // n_patches
+                    chunk = payload[lo:hi]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "patch_row": p // grid,
+                            "patch_col": p % grid,
+                            "patch_n_bytes": len(chunk),
+                            "patch_sum": sum(chunk),
+                            "patch_md5": hashlib.md5(
+                                chunk.hex().encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "patch_row",
+                    "patch_col",
+                    "patch_n_bytes",
+                    "patch_sum",
+                    "patch_md5",
+                ],
+            ).astype({"patch_row": "Int32", "patch_col": "Int32"})
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(patch_batches, schema=PATCH_SCHEMA)

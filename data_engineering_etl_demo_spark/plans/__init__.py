@@ -123,6 +123,7 @@ _CHANGED_THIS_ROUND = {
     "events_revenue_anomaly_days",
     "streaming_enriched_counts",
     "embedding_ivf_pq_topk",
+    "multimodal_patch_grid",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -162,3 +162,47 @@ _SQL_AUDIO = """
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(load(spark, sf_dir, "documents"))
     return M.audio_features(media).orderBy("doc_id")
+
+
+_SQL_PATCHES = f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               lower(hex(encode(text))) AS hx
+        FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    p AS (
+        SELECT doc_id, n, hx,
+               CAST(g AS INT) AS patch,
+               (g * n) // {M.PATCH_GRID * M.PATCH_GRID} AS lo,
+               ((g + 1) * n) // {M.PATCH_GRID * M.PATCH_GRID} AS hi
+        FROM m, generate_series(0, {M.PATCH_GRID * M.PATCH_GRID - 1}) AS t(g)
+    )
+    SELECT doc_id,
+           CAST(patch // {M.PATCH_GRID} AS INT) AS patch_row,
+           CAST(patch % {M.PATCH_GRID} AS INT) AS patch_col,
+           CAST(hi - lo AS BIGINT) AS patch_n_bytes,
+           CAST(coalesce(list_sum(list_transform(range(lo, hi),
+               i -> CAST((instr('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+                         + instr('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1
+                    AS BIGINT))), 0) AS BIGINT) AS patch_sum,
+           md5(substr(hx, lo * 2 + 1, (hi - lo) * 2)) AS patch_md5
+    FROM p
+    ORDER BY doc_id, patch_row, patch_col
+"""
+
+
+@register(
+    "multimodal_patch_grid",
+    _SQL_PATCHES,
+    doc="ViT-style 4×4 patch tiling of image payloads — 1→16 row explode "
+    "inside one Arrow pass, exact integer patch boundaries "
+    "(⌊p·n/16⌋), per-patch byte count / exact amplitude sum / "
+    "hex-slice md5, all reproduced by the oracle from the hex encoding.  "
+    "The batch-prep stage a vision pipeline runs before patch embedding; "
+    "per-split parallel at any scale, no shuffle before the final sort.",
+)
+def q_multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(load(spark, sf_dir, "documents"))
+    return M.patch_grid(media).orderBy("doc_id", "patch_row", "patch_col")
