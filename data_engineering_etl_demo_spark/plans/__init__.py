@@ -124,6 +124,7 @@ _CHANGED_THIS_ROUND = {
     "streaming_enriched_counts",
     "embedding_ivf_pq_topk",
     "multimodal_patch_grid",
+    "events_salted_type_join",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

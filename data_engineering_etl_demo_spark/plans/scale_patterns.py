@@ -317,3 +317,70 @@ def q_docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _MIN_SHARED)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join: the hot-key skew rewrite for joins
+# ---------------------------------------------------------------------------
+
+_JOIN_SALTS = 8
+
+
+@register(
+    "events_salted_type_join",
+    f"""
+    WITH dim AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_money_sum('COALESCE(e.value, 0)')} AS value_sum,
+           MAX(d.type_total) AS type_total
+    FROM events e
+    JOIN dim d ON d.event_type = e.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Salted JOIN: the hot-key rewrite for shuffle joins.  event_type "
+    "has only 5 values — the worst possible join-key skew: a plain "
+    "shuffle join lands the entire fact on 5 reducer keys.  The rewrite "
+    "spreads each fact row to salt = event_id % 8 and EXPLODES the "
+    "build side 8×, so the exchange keys on (event_type, salt) — 40 "
+    "even partitions instead of 5 hot ones; shuffle_hash hint keeps it "
+    "an exchange-based join (Catalyst would otherwise broadcast the "
+    "40-row side and hide the pattern).  The oracle is the UNSALTED "
+    "join — proving the rewrite changes only the shuffle layout, not "
+    "one output bit (same recipe as events_salted_user_stats for aggs).",
+)
+def q_events_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_JOIN_SALTS)]))
+    )
+    fixed = F.round(
+        F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(MONEY_SCALE)
+    ).cast("long")
+    fact = ev.select(
+        "event_type",
+        fixed.alias("v_fixed"),
+        (F.col("event_id") % F.lit(_JOIN_SALTS)).cast("int").alias("salt"),
+    )
+    return (
+        fact.join(
+            salted_dim.hint("shuffle_hash"),
+            (fact["event_type"] == salted_dim["d_type"])
+            & (fact["salt"] == salted_dim["salt"]),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v_fixed") / F.lit(float(MONEY_SCALE)), 2).alias(
+                "value_sum"
+            ),
+            F.max("type_total").alias("type_total"),
+        )
+        .orderBy("event_type")
+    )
