@@ -125,6 +125,8 @@ _CHANGED_THIS_ROUND = {
     "embedding_ivf_pq_topk",
     "multimodal_patch_grid",
     "events_salted_type_join",
+    "nation_wealth_balance",
+    "events_cohort_setops",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

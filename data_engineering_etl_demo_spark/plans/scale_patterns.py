@@ -384,3 +384,52 @@ def q_events_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT cohort comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_setops",
+    """
+    SELECT 'both' AS cohort, user_id FROM (
+        SELECT user_id FROM events
+        WHERE event_type = 'click' AND value > 300 AND user_id IS NOT NULL
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200 AND user_id IS NOT NULL
+    )
+    UNION ALL
+    SELECT 'click_only' AS cohort, user_id FROM (
+        SELECT user_id FROM events
+        WHERE event_type = 'click' AND value > 300 AND user_id IS NOT NULL
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200 AND user_id IS NOT NULL
+    )
+    ORDER BY cohort, user_id
+    """,
+    doc="INTERSECT / EXCEPT coverage: high-value clickers who also made a "
+    "high-value purchase vs those who never did, labeled in one result.  "
+    "Spark plans both set ops as distinct-aggregating hash joins on the "
+    "user key (LeftSemi for INTERSECT, LeftAnti for EXCEPT) — the same "
+    "one-shuffle shape as the TPC-H semi/anti joins, applied to the "
+    "cohort-diff question every growth dashboard asks.",
+)
+def q_events_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    clickers = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 300)
+    ).select("user_id")
+    purchasers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("user_id")
+    both = clickers.intersect(purchasers).select(
+        F.lit("both").alias("cohort"), "user_id"
+    )
+    click_only = clickers.subtract(purchasers).select(
+        F.lit("click_only").alias("cohort"), "user_id"
+    )
+    return both.unionAll(click_only).orderBy("cohort", "user_id")

@@ -1697,3 +1697,70 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: reconcile two aggregated sides with one-sided rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_wealth_balance",
+    """
+    WITH c AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS rich_customers
+        FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+    ),
+    s AS (
+        SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS rich_suppliers
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.rich_customers, 0) AS rich_customers,
+           COALESCE(s.rich_suppliers, 0) AS rich_suppliers,
+           CASE WHEN c.nk IS NULL THEN 'supplier_only'
+                WHEN s.nk IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    doc="FULL OUTER JOIN coverage: per-nation counts of high-balance "
+    "customers vs high-balance suppliers, where each side genuinely has "
+    "nations the other lacks (the thresholds are chosen so the result "
+    "carries customer-only, supplier-only AND both rows — COALESCE keys, "
+    "zero-filled counts, presence label).  Both inputs are ALREADY "
+    "REDUCED per-nation aggregates before the join, so the full-outer "
+    "shuffle moves at most 2·|nations| rows at any fact scale — the "
+    "reconciliation-report shape (same keys, two systems, who's "
+    "missing where).",
+)
+def q_nation_wealth_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("rich_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("rich_suppliers"))
+    )
+    return (
+        c.join(s, c["c_nk"] == s["s_nk"], "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("rich_customers"), F.lit(0)).cast("long").alias(
+                "rich_customers"
+            ),
+            F.coalesce(F.col("rich_suppliers"), F.lit(0)).cast("long").alias(
+                "rich_suppliers"
+            ),
+            F.when(F.col("c_nk").isNull(), F.lit("supplier_only"))
+            .when(F.col("s_nk").isNull(), F.lit("customer_only"))
+            .otherwise(F.lit("both"))
+            .alias("presence"),
+        )
+        .orderBy("nationkey")
+    )
