@@ -127,6 +127,7 @@ _CHANGED_THIS_ROUND = {
     "events_salted_type_join",
     "nation_wealth_balance",
     "events_cohort_setops",
+    "docs_dedup_report",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

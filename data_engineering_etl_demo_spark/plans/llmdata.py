@@ -440,7 +440,10 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = REGISTRY["docs_minhash_near_dup"].spark_fn(spark, sf_dir)
     cc = G.connected_components(pairs, src="id_a", dst="id_b")
     out = cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
-    _cc_labels_memo[(id(spark), sf_dir)] = out
+    # applicationId key, not id(spark) — same stale-session hazard the
+    # catalog/plan memos fixed (a restarted session can reuse the address)
+    from data_engineering_etl_demo_spark.catalog import session_key
+    _cc_labels_memo[(session_key(spark), sf_dir)] = out
     return out
 
 
@@ -495,7 +498,9 @@ def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_wide(spark, sf_dir)
     fp = docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
-    comp = _cc_labels_memo.get((id(spark), sf_dir))
+    from data_engineering_etl_demo_spark.catalog import session_key
+
+    comp = _cc_labels_memo.get((session_key(spark), sf_dir))
     if comp is None:
         comp = REGISTRY["docs_dup_clusters"].spark_fn(spark, sf_dir)
     return (
@@ -2017,4 +2022,44 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup pipeline report: verdicts × document metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dedup_report",
+    f"""
+    WITH s AS ({_SQL_DEDUP_SURVIVORS})
+    SELECT d.lang, s.status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="The dedup pipeline's summary report: per (language, verdict) "
+    "document counts and character volume — the table a data-curation "
+    "run publishes to say what it kept and what it dropped, and the "
+    "composition check that the per-doc verdict relation joins cleanly "
+    "back to the catalog.  Reuses the registered survivors plan (which "
+    "itself reuses the clustering labels), joins the documents dim on "
+    "the even doc_id key, and reduces to |langs|·3 rows.",
+    memoize=False,  # composes the unmemoized survivors plan (runs jobs)
+)
+def q_docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    surv = REGISTRY["docs_dedup_survivors"].spark_fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        surv.join(docs, on="doc_id")
+        .groupBy("lang", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "status")
     )
