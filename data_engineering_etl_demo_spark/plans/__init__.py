@@ -128,6 +128,7 @@ _CHANGED_THIS_ROUND = {
     "nation_wealth_balance",
     "events_cohort_setops",
     "docs_dedup_report",
+    "streaming_dedup_counts",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -340,3 +340,69 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events",
         F.round(F.col("rev_f") / F.lit(1000000.0), 2).alias("revenue"),
     ).orderBy("window_start_us", "segment")
+
+
+def _doubled_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream that delivers EVERY event twice: the staging dir
+    symlinks the same events.parquet under two names, so the source reads
+    two files and each event_id arrives as a genuine duplicate — the
+    at-least-once delivery a dedup stage exists to absorb."""
+    import os
+    from pathlib import Path
+
+    stage = Path("/tmp/spark_graft_stream_dup") / Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = stage / name
+        if not link.exists():
+            os.symlink(f"{sf_dir}/events.parquet", link)
+
+    schema, mode = _events_read_schema(sf_dir)
+    if mode == "nanos_long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        # one file per micro-batch: the duplicate pairs land in DIFFERENT
+        # batches, so the dedup state genuinely carries across batches
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    if mode == "nanos_long":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if mode == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+@register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Streaming exact dedup under at-least-once delivery: the source "
+    "replays the whole event file TWICE in separate micro-batches, and "
+    "dropDuplicatesWithinWatermark(event_id) absorbs the replay — the "
+    "state store holds only a watermark-deep window of ids, the bound "
+    "that makes streaming dedup feasible in production.  The oracle is "
+    "the plain batch count over the SINGLE copy: if any duplicate "
+    "leaked past the dedup (or any original was wrongly dropped) the "
+    "counts hash-mismatch.",
+    memoize=False,
+)
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (
+        _doubled_event_stream(spark, sf_dir)
+        # the full file replays in a later batch: allow the duplicate's
+        # event time to be arbitrarily 'late' relative to the watermark
+        # already advanced by batch 1 — a huge delay keeps every replayed
+        # id inside the dedup state for this bounded drain
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    result = P.run_to_completion(counts, "stream_dedup_counts", "complete")
+    return result.orderBy("event_type")
