@@ -129,6 +129,8 @@ _CHANGED_THIS_ROUND = {
     "events_cohort_setops",
     "docs_dedup_report",
     "streaming_dedup_counts",
+    "customer_balance_deciles",
+    "events_inter_arrival",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -671,3 +671,60 @@ def q_events_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# LAG inter-arrival gaps: per-user event cadence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_inter_arrival",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="LAG coverage: per-user inter-event arrival gaps — the cadence "
+    "signal behind sessionization thresholds and bot detection.  Gaps "
+    "are epoch-µs integer differences (never timestamp subtraction "
+    "formatting), the mean is integer division, and the window orders "
+    "by (ts, event_id) so simultaneous events have a deterministic "
+    "predecessor in both engines.  One shuffle on the high-cardinality "
+    "user key, then a per-user aggregate of the same partitioning — "
+    "Spark reuses the exchange.",
+)
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            F.expr("sum(gap_us) DIV count(gap_us)").alias("mean_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -1764,3 +1764,46 @@ def q_nation_wealth_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-function family: percent_rank + ntile within partitions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_balance_deciles",
+    """
+    SELECT c_nationkey,
+           c_custkey,
+           c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           CAST(ntile(10) OVER w AS INT) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_acctbal, c_custkey
+    """,
+    doc="percent_rank + ntile coverage: account-balance standing within "
+    "each nation.  Both functions are rank-based — percent_rank is "
+    "(rank-1)/(n-1) (two exact integers, one IEEE division) and ntile "
+    "splits by the standard ceil-then-floor rule — so with a unique "
+    "(acctbal, custkey) ordering both engines emit identical values.  "
+    "The window partitions on the nation key; for GLOBAL quantiles at "
+    "scale use the two-pass histogram (pricing_percentiles) — a global "
+    "ORDER BY window would serialize on one reducer.",
+)
+def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+    )
