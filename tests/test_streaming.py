@@ -244,3 +244,21 @@ def test_windowed_counts_merge_late_data_across_batches(spark, tmp_path):
     counts = {r["window_start"]: r["events"] for r in out.collect()}
     assert counts[T0] == 2  # e1 + late e3
     assert counts[T0 + timedelta(minutes=10)] == 1
+
+
+def test_doubled_source_actually_replays_every_event(spark):
+    """Guards streaming_dedup_counts against vacuous success: WITHOUT the
+    dedup stage the doubled staging dir must deliver exactly 2x the
+    events — if the second symlink ever stops arriving, the dedup query
+    would 'pass' while testing nothing."""
+    from data_engineering_etl_demo_spark.plans.streaming_plans import (
+        _doubled_event_stream,
+    )
+    from data_engineering_etl_demo_spark.streaming import pipeline as P
+
+    sf_dir = "/root/testdata/sf0.001"
+    raw = _doubled_event_stream(spark, sf_dir).groupBy().count()
+    result = P.run_to_completion(raw, "stream_doubled_raw", "complete")
+    doubled = result.collect()[0][0]
+    single = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert doubled == 2 * single
