@@ -131,6 +131,8 @@ _CHANGED_THIS_ROUND = {
     "streaming_dedup_counts",
     "customer_balance_deciles",
     "events_inter_arrival",
+    "docs_vocab_growth",
+    "docs_length_histogram",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -2063,3 +2063,93 @@ def q_docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary growth (Heaps-curve checkpoints) + length histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_vocab_growth",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_fmt(SQL_WORDS)}) AS tok FROM documents
+    ),
+    first AS (SELECT tok, MIN(doc_id) AS first_doc FROM ex GROUP BY tok),
+    n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+    cps AS (
+        SELECT CAST(((i + 1) * n_docs) // 5 AS BIGINT) AS checkpoint
+        FROM n, (SELECT unnest(range(0, 5)) AS i)
+    )
+    SELECT checkpoint,
+           CAST(SUM(CASE WHEN first_doc < checkpoint THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_size
+    FROM first, cps
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Vocabulary growth curve (the Heaps-law diagnostic a tokenizer "
+    "budget decision reads): distinct-token count after each fifth of "
+    "the corpus, computed ORDER-FREE as 'tokens whose first-seen doc_id "
+    "falls below the checkpoint' — one token-level MIN aggregate, then "
+    "five conditional sums against the broadcast checkpoint list; no "
+    "sequential scan, no stateful accumulation, exact at any "
+    "parallelism.  Checkpoints derive from max(doc_id) so the query is "
+    "SF-independent.",
+)
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_wide(spark, sf_dir)
+    ex = docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("tok"))
+    first = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    n = load(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + F.lit(1)).alias("n_docs")
+    )
+    cps = (
+        spark.range(5)
+        .crossJoin(F.broadcast(n))
+        .select(F.expr("((id + 1) * n_docs) DIV 5").alias("checkpoint"))
+    )
+    return (
+        first.crossJoin(F.broadcast(cps))
+        .groupBy("checkpoint")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("checkpoint"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("vocab_size")
+        )
+        .orderBy("checkpoint")
+    )
+
+
+@register(
+    "docs_length_histogram",
+    """
+    SELECT CAST(length(bin(n_chars)) AS INT) AS bucket_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Power-of-two document-length histogram — the curation dashboard's "
+    "first look at a corpus (truncation spikes, empty-doc tails).  The "
+    "bucket is the INTEGER bit length of n_chars (length(bin(x)) on both "
+    "engines — exact, no float log2), so the histogram is engine-exact "
+    "and the scan aggregates map-side into ~60 buckets max.",
+)
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .groupBy(
+            F.length(F.bin(F.col("n_chars"))).cast("int").alias("bucket_bits")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bucket_bits")
+    )
