@@ -133,6 +133,8 @@ _CHANGED_THIS_ROUND = {
     "events_inter_arrival",
     "docs_vocab_growth",
     "docs_length_histogram",
+    "monthly_revenue_growth",
+    "events_rolling_wau",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -728,3 +728,112 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (LAG over the aggregated series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+        SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS rev_f
+        FROM orders GROUP BY 1
+    )
+    SELECT month_us,
+           ROUND(rev_f / 1000000.0, 2) AS revenue,
+           CASE WHEN lag(rev_f) OVER (ORDER BY month_us) IS NULL
+                     OR lag(rev_f) OVER (ORDER BY month_us) = 0 THEN NULL
+                ELSE FLOOR(CAST(rev_f AS DOUBLE)
+                           / CAST(lag(rev_f) OVER (ORDER BY month_us) AS DOUBLE)
+                           * 1000000.0) / 1000000.0 END AS growth
+    FROM m ORDER BY month_us
+    """,
+    doc="Month-over-month revenue growth: the KPI-report shape — fact "
+    "reduces to one exact fixed-point LONG per month FIRST, then LAG and "
+    "the floor-truncated ratio run on the |months|-bounded series (the "
+    "global-ordering window never sees the fact).  NULL growth for the "
+    "first month and any zero-revenue predecessor.",
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_f = F.sum(
+        F.round(F.col("o_totalprice") * F.lit(1000000)).cast("long")
+    ).alias("rev_f")
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_us"
+            )
+        )
+        .agg(rev_f)
+    )
+    w = Window.orderBy("month_us")
+    prev = F.lag("rev_f").over(w)
+    return m.select(
+        "month_us",
+        F.round(F.col("rev_f") / F.lit(1000000.0), 2).alias("revenue"),
+        F.when(prev.isNull() | (prev == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                F.col("rev_f").cast("double")
+                / prev.cast("double")
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        )
+        .alias("growth"),
+    ).orderBy("month_us")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (sliding DISTINCT via bounded interval join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_wau",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT epoch_us(d.day) AS day_us,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN ud u ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Rolling 7-day active users per day — the sliding-window DISTINCT "
+    "no window frame can express (distinct doesn't decompose over "
+    "frames).  The scale recipe: dedup the fact to (user, day) pairs "
+    "FIRST (one shuffle, the big reduction), then a bounded interval "
+    "join replicates each pair into at most 7 day-buckets before the "
+    "distinct count — cost scales with |user-days|·7, never with raw "
+    "events, and the day grid is calendar-bounded.",
+)
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+    )
+    days = ud.select(F.col("day").alias("d_day")).distinct()
+    return (
+        days.join(
+            ud,
+            (ud["day"] <= F.col("d_day"))
+            & (ud["day"] > F.col("d_day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.unix_micros(F.col("d_day")).alias("day_us"))
+        .agg(F.count_distinct(F.col("user_id")).alias("wau"))
+        .orderBy("day_us")
+    )
