@@ -135,6 +135,8 @@ _CHANGED_THIS_ROUND = {
     "docs_length_histogram",
     "monthly_revenue_growth",
     "events_rolling_wau",
+    "docs_dup_triangles",
+    "market_basket_pairs",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -2153,3 +2153,67 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the near-dup graph (oriented wedge join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dup_triangles",
+    f"""
+    WITH prs AS (
+        SELECT id_a, id_b FROM ({_SQL_SIMHASH_NEAR_DUP})
+    ),
+    w AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM prs e1 JOIN prs e2
+          ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+    ),
+    t AS (
+        SELECT 1 FROM w JOIN prs p ON p.id_a = w.b AND p.id_b = w.c
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM prs) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles
+    """,
+    doc="Triangle census of the SimHash near-dup graph — the structure "
+    "signal that separates template families (dense cliques → many "
+    "triangles) from chance collisions (isolated edges).  The classic "
+    "distributed algorithm: ORIENTED edges (id_a < id_b, so each "
+    "triangle is counted exactly once), a wedge self-join on the lower "
+    "endpoint, and a closure join back against the edge set.  At scale "
+    "the orientation key becomes (degree, id) to bound wedge fan-out by "
+    "the SMALLEST endpoint's degree — the id orientation here keeps the "
+    "oracle trivially identical on the bounded pair set.",
+    memoize=False,  # composes the signature plan; keep bench honest
+)
+def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    pairs = (
+        REGISTRY["docs_simhash_near_dup"]
+        .spark_fn(spark, sf_dir)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    e1 = pairs.select(
+        F.col("id_a").alias("w_a"), F.col("id_b").alias("w_b")
+    )
+    e2 = pairs.select(
+        F.col("id_a").alias("w_a2"), F.col("id_b").alias("w_c")
+    )
+    wedges = e1.join(
+        e2, (F.col("w_a") == F.col("w_a2")) & (F.col("w_b") < F.col("w_c"))
+    ).select("w_b", "w_c")
+    tris = wedges.join(
+        pairs,
+        (F.col("w_b") == pairs["id_a"]) & (F.col("w_c") == pairs["id_b"]),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(
+        F.broadcast(n_tris)
+    )

@@ -1807,3 +1807,52 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_acctbal", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining: co-purchased parts per order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence: which part pairs ship in the same "
+    "order — the candidate-generation step of association-rule mining.  "
+    "Dedup to (order, part) FIRST, then the self-join on the order key "
+    "with a strict part inequality emits each unordered pair once; the "
+    "fan-out is bounded by the per-order basket size squared (orders "
+    "have a handful of lines), never by catalog size, and the pair "
+    "aggregate shuffles on the high-cardinality pair key into a "
+    "deterministic top-20.",
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(20)
+    )
