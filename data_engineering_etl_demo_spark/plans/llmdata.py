@@ -2164,7 +2164,7 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_dup_triangles",
     f"""
     WITH prs AS (
-        SELECT id_a, id_b FROM ({_SQL_SIMHASH_NEAR_DUP})
+        SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
     ),
     w AS (
         SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
@@ -2178,9 +2178,13 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles
     """,
-    doc="Triangle census of the SimHash near-dup graph — the structure "
+    doc="Triangle census of the MinHash near-dup graph — the structure "
     "signal that separates template families (dense cliques → many "
-    "triangles) from chance collisions (isolated edges).  The classic "
+    "triangles) from chance collisions (isolated edges).  (The MinHash "
+    "graph, NOT the radius-3 SimHash graph: the latter is clique-dense "
+    "on this template corpus — 271k edges / 30M triangles at sf0.1 — "
+    "and any exact join-based count must materialize every triangle.)  "
+    "The classic "
     "distributed algorithm: ORIENTED edges (id_a < id_b, so each "
     "triangle is counted exactly once), a wedge self-join on the lower "
     "endpoint, and a closure join back against the edge set.  At scale "
@@ -2193,7 +2197,7 @@ def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_etl_demo_spark.plans import REGISTRY
 
     pairs = (
-        REGISTRY["docs_simhash_near_dup"]
+        REGISTRY["docs_minhash_near_dup"]
         .spark_fn(spark, sf_dir)
         .select("id_a", "id_b")
         .persist()
