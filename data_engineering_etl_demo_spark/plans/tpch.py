@@ -1830,27 +1830,32 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Market-basket co-occurrence: which part pairs ship in the same "
     "order — the candidate-generation step of association-rule mining.  "
-    "Dedup to (order, part) FIRST, then the self-join on the order key "
-    "with a strict part inequality emits each unordered pair once; the "
-    "fan-out is bounded by the per-order basket size squared (orders "
-    "have a handful of lines), never by catalog size, and the pair "
-    "aggregate shuffles on the high-cardinality pair key into a "
-    "deterministic top-20.",
+    "The oracle states it as the dedup + self-join; the Spark plan uses "
+    "the one-shuffle equivalent: collect each order's DISTINCT sorted "
+    "basket (one groupBy on the order key), then generate the strict "
+    "upper-triangle pairs ARRAY-SIDE and explode — no second exchange, "
+    "no join, and the fan-out stays bounded by basket size squared "
+    "(2.9 s → measured below at sf0.1; the self-join form paid two "
+    "sorts + two exchanges of the pair relation).",
 )
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = (
+    baskets = (
         load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
     )
-    a = op.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
     )
     return (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("part_a") < F.col("part_b")))
+        pairs.select(F.col("pr.part_a"), F.col("pr.part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
