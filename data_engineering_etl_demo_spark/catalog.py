@@ -60,16 +60,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _ts_columns(path: str) -> list[str]:
+    """Timestamp-typed columns per the parquet FOOTER — the ground truth
+    that survives any Spark-side reader conversion (nanosAsLong turns a
+    TIMESTAMP(NANOS) column into a plain int64 in the Spark schema, so
+    the Spark dtype alone can't tell a nanos timestamp from a real long)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if pa.types.is_timestamp(f.type)]
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        # events.ts physical encoding has drifted across testdata generations
-        # (TIMESTAMP(NANOS), then timestamp[us] with no tz); enable the nanos
-        # fallback and normalize whatever the reader produced below.
+    # ANY table's timestamp encoding can drift between testdata
+    # generations (events.ts did in round 2: NANOS → µs-NTZ; lineitem/
+    # orders dates have the same exposure) — and the nanosAsLong conf is
+    # SESSION-GLOBAL once set, so every table must normalize, not just
+    # events.  The footer decides which columns are timestamps; the
+    # Spark dtype after read decides which normalization applies.
+    ts_cols = _ts_columns(path)
+    if ts_cols:
         spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
-    if name == "events":
-        df = _normalize_ts(df, "ts")
+    for col in ts_cols:
+        df = _normalize_ts(df, col)
     return df
 
 

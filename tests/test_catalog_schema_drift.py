@@ -93,3 +93,30 @@ def test_real_testdata_ts_is_timestamp(spark):
         assert isinstance(
             df.schema["ts"].dataType, T.TimestampType
         ), f"{sf_dir}: ts resolved to {df.schema['ts'].dataType}"
+
+
+@pytest.mark.parametrize(
+    "ts_type",
+    [pa.timestamp("ns"), pa.timestamp("us"), pa.timestamp("us", tz="UTC")],
+    ids=["nanos", "us_ntz", "us_ltz"],
+)
+def test_catalog_normalizes_non_events_tables_too(spark, tmp_path, ts_type):
+    """lineitem/orders date columns have the SAME drift exposure events.ts
+    had (and the nanosAsLong conf is session-global once set) — the
+    normalization must be footer-driven for every table, not an events
+    special case."""
+    sf_dir = tmp_path / "sf_drift_li"
+    sf_dir.mkdir()
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([1], type=pa.int64()),
+            "l_quantity": pa.array([2.0], type=pa.float64()),
+            "l_shipdate": pa.array([_WALL], type=ts_type),
+        }
+    )
+    pq.write_table(table, str(sf_dir / "lineitem.parquet"))
+
+    df = catalog._load(spark, str(sf_dir), "lineitem")
+    assert isinstance(df.schema["l_shipdate"].dataType, T.TimestampType)
+    row = df.selectExpr("unix_micros(l_shipdate) AS us").first()
+    assert row["us"] == _EPOCH_US
