@@ -174,3 +174,68 @@ def test_session_window_scales_linearly_and_spreads(spark):
     assert max(sizes) < 0.5 * sum(sizes), (
         f"one partition holds {max(sizes)} of {sum(sizes)} session rows"
     )
+
+
+def test_market_basket_pairs_scale_linearly(spark):
+    """10x disjoint order copies must produce exactly 10x basket pairs —
+    the array-side pair generation is bounded by basket size, never by
+    catalog or order count (a cross-order pair space would blow up here)."""
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+
+    def pairs_count(copies):
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(c * _OFFSET)).alias("l_orderkey"),
+                "l_partkey",
+            )
+            for c in range(copies)
+        ]
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        baskets = (
+            df.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+            .filter(F.size("parts") >= 2)
+        )
+        return baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            )
+        ).count()
+
+    assert pairs_count(10) == 10 * pairs_count(1)
+
+
+def test_rolling_wau_scales_linearly(spark):
+    """10x disjoint user copies must multiply every day's WAU by exactly
+    10 — the dedup-then-bounded-interval-join recipe scales with
+    |user-days|, and disjoint users can never collapse across copies."""
+    ev = _events_x(spark, 1)
+    ev10 = _events_x(spark, 10)
+
+    def wau(df):
+        ud = (
+            df.filter(F.col("user_id").isNotNull())
+            .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+            .distinct()
+        )
+        days = ud.select(F.col("day").alias("d_day")).distinct()
+        return {
+            r["d_day"]: r["wau"]
+            for r in days.join(
+                ud,
+                (ud["day"] <= F.col("d_day"))
+                & (ud["day"] > F.col("d_day") - F.expr("INTERVAL 7 DAYS")),
+            )
+            .groupBy("d_day")
+            .agg(F.count_distinct(F.col("user_id")).alias("wau"))
+            .collect()
+        }
+
+    w1, w10 = wau(ev), wau(ev10)
+    assert set(w1) == set(w10)
+    for day, n in w1.items():
+        assert w10[day] == 10 * n
