@@ -137,6 +137,7 @@ _CHANGED_THIS_ROUND = {
     "events_rolling_wau",
     "docs_dup_triangles",
     "market_basket_pairs",
+    "docs_cluster_representatives",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

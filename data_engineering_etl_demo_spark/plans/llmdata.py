@@ -2221,3 +2221,91 @@ def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(
         F.broadcast(n_tris)
     )
+
+
+# ---------------------------------------------------------------------------
+# Policy-driven cluster representatives: keep the BEST doc, not the first
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_cluster_representatives",
+    f"""
+    WITH RECURSIVE prs AS (
+        SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1),
+    q AS (
+        SELECT doc_id,
+               floor((least(length(text) / 500.0, 1.0)
+                      + (1.0 - least(({_fmt(SQL_PUNCT_RATIO)}) * 5, 1.0))
+                      + least(({_fmt(SQL_STOP_RATIO)}) * 4, 1.0)) / 3 * 1e6)
+                   / 1e6 AS quality_score
+        FROM documents
+    )
+    SELECT component, doc_id AS rep_doc_id, quality_score AS rep_quality,
+           cluster_size
+    FROM (
+        SELECT c.component, c.doc_id, q.quality_score,
+               CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+                   AS cluster_size,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    WHERE rn = 1
+    ORDER BY component
+    """,
+    doc="Policy-driven dedup representatives: instead of the min-id "
+    "survivor, each near-dup cluster keeps its HIGHEST-QUALITY member "
+    "(the floor-truncated heuristic score, doc_id tiebreak) — the "
+    "selection rule production curation actually wants, demonstrated as "
+    "a pluggable policy over the same cluster labels.  Reuses the "
+    "registered clustering and quality plans; the ranking window "
+    "partitions on the component id (bounded by cluster sizes, which "
+    "banded LSH keeps small).",
+    memoize=False,  # composes the unmemoized clustering (runs jobs)
+)
+def q_docs_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    comp = REGISTRY["docs_dup_clusters"].spark_fn(spark, sf_dir)
+    q = REGISTRY["docs_quality"].spark_fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    w_rank = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    w_size = Window.partitionBy("component")
+    return (
+        comp.join(q, on="doc_id")
+        .select(
+            "component",
+            "doc_id",
+            "quality_score",
+            F.count(F.lit(1)).over(w_size).cast("long").alias("cluster_size"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality_score").alias("rep_quality"),
+            "cluster_size",
+        )
+        .orderBy("component")
+    )
