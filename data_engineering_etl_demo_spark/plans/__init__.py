@@ -138,6 +138,7 @@ _CHANGED_THIS_ROUND = {
     "docs_dup_triangles",
     "market_basket_pairs",
     "docs_cluster_representatives",
+    "events_type_transitions",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -837,3 +837,47 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("wau"))
         .orderBy("day_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (behavioral Markov-chain counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Per-user event-type transition counts — the sufficient statistic "
+    "of a first-order behavioral Markov chain (what follows a click? how "
+    "often does view lead to purchase?).  One LAG window partitioned on "
+    "the high-cardinality user key with the deterministic (ts, event_id) "
+    "order, then a |types|²-bounded aggregate with map-side combine; the "
+    "session-boundary variant just adds the gap predicate from "
+    "events_inter_arrival.",
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
