@@ -480,3 +480,86 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= radius)  # verify before dedup: shrink the distinct
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (CCNet/RefinedWeb line-dedup shape)
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 8  # segment size; stands in for "line" on unstructured text
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = SPAN_WORDS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove text spans that repeat across the corpus (CCNet-style
+    duplicated-line removal, reference pipelines dedup paragraph/line
+    units; this corpus has no newline structure, so the unit is a
+    non-overlapping `span`-word segment).
+
+    Plan (the shape that matters at 100 TB):
+      1. segment array-side (no self-join, one explode) into
+         (doc, k, span_text, span_hash) rows — the hash, not the text,
+         is the shuffle key everywhere downstream;
+      2. corpus-wide span frequency = groupBy(hash) countDistinct(doc) —
+         ONE shuffle on the maximal-cardinality key;
+      3. join the verdict back co-partitioned on the same hash (the span
+         frequency table scales with the corpus — never broadcast);
+      4. reassemble surviving text per doc in span order with an ordered
+         collect_list fold — one (doc)-keyed shuffle.
+
+    Returns one row per non-empty doc:
+      (id, n_spans, n_dup_spans, n_kept_tokens, cleaned_fp) where
+      cleaned_fp = md5 of the space-joined surviving words.
+    """
+    segs = (
+        docs.select(
+            F.col(id_col), words(F.col(text_col)).alias("w")
+        )
+        .filter(F.size("w") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(w)-1) DIV {span} AS INT)),"
+                    f" k -> struct(k AS k, slice(w, k*{span}+1, {span}) AS sw))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            id_col,
+            F.col("s.k").alias("k"),
+            F.size("s.sw").alias("n_tok"),
+            F.array_join("s.sw", " ").alias("txt"),
+        )
+        .withColumn("h", F.md5(F.col("txt")))
+        .persist()
+    )
+    freq = segs.groupBy(F.col("h").alias("c_h")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    j = segs.join(freq, segs["h"] == F.col("c_h")).select(
+        id_col, "k", "n_tok", "txt", (F.col("n_docs") >= min_docs).alias("dup")
+    )
+    kept_text = F.expr(
+        "array_join(transform(array_sort("
+        "collect_list(CASE WHEN NOT dup THEN struct(k, txt) END)),"
+        " x -> x.txt), ' ')"
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.sum(F.when(F.col("dup"), 0).otherwise(F.col("n_tok")))
+            .cast("long")
+            .alias("n_kept_tokens"),
+            F.md5(kept_text).alias("cleaned_fp"),
+        )
+    )

@@ -210,6 +210,27 @@ def _nearest_cells(mat, cents):
     return best_cell
 
 
+def _cell_ranking(mat, cents, nprobe: int):
+    """(n, nprobe) array of each row's nprobe nearest cells, ordered by
+    (cosine DESC, cell ASC) — the multi-probe generalization of
+    _nearest_cells (identical arithmetic; stable argsort over the
+    ascending-sorted cell axis reproduces the lowest-cell tiebreak)."""
+    import numpy as np
+
+    cells, cmat, sqrt_css = cents
+    ss = np.floor((mat * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+    sqrt_ss = np.sqrt(ss.astype(np.float64))
+    cosm = np.empty((len(mat), len(cells)))
+    for ci in range(len(cells)):
+        dots = np.floor(mat * cmat[ci] * PROD_SCALE).astype(np.int64).sum(axis=1)
+        cosm[:, ci] = (
+            np.floor(dots.astype(np.float64) / (sqrt_ss * sqrt_css[ci]) * 1e9)
+            / 1e9
+        )
+    order = np.argsort(-cosm, axis=1, kind="stable")[:, :nprobe]
+    return cells[order]
+
+
 def vectors_from_parquet(path: str, lo: int, hi: int,
                          id_col: str = "vec_id", vec_col: str = "embedding"):
     """(ids, mat float64) for id ∈ [lo, hi), read driver-side with
@@ -317,10 +338,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids=None,
     query_vectors=None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """(query_id, cand_id, cosine_sim, rank): approximate top-k — each query
-    probes only its own IVF cell (nprobe=1).  The scale path vs brute force:
-    candidate count drops by ~n_cells×.
+    probes its ``nprobe`` nearest IVF cells (default 1).  The scale path vs
+    brute force: candidate count drops by ~n_cells/nprobe×; nprobe is the
+    recall-vs-cost knob (corpus work scales linearly in it, recall
+    approaches exact as nprobe → n_cells).
 
     Single-pass probe: the query side is broadcast-sized BY CONTRACT (a
     handful of vectors), so it is assigned driver-side (same _nearest_cells
@@ -344,18 +368,18 @@ def ivf_topk(
         )
         qids = np.array([r[id_col] for r in rows], dtype=np.int64)
         qmat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
-    qcell = _nearest_cells(qmat, cents)
+    qcells = _cell_ranking(qmat, cents, nprobe)  # (n_queries, nprobe)
     qss = np.floor((qmat * qmat) * PROD_SCALE).astype(np.int64).sum(axis=1)
     # cell -> (qids, qmat, sqrt_qss): the per-cell probe sets each task
-    # closes over — the broadcast side of the probe, as a plain constant
+    # closes over — the broadcast side of the probe, as a plain constant.
+    # With nprobe>1 a query appears in several cells' probe sets; each
+    # (query, cand) pair still scores once because a candidate belongs to
+    # exactly one cell.
+    sqrt_qss = np.sqrt(qss.astype(np.float64))
     by_cell = {}
-    for c in np.unique(qcell):
-        m = qcell == c
-        by_cell[int(c)] = (
-            qids[m],
-            qmat[m],
-            np.sqrt(qss[m].astype(np.float64)),
-        )
+    for c in np.unique(qcells):
+        m = (qcells == c).any(axis=1)
+        by_cell[int(c)] = (qids[m], qmat[m], sqrt_qss[m])
 
     out_schema = StructType(
         [

@@ -139,6 +139,11 @@ _CHANGED_THIS_ROUND = {
     "market_basket_pairs",
     "docs_cluster_representatives",
     "events_type_transitions",
+    # NEW this session
+    "docs_span_dedup",
+    "docs_bpe_pair_merge",
+    "orders_profile",
+    "embedding_topk_ivf2",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -2309,3 +2309,214 @@ def q_docs_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (CCNet-style line dedup over the whole corpus)
+# ---------------------------------------------------------------------------
+
+_SPAN = D.SPAN_WORDS
+
+
+@register(
+    "docs_span_dedup",
+    f"""
+    WITH ws AS (
+        SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, unnest(range(0, 1 + (len(w)-1)//{_SPAN})) AS k, w
+        FROM ws WHERE len(w) > 0
+    ),
+    s2 AS (
+        SELECT doc_id, k,
+               len(w[k*{_SPAN}+1 : k*{_SPAN}+{_SPAN}]) AS n_tok,
+               array_to_string(w[k*{_SPAN}+1 : k*{_SPAN}+{_SPAN}], ' ') AS txt
+        FROM sp
+    ),
+    c AS (
+        SELECT md5(txt) AS c_h, count(DISTINCT doc_id) AS n_docs
+        FROM s2 GROUP BY md5(txt)
+    ),
+    j AS (
+        SELECT doc_id, k, n_tok, txt, (n_docs >= 2) AS dup
+        FROM s2 JOIN c ON c.c_h = md5(s2.txt)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(sum(CASE WHEN dup THEN 0 ELSE n_tok END) AS BIGINT)
+               AS n_kept_tokens,
+           md5(coalesce(string_agg(CASE WHEN NOT dup THEN txt END,
+                                   ' ' ORDER BY k), '')) AS cleaned_fp
+    FROM j
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="CCNet/RefinedWeb-style duplicated-span removal: segment every "
+    f"document into non-overlapping {_SPAN}-word spans (the stand-in for "
+    "lines/paragraphs on this unstructured corpus), count each span's "
+    "distinct-document frequency corpus-wide, drop spans appearing in "
+    "two or more documents, and reassemble the surviving text in order.  "
+    "The md5 span hash — not the span text — is the key for both the "
+    "frequency shuffle and the verdict join-back (co-partitioned; the "
+    "frequency table scales with the corpus, never broadcast); "
+    "reassembly is one ordered collect_list per doc.  Output is the doc's "
+    "span/dup/kept-token counts plus the md5 fingerprint of the cleaned "
+    "text, so the oracle hash-checks the reassembled string itself.",
+)
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_dedup(_docs_wide(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting (tokenizer vocabulary induction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bpe_pair_merge",
+    f"""
+    WITH ex AS (SELECT unnest({_fmt(SQL_WORDS)}) AS w FROM documents),
+    v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY w),
+    p AS (
+        SELECT cnt,
+               unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM v WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(CAST(sum(cnt) AS BIGINT) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    doc="The counting step of a BPE tokenizer-training iteration: adjacent "
+    "symbol-pair frequencies over the corpus, weighted by word frequency.  "
+    "Pair counts run over the DISTINCT word vocabulary (corpus-scale "
+    "token stream collapses to vocab-scale rows first — at 100 TB the "
+    "vocabulary is millions of rows while the token stream is trillions, "
+    "so the heavy shuffle happens exactly once, on the word key); pairs "
+    "are built array-side per word and exploded, then one vocab-scale "
+    "aggregate ranks merges.  Top-20 with a deterministic (count, pair) "
+    "tiebreak = the next 20 BPE merge candidates.",
+)
+def q_docs_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_wide(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(X.words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN with multi-probe (nprobe=2): the recall-vs-cost knob
+# ---------------------------------------------------------------------------
+
+_SQL_IVF2_TOPK = f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {S.IVF_CELLS}
+    ),
+    at0 AS (
+        SELECT e.vec_id, c.cell,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM embeddings e, cent c, generate_series(1, 64) AS g(i)
+    ),
+    ag AS (
+        SELECT vec_id, cell,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cos
+        FROM at0 GROUP BY 1, 2
+    ),
+    ass AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ag
+        ) WHERE rn = 1
+    ),
+    qass AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ag
+        ) WHERE rn <= 2
+    ),
+    q AS (
+        SELECT a.vec_id AS query_id, e.embedding AS qv, a.cell
+        FROM qass a JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id >= {_IVF_QLO} AND a.vec_id < {_IVF_QHI}
+    ),
+    c AS (
+        SELECT a.vec_id AS cand_id, e.embedding AS cv, a.cell
+        FROM ass a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    terms AS (
+        SELECT query_id, cand_id,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM q JOIN c USING (cell), generate_series(1, 64) AS g(i)
+        WHERE cand_id <> query_id
+    ),
+    agg AS (
+        SELECT query_id, cand_id,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, cand_id) AS INT) AS rank
+        FROM agg
+    )
+    SELECT query_id, cand_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {_TOPK_K}
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "embedding_topk_ivf2",
+    _SQL_IVF2_TOPK,
+    doc="IVF ANN top-k with multi-probe (nprobe=2): each query scores the "
+    "candidates of its TWO nearest cells — the standard recall knob an "
+    "IVF index exposes (recall approaches exact as nprobe grows, corpus "
+    "work grows linearly in it).  Same single-pass corpus kernel as "
+    "nprobe=1: queries are assigned driver-side to their 2 best cells "
+    "and each corpus row is scored against every query probing its cell; "
+    "a (query, cand) pair scores exactly once because a candidate "
+    "belongs to one cell.  operators/similarity.py::ivf_topk(nprobe=2).",
+)
+def q_embedding_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = S.centroids_from_parquet(path)
+    qvecs = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
+    return S.ivf_topk(
+        emb, queries, k=_TOPK_K, centroids=cents, query_vectors=qvecs, nprobe=2
+    )

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_etl_demo_spark.catalog import load
 from data_engineering_etl_demo_spark.functions.cleaning import MONEY_SCALE
+from data_engineering_etl_demo_spark.operators import profile as P
 from data_engineering_etl_demo_spark.operators import scd
 from data_engineering_etl_demo_spark.operators import sketches as K
 from data_engineering_etl_demo_spark.operators import text as X
@@ -433,3 +434,36 @@ def q_events_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_only").alias("cohort"), "user_id"
     )
     return both.unionAll(click_only).orderBy("cohort", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (data-quality observability pass)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_custkey", "long"),
+    ("o_orderdate", "ts"),
+    ("o_orderkey", "long"),
+    ("o_orderpriority", "string"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "money"),
+]
+
+
+@register(
+    "orders_profile",
+    P.sql_profile("orders", _PROFILE_COLS),
+    doc="Column profiler over orders: row/null/exact-distinct counts plus "
+    "canonical min/max per column (longs as decimal strings, money as "
+    "floor-cents, timestamps as epoch-µs — no engine-defined double or "
+    "date formatting).  One single-column aggregate PER column unioned, "
+    "not one multi-distinct aggregate: Catalyst plans k countDistincts in "
+    "one agg as an Expand that pushes every row k times through the "
+    "shuffle, while k pruned scans each read one column's pages and "
+    "reduce map-side to 1-row partials.  operators/profile.py; swap "
+    "countDistinct for the HLL sketch at 100 TB.",
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.profile(load(spark, sf_dir, "orders"), _PROFILE_COLS).orderBy(
+        "col_name"
+    )

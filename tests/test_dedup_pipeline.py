@@ -172,3 +172,47 @@ def test_stop_bucket_cap_drops_mega_buckets_only(spark):
     assert (100, 101) in capped  # narrow-bucket pair survives the cap
     assert not any(a < 100 and b < 100 for a, b in capped), (
         "mega-bucket (boilerplate) pairs must be dropped by the cap")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (CCNet line-dedup shape on planted spans)
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_removes_shared_span_keeps_unique(spark):
+    # span size is 8 words; doc A and doc B share their FIRST 8-word span
+    # exactly, and each carries a unique second span.  The shared span must
+    # be dropped from both docs, the unique spans kept verbatim.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    ua = "iota kappa lamda mu nu xi omicron pi"  # 8 words
+    ub = "rho sigma tau upsilon phi chi psi omega"  # 8 words
+    docs = spark.createDataFrame(
+        [(0, f"{shared} {ua}"), (1, f"{shared} {ub}"), (2, "lone short doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(docs).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0]["n_spans"] == 2 and out[0]["n_dup_spans"] == 1
+    assert out[0]["n_kept_tokens"] == 8
+    assert out[0]["cleaned_fp"] == md5(ua)
+    assert out[1]["cleaned_fp"] == md5(ub)
+    # the singleton doc is untouched (its one partial span survives)
+    assert out[2]["n_dup_spans"] == 0 and out[2]["n_kept_tokens"] == 3
+    assert out[2]["cleaned_fp"] == md5("lone short doc")
+
+
+def test_span_dedup_all_spans_removed_yields_empty_fingerprint(spark):
+    # both docs are a single identical span -> everything removed; the
+    # cleaned fingerprint must be md5('') in BOTH engines (the oracle
+    # coalesces DuckDB's NULL string_agg to '').
+    t = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id long, text string"
+    )
+    import hashlib
+
+    for r in D.span_dedup(docs).collect():
+        assert r["n_kept_tokens"] == 0
+        assert r["cleaned_fp"] == hashlib.md5(b"").hexdigest()

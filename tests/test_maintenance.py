@@ -41,3 +41,49 @@ def test_compaction_is_idempotent_noop_when_compact(spark, tmp_path):
     again = compact_parquet(spark, path, target_bytes=total)
     assert again["skipped"] is True
     assert again["files_after"] == again["files_before"]
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_nulls_and_canonical_reprs(spark):
+    from datetime import datetime
+
+    from data_engineering_etl_demo_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.005, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, None, -2.5, datetime(2024, 1, 2, 0, 0, 0)),
+            (None, "b", None, None),
+            (2, "b", 10.0, datetime(2024, 1, 2, 0, 0, 0)),
+        ],
+        "k long, s string, m double, t timestamp",
+    )
+    out = {
+        r["col_name"]: r
+        for r in P.profile(
+            df, [("k", "long"), ("s", "string"), ("m", "money"), ("t", "ts")]
+        ).collect()
+    }
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 1
+    assert out["k"]["n_distinct"] == 2  # distinct ignores the null
+    assert out["k"]["min_repr"] == "1" and out["k"]["max_repr"] == "2"
+    assert out["s"]["min_repr"] == "a" and out["s"]["max_repr"] == "b"
+    # money: floor-cents, not double formatting (1.005*100 -> floor -> 100)
+    assert out["m"]["min_repr"] == "-250" and out["m"]["max_repr"] == "1000"
+    # ts: epoch microseconds
+    assert out["t"]["min_repr"] == "1704067200000000"
+    assert out["t"]["n_null"] == 1
+
+
+def test_profile_rejects_unknown_kind(spark):
+    import pytest as _pt
+
+    from data_engineering_etl_demo_spark.operators import profile as P
+
+    df = spark.range(1)
+    with _pt.raises(ValueError):
+        P.profile(df, [("id", "float")])

@@ -84,6 +84,32 @@ def test_ivf_topk_agrees_with_brute_force_in_cell(corpus):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_multiprobe_recall_dominates_single_probe(corpus):
+    # nprobe=2 must (a) keep every exact-cosine guarantee, and (b) recall
+    # at least as many of the true top-k as nprobe=1 — probing a superset
+    # of cells can only add candidates.
+    queries = corpus.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["query_id"], r["cand_id"]): r["cosine_sim"]
+        for r in S.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    hits = {}
+    for nprobe in (1, 2):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in S.ivf_topk(
+                corpus, queries, k=5, n_cells=4, nprobe=nprobe
+            ).collect()
+        }
+        hits[nprobe] = len(got & set(brute))
+        for r in S.ivf_topk(corpus, queries, k=5, n_cells=4, nprobe=nprobe).collect():
+            assert (
+                brute.get((r["query_id"], r["cand_id"]), r["cosine_sim"])
+                == r["cosine_sim"]
+            )
+    assert hits[2] >= hits[1]
+
+
 def test_exact_near_dup_matches_jvm_expressions(corpus, tmp_path):
     """The numpy kernel must reproduce the JVM fixed-point pipeline
     (scaled_dot + trunc9) bit-for-bit, planted pairs included."""
