@@ -151,6 +151,13 @@ class Warehouse:
         final = self._path(name)
         staging = final + ".staging"
         merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        self._swap_partition_dirs(final, staging)
+
+    @staticmethod
+    def _swap_partition_dirs(final: str, staging: str) -> int:
+        """Directory-swap every partition dir staged under ``staging`` into
+        ``final``; returns the number of partitions swapped."""
+        n = 0
         for d in os.listdir(staging):
             src = os.path.join(staging, d)
             if not (os.path.isdir(src) and "=" in d):
@@ -161,7 +168,9 @@ class Warehouse:
                 os.rename(dst, old)
             os.rename(src, dst)
             shutil.rmtree(old, ignore_errors=True)
+            n += 1
         shutil.rmtree(staging, ignore_errors=True)
+        return n
 
     def _assign_surrogate(
         self,
@@ -295,6 +304,82 @@ class Warehouse:
             )
         )
         self._merge("fact_events", fact, key="event_id", partition_by="event_date")
+
+    # -- user erasure (right-to-be-forgotten delete) ------------------------
+
+    def erase_users(self, user_ids) -> dict:
+        """Delete every row belonging to ``user_ids`` from dim_users and
+        fact_events (GDPR right-to-be-forgotten for the events star; the
+        intl star is keyed by customer/product, not user).
+
+        Scale shape: the erasure list is tiny (broadcast-sized by nature),
+        so membership is an IN-list predicate the scan can evaluate
+        map-side.  The fact rewrite is partition-targeted: a pruned scan
+        finds which event_date partitions actually contain the users'
+        rows (driver-side metadata — dates, not data), and ONLY those
+        partitions are rewritten via the same per-partition directory
+        swap the MERGE path uses — O(partitions containing the user),
+        not O(table).  A partition whose every row belonged to erased
+        users yields no staged output and is deleted outright.  At
+        100 TB the discovery step would ride a user→partition index or
+        Delta deletion vectors; the rewrite cost model is identical.
+        """
+        ids = [str(u) for u in user_ids]
+        report = {
+            "dim_users_removed": 0,
+            "fact_rows_removed": 0,
+            "partitions_rewritten": 0,
+            "partitions_deleted": 0,
+        }
+        if not ids:
+            return report
+        hit_user = F.col("user_id").isin(ids)
+        if self.exists("dim_users"):
+            du = self.table("dim_users")
+            n = du.filter(hit_user).count()
+            if n:
+                self._swap_write("dim_users", du.filter(~hit_user))
+            report["dim_users_removed"] = n
+        if self.exists("fact_events"):
+            t = self.table("fact_events")
+            touched = [
+                r[0]
+                for r in t.filter(hit_user)
+                .select("event_date")
+                .distinct()
+                .collect()
+            ]
+            if touched:
+                non_null = [v for v in touched if v is not None]
+                cond = (
+                    F.col("event_date").isin(non_null)
+                    if non_null
+                    else F.lit(False)
+                )
+                if len(non_null) < len(touched):
+                    cond = cond | F.col("event_date").isNull()
+                part = t.filter(cond)
+                report["fact_rows_removed"] = part.filter(hit_user).count()
+                keep = part.filter(F.col("user_id").isNull() | ~hit_user)
+                final = self._path("fact_events")
+                staging = final + ".staging"
+                keep.write.mode("overwrite").partitionBy("event_date").parquet(
+                    staging
+                )
+                staged = set(os.listdir(staging))
+                report["partitions_rewritten"] = self._swap_partition_dirs(
+                    final, staging
+                )
+                for v in touched:
+                    d = (
+                        f"event_date={v}"
+                        if v is not None
+                        else "event_date=__HIVE_DEFAULT_PARTITION__"
+                    )
+                    if d not in staged:
+                        shutil.rmtree(os.path.join(final, d), ignore_errors=True)
+                        report["partitions_deleted"] += 1
+        return report
 
     # -- U6: fact_international_sales (contract + FK resolve + MERGE) -------
 

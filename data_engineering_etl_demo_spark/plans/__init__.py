@@ -144,6 +144,8 @@ _CHANGED_THIS_ROUND = {
     "docs_bpe_pair_merge",
     "orders_profile",
     "embedding_topk_ivf2",
+    "events_kmv_merge",
+    "docs_train_split",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

@@ -2520,3 +2520,66 @@ def q_embedding_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         emb, queries, k=_TOPK_K, centroids=cents, query_vectors=qvecs, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment (stratification report)
+# ---------------------------------------------------------------------------
+
+# salted independently of the sampling hash (docs_sample_mix) so split and
+# sample decisions are uncorrelated hash streams over the same ids
+_SPLIT_H = _sql_hexbig("'split:' || CAST(doc_id AS VARCHAR)", 1, 8) + " % 100"
+_SPLIT_CASE = (
+    f"CASE WHEN ({_SPLIT_H}) < 80 THEN 'train' "
+    f"WHEN ({_SPLIT_H}) < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "docs_train_split",
+    f"""
+    SELECT lang, {_SPLIT_CASE} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(sum({_fmt(SQL_TOKEN_COUNT)}) AS BIGINT) AS BIGINT)
+               AS n_tokens
+    FROM documents
+    GROUP BY lang, 2
+    ORDER BY lang, split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment: split = "
+    "md5('split:'||doc_id) mod 100 bucketed — reproducible at any "
+    "parallelism, no RNG state, stable across reruns and engines, and "
+    "salted independently of the sampling hash (docs_sample_mix) so the "
+    "two decisions are uncorrelated streams.  Output is the per-"
+    "(language, split) doc and token census a pipeline publishes to "
+    "check stratification; the assignment itself is a pure per-row "
+    "expression (no shuffle beyond the report aggregate).",
+)
+def q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+    return (
+        _docs_wide(spark, sf_dir)
+        .select("lang", split.alias("split"), X.token_count(F.col("text")).alias("nt"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -881,3 +881,72 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch mergeability: per-day partials merge to the month estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_kmv_merge",
+    f"""
+    WITH b AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {K.sql_hash60("user_id")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    day_sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, day, h,
+                   row_number() OVER (PARTITION BY event_type, day
+                                      ORDER BY h) AS rn
+            FROM (SELECT DISTINCT event_type, day, h FROM b)
+        ) WHERE rn <= {K.KMV_K}
+    ),
+    m AS ({K.sql_kmv_distinct("day_sk", "event_type", "h")}),
+    d AS ({K.sql_kmv_distinct("(SELECT event_type, h FROM b)",
+                              "event_type", "h")})
+    SELECT m.event_type, m.kmv_users AS merged_kmv, d.kmv_users AS direct_kmv
+    FROM m JOIN d ON d.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+    doc="KMV sketches are MERGEABLE — the property that makes sketch "
+    "rollups work in a distributed/streaming engine: keep a tiny k-min "
+    "sketch per (event_type, day) partition, merge the per-day sketches "
+    "across the whole range, and the estimate is IDENTICAL to sketching "
+    "the raw stream (the k smallest of a union of per-day k-minima are "
+    "the k smallest of the union).  The merged path never rescans raw "
+    "data: day partials are <=k rows each, so the merge moves days*k "
+    "rows per group instead of the event stream — the continuous-"
+    "aggregate pattern at 100 TB.  Both paths emitted per event_type so "
+    "the oracle hash-checks the equality itself.",
+)
+def q_events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            K.hash60(F.col("user_id")).alias("h"),
+        )
+    )
+    day_sk = (
+        base.distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "day").orderBy(F.col("h"))
+            ),
+        )
+        .filter(F.col("_rn") <= K.KMV_K)
+        .select("event_type", "h")
+    )
+    merged = K.kmv_distinct(day_sk, "event_type", "h").withColumnRenamed(
+        "kmv_users", "merged_kmv"
+    )
+    direct = K.kmv_distinct(base, "event_type", "h").withColumnRenamed(
+        "kmv_users", "direct_kmv"
+    )
+    return merged.join(direct, on="event_type").orderBy("event_type")

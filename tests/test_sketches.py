@@ -57,3 +57,17 @@ def test_hll_estimate_within_bound(hashed):
     # small group has no accuracy promise without linear counting, but the
     # estimate must still be positive and bounded
     assert 0 < got["small"] < 200
+
+
+def test_kmv_day_partials_merge_exactly(spark):
+    # Mergeability is exact, not approximate: the k smallest of the union
+    # of per-day k-minima equal the k smallest of the union, so the merged
+    # estimate must EQUAL the direct estimate for every group.
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    rows = all_specs()["events_kmv_merge"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "expected at least one group"
+    for r in rows:
+        assert r["merged_kmv"] == r["direct_kmv"], r

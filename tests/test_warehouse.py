@@ -167,3 +167,62 @@ def test_ep1_ep2_end_to_end(spark, tmp_path):
     assert os.path.exists(queries["funnel"].csv_path)
     funnel = queries["funnel"].df.collect()
     assert funnel and all(r["signup_to_purchase_rate"] is not None for r in funnel)
+
+
+# ---------------------------------------------------------------------------
+# User erasure (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+
+def test_erase_users_partition_targeted(spark, tmp_path):
+    import os
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.upsert_dim_users(
+        df_users(spark, [("1", "US", "web"), ("2", "DE", "app")])
+    )
+    wh.upsert_fact_events(df_clean(spark, CLEAN_ROWS))
+    # remember the physical file of the untouched partition (user 2's day)
+    p2 = os.path.join(str(tmp_path), "fact_events", "event_date=2026-01-02")
+    before = sorted(os.listdir(p2))
+
+    report = wh.erase_users(["1"])
+    assert report["dim_users_removed"] == 1
+    assert report["fact_rows_removed"] == 2
+    # user 1's rows were BOTH on 2026-01-01 and that partition emptied
+    assert report["partitions_deleted"] == 1
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), "fact_events", "event_date=2026-01-01")
+    )
+    # the untouched partition's files were never rewritten
+    assert sorted(os.listdir(p2)) == before
+    left = wh.table("fact_events").collect()
+    assert {r["user_id"] for r in left} == {"2"}
+    assert {r["user_id"] for r in wh.table("dim_users").collect()} == {"2"}
+
+
+def test_erase_users_rewrites_mixed_partition_and_is_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    rows = CLEAN_ROWS + [("e4", None, "2", "click", None, None, "2026-01-01", 3)]
+    wh.upsert_dim_users(df_users(spark, [("1", "US", "web"), ("2", "DE", "app")]))
+    wh.upsert_fact_events(df_clean(spark, rows))
+
+    report = wh.erase_users(["1"])
+    # 2026-01-01 now holds user 2's click only — rewritten, not deleted
+    assert report["fact_rows_removed"] == 2
+    assert report["partitions_rewritten"] == 1
+    assert report["partitions_deleted"] == 0
+    assert wh.table("fact_events").count() == 2
+
+    again = wh.erase_users(["1"])  # idempotent: nothing left to erase
+    assert again["fact_rows_removed"] == 0
+    assert again["partitions_rewritten"] == 0
+    assert wh.table("fact_events").count() == 2
+
+
+def test_erase_users_empty_list_is_noop(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.upsert_fact_events(df_clean(spark, CLEAN_ROWS))
+    report = wh.erase_users([])
+    assert report["fact_rows_removed"] == 0
+    assert wh.table("fact_events").count() == 3
