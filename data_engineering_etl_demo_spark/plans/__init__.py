@@ -75,18 +75,21 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 
 
 # Round-4 verification ordering.  The driver walks ``queries()`` in dict
-# order and stops after ~50 of the 80 registered queries, so ordering
-# decides which queries get hard-signal rows.  Principle (round-3 advice):
-# order by EVIDENCE STALENESS OF THE CURRENT IMPLEMENTATION, not by last
-# round's colors —
-#   0. queries whose implementation changed THIS round (their green rows
-#      are for code that no longer exists),
-#   1. queries whose freshest green is round 2 (they sat beyond round 3's
-#      cap; two rounds stale),
-#   2. everything green in round 3 (freshest evidence; safe beyond cap),
-#   3. streaming last — round-3 green AND each one costs multiple seconds
+# order and stops after ~50 of the registered queries, so ordering decides
+# which queries get hard-signal rows.  Principle (round-3 advice): order by
+# EVIDENCE STALENESS OF THE CURRENT IMPLEMENTATION, not by last round's
+# colors —
+#   0. queries that have NEVER had a driver green row (new this round;
+#      zero hard-signal evidence exists),
+#   1. queries whose implementation changed this round but that were green
+#      on the old code (local sf0.01/sf0.1 parity is their only fresh
+#      evidence),
+#   2. queries whose freshest green is round 2 (beyond round 3's cap; two
+#      rounds stale),
+#   3. everything green in round 3 (freshest evidence; safe beyond cap),
+#   4. streaming last — round-3 green AND each one costs multiple seconds
 #      of driver budget.
-_CHANGED_THIS_ROUND = {
+_IMPL_CHANGED_THIS_ROUND = {
     # MinHash base hash reworked (word-fold kernel, 20x2 bands)
     "docs_minhash_near_dup",
     "docs_incremental_dedup",
@@ -102,6 +105,8 @@ _CHANGED_THIS_ROUND = {
     "sole_late_supplier",
     # oracle empty-array guard
     "embedding_quantize",
+}
+_CHANGED_THIS_ROUND = {
     # NEW this round — never had a driver green row at all
     "forecast_revenue",
     "nation_trade_volume",
@@ -167,11 +172,13 @@ _ROUND2_GREEN = {
 def _verify_priority(spec: QuerySpec) -> int:
     if spec.name in _CHANGED_THIS_ROUND:
         return 0
-    if spec.name in _ROUND2_GREEN:
+    if spec.name in _IMPL_CHANGED_THIS_ROUND:
         return 1
+    if spec.name in _ROUND2_GREEN:
+        return 2
     if spec.module == "streaming_plans":
-        return 3
-    return 2
+        return 4
+    return 3
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -51,6 +51,7 @@ def test_verify_order_puts_stale_evidence_first():
     cap index, so adding queries or a driver cap change can't break it."""
     from data_engineering_etl_demo_spark.plans import (
         _CHANGED_THIS_ROUND,
+        _IMPL_CHANGED_THIS_ROUND,
         _ROUND2_GREEN,
         all_specs,
     )
@@ -58,15 +59,19 @@ def test_verify_order_puts_stale_evidence_first():
     names = list(E.queries())
     pos = {n: i for i, n in enumerate(names)}
     specs = all_specs()
-    changed = [n for n in names if n in _CHANGED_THIS_ROUND]
-    stale = [
-        n for n in names if n in _ROUND2_GREEN and n not in _CHANGED_THIS_ROUND
+    front = _CHANGED_THIS_ROUND | _IMPL_CHANGED_THIS_ROUND
+    never_green = [n for n in names if n in _CHANGED_THIS_ROUND]
+    impl_changed = [
+        n
+        for n in names
+        if n in _IMPL_CHANGED_THIS_ROUND and n not in _CHANGED_THIS_ROUND
     ]
+    stale = [n for n in names if n in _ROUND2_GREEN and n not in front]
     fresh = [
         n
         for n in names
         if n not in _ROUND2_GREEN
-        and n not in _CHANGED_THIS_ROUND
+        and n not in front
         and specs[n].module != "streaming_plans"
     ]
     # a CHANGED/new streaming query has no fresh evidence and belongs in
@@ -74,11 +79,11 @@ def test_verify_order_puts_stale_evidence_first():
     streaming = [
         n
         for n in names
-        if specs[n].module == "streaming_plans"
-        and n not in _CHANGED_THIS_ROUND
+        if specs[n].module == "streaming_plans" and n not in front
     ]
-    assert changed and stale and fresh and streaming
-    assert max(pos[n] for n in changed) < min(pos[n] for n in stale)
+    assert never_green and impl_changed and stale and fresh and streaming
+    assert max(pos[n] for n in never_green) < min(pos[n] for n in impl_changed)
+    assert max(pos[n] for n in impl_changed) < min(pos[n] for n in stale)
     assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
     assert max(pos[n] for n in fresh) < min(pos[n] for n in streaming)
 
