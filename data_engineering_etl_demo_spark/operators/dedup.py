@@ -271,6 +271,74 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, containment) for candidate pairs where containment =
+    |A∩B| / min(|A|, |B|) >= threshold — the asymmetric complement to
+    Jaccard: a short document wholly embedded in a long one scores
+    containment ≈ 1 while its Jaccard stays near |A|/|B|.  Same join
+    shape as jaccard_pairs (broadcast pairs, one co-partitioned shingle
+    intersection)."""
+    shingles = shingled.select(F.col(id_col).alias("sid"), "shingle")
+    sizes = shingles.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("sid").alias("id_a"), "shingle")
+    sb = shingles.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(pairs)
+        .join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(na, on="id_a")
+        .join(nb, on="id_b")
+        .withColumn(
+            "containment",
+            F.floor(
+                F.col("n_inter")
+                / F.least(F.col("n_a"), F.col("n_b"))
+                * F.lit(1e6)
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def minhash_containment(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact CONTAINMENT verify.
+
+    Recall caveat (inherent, documented): candidates come from the
+    symmetric Jaccard LSH bands, so a containment-1.0 pair whose Jaccard
+    is very low (tiny doc inside a huge one) may never band-collide —
+    banding probability follows Jaccard, not containment.  That is the
+    standard production compromise (one LSH index serves both verifies);
+    the oracle replays the identical collision set, and the planted-pair
+    test pins recall at the sizes this corpus actually has."""
+    from pyspark import StorageLevel
+
+    shingled = explode_shingles(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signature_components(shingled, id_col)
+    buckets = lsh_band_buckets(sig, id_col)
+    pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_width)
+    return containment_pairs(shingled, pairs, id_col, threshold)
+
+
 def minhash_near_dup(
     docs: DataFrame,
     id_col: str = "doc_id",

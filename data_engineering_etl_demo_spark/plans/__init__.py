@@ -151,6 +151,7 @@ _CHANGED_THIS_ROUND = {
     "embedding_topk_ivf2",
     "events_kmv_merge",
     "docs_train_split",
+    "docs_minhash_containment",
 }
 _ROUND2_GREEN = {
     "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",

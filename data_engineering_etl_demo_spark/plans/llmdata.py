@@ -278,6 +278,7 @@ def _sql_minhash_near_dup(
     threshold: float,
     order: bool = True,
     pair_pred: str = "a.doc_id < b.doc_id",
+    metric: str = "jaccard",
 ) -> str:
     # Affine family g_i = (a_i·h + b_i) mod p — mirrors operators/dedup.py
     # minhash_signature_components term-for-term (same p = 2^31-1 and the
@@ -305,6 +306,18 @@ def _sql_minhash_near_dup(
         f"list_reduce(whs[i:i+{D.SHINGLE_N - 1}], "
         f"(a, x) -> (a * {D.SHINGLE_BASE} + x) % {D.MINHASH_P})"
     )
+    if metric == "jaccard":
+        expr = (
+            "floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n"
+            " - COALESCE(i.n_inter, 0) AS DOUBLE) * 1e6) / 1e6"
+        )
+    elif metric == "containment":
+        expr = (
+            "floor(COALESCE(i.n_inter, 0)"
+            " / CAST(least(na.n, nb.n) AS DOUBLE) * 1e6) / 1e6"
+        )
+    else:
+        raise ValueError(metric)
     return f"""
     WITH ws AS (
         SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents
@@ -342,12 +355,12 @@ def _sql_minhash_near_dup(
         GROUP BY 1, 2
     )
     SELECT p.id_a AS id_a, p.id_b AS id_b,
-           floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) * 1e6) / 1e6 AS jaccard
+           {expr} AS {metric}
     FROM pairs p
     LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
     JOIN sizes na ON na.doc_id = p.id_a
     JOIN sizes nb ON nb.doc_id = p.id_b
-    WHERE floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) * 1e6) / 1e6 >= {threshold}
+    WHERE {expr} >= {threshold}
     {"ORDER BY id_a, id_b" if order else ""}
     """
 
@@ -2582,4 +2595,29 @@ def q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("n_tokens"),
         )
         .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric: small doc embedded in a large one)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_minhash_containment",
+    _sql_minhash_near_dup(0.8, metric="containment"),
+    doc="Containment near-dup on the MinHash-LSH candidate set: "
+    "containment = |A∩B| / min(|A|,|B|) — the asymmetric complement to "
+    "Jaccard that flags a short document wholly embedded in a longer one "
+    "(jaccard ≈ |A|/|B| stays low, containment ≈ 1).  Candidates come "
+    "from the SAME banded Jaccard index (the standard one-index "
+    "production compromise; banding probability follows Jaccard, so "
+    "extreme-ratio pairs may not collide — documented in "
+    "operators/dedup.py::minhash_containment and pinned by the planted "
+    "test), then the exact shingle intersection verifies containment.",
+    memoize=True,
+)
+def q_docs_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_containment(_docs_wide(spark, sf_dir), threshold=0.8).orderBy(
+        "id_a", "id_b"
     )

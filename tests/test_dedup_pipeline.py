@@ -216,3 +216,25 @@ def test_span_dedup_all_spans_removed_yields_empty_fingerprint(spark):
     for r in D.span_dedup(docs).collect():
         assert r["n_kept_tokens"] == 0
         assert r["cleaned_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_containment_flags_embedded_doc_jaccard_misses(spark):
+    # doc 1 = doc 0 plus as much new text again: containment(0,1) = 1.0
+    # (every shingle of 0 appears in 1) while jaccard ~ 0.5 sits below a
+    # 0.8 near-dup threshold — the asymmetric case containment exists for.
+    base = " ".join(f"w{i:03d}" for i in range(40))
+    extra = " ".join(f"x{i:03d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " " + extra), (2, extra.upper() + " unrelated")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.minhash_containment(docs, threshold=0.8).collect()
+    }
+    assert cont.get((0, 1)) == 1.0
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_dup(docs, threshold=0.8).collect()
+    }
+    assert (0, 1) not in jac  # symmetric jaccard misses the embedding
