@@ -1542,14 +1542,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how many distinct suppliers serve each surviving (brand, type, "
     "size) group.  The NOT IN is a broadcast LEFT ANTI against a "
     "6-row exclusion list; part filters prune the broadcast side; the "
-    "single COUNT(DISTINCT) plans expand-free as a two-phase aggregate.",
+    "single COUNT(DISTINCT) plans expand-free as a two-phase aggregate.  "
+    "The oracle's explicit `SELECT DISTINCT l_partkey, l_suppkey` "
+    "pre-dedup is deliberately NOT mirrored: COUNT(DISTINCT) dedups in "
+    "its own partial aggregate, so a separate distinct would add a "
+    "second full-width shuffle of the fact pairs for nothing.  Instead "
+    "the broadcast joins run FIRST (the part filters keep ~10% of "
+    "parts), so the one shuffle carries only surviving rows.",
 )
 def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    pairs = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad_supp = load(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
@@ -1559,12 +1561,12 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(9, 19, 29, 39, 49)
     )
     return (
-        pairs.join(
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(
             F.broadcast(bad_supp),
-            pairs["l_suppkey"] == bad_supp["s_suppkey"],
+            F.col("l_suppkey") == bad_supp["s_suppkey"],
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(
@@ -1833,31 +1835,77 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The oracle states it as the dedup + self-join; the Spark plan uses "
     "the one-shuffle equivalent: collect each order's DISTINCT sorted "
     "basket (one groupBy on the order key), then generate the strict "
-    "upper-triangle pairs ARRAY-SIDE and explode — no second exchange, "
-    "no join, and the fan-out stays bounded by basket size squared "
-    "(2.9 s → measured below at sf0.1; the self-join form paid two "
-    "sorts + two exchanges of the pair relation).",
+    "upper-triangle pairs in an Arrow-batched numpy kernel that ALSO "
+    "partially aggregates pair counts per batch (np.unique on packed "
+    "64-bit keys), so the only post-kernel exchange carries distinct "
+    "(pair, partial-count) rows, not the raw pair fan-out.  An earlier "
+    "interpreted transform/slice/explode chain cost ~2 s of the 2.7 s "
+    "entry at sf0.1; the kernel replays the same strict a<b pair set "
+    "bit-exactly (sorted distinct baskets on both paths).",
 )
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
     baskets = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("pr")
+
+    # the packed (part_a<<32 | part_b) key rides through the aggregation
+    # exchange and is unpacked afterwards — one 8-byte key instead of two.
+    out_schema = StructType(
+        [
+            StructField("pair", LongType()),
+            StructField("n", LongType()),
+        ]
     )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        # partkeys fit in 32 bits at any TPC-H SF this repo targets; the
+        # packed (a<<32 | b) key makes the partial count a single
+        # np.unique.  Guarded below so a larger key space fails loud.
+        for pdf in batches:
+            col = pdf["parts"]
+            if not len(col):
+                continue
+            lens = np.fromiter(map(len, col), dtype=np.int64, count=len(col))
+            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in col])
+            if flat.max() >= (1 << 31):
+                raise ValueError("partkey exceeds packed-pair key space")
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            keys = []
+            for n_items in np.unique(lens):
+                # gather every basket of this length into a (rows, n_items)
+                # matrix in one fancy-index — no per-row Python work.
+                s = starts[lens == n_items]
+                mat = flat[s[:, None] + np.arange(n_items)[None, :]]
+                ia, ib = np.triu_indices(int(n_items), k=1)
+                # baskets are sorted distinct, so column ia < column ib
+                # everywhere — the strict upper triangle IS the a<b pair set.
+                keys.append(((mat[:, ia] << 32) | mat[:, ib]).ravel())
+            u, cnt = np.unique(np.concatenate(keys), return_counts=True)
+            yield pd.DataFrame({"pair": u, "n": cnt.astype(np.int64)})
+
+    pairs = baskets.select("parts").mapInPandas(kernel, out_schema)
+    # pair keys are near-unique (random baskets), so the agg exchange is
+    # small in BYTES but large in KEYS — AQE's size-based coalescing folds
+    # it to one reducer and the final hash agg serializes.  The explicit
+    # repartition pins reducer parallelism to the session's shuffle width.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        pairs.select(F.col("pr.part_a"), F.col("pr.part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        pairs.repartition(n_shuffle, "pair")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_orders"))
+        .select(
+            F.shiftright("pair", 32).alias("part_a"),
+            F.col("pair").bitwiseAND(F.lit(0xFFFFFFFF)).alias("part_b"),
+            "n_orders",
+        )
         .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
         .limit(20)
     )
