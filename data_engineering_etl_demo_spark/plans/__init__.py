@@ -145,6 +145,7 @@ _CHANGED_THIS_ROUND = {
     "docs_cluster_representatives",
     "events_type_transitions",
     # NEW this session
+    "lineitem_zorder_pages",  # z-order zone maps (operators/layout.py)
     "docs_span_dedup",
     "docs_bpe_pair_merge",
     "orders_profile",

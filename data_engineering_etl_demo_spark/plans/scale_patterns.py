@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_etl_demo_spark.catalog import load
 from data_engineering_etl_demo_spark.functions.cleaning import MONEY_SCALE
+from data_engineering_etl_demo_spark.operators import layout as L
 from data_engineering_etl_demo_spark.operators import profile as P
 from data_engineering_etl_demo_spark.operators import scd
 from data_engineering_etl_demo_spark.operators import sketches as K
@@ -466,4 +467,57 @@ _PROFILE_COLS = [
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.profile(load(spark, sf_dir, "orders"), _PROFILE_COLS).orderBy(
         "col_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order zone maps: multi-dimensional clustering key + per-page statistics
+# ---------------------------------------------------------------------------
+
+_Z_SHIFT = 18  # 32-bit z-value >> 18 -> at most 16k z-pages
+
+
+@register(
+    "lineitem_zorder_pages",
+    f"""
+    SELECT ({L.sql_zorder_key(['l_partkey', 'l_suppkey'])} >> {_Z_SHIFT})
+               AS z_page,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY z_page
+    """,
+    doc="Zone-map construction over the Z-order (Morton) curve of "
+    "(l_partkey, l_suppkey): interleave the low 16 bits of each key "
+    "(operators/layout.zorder_key — pure shift/mask Catalyst built-ins), "
+    "bucket rows into at most 1024 z-pages, and emit each page's min/max "
+    "per dimension — the statistics a data-skipping reader consults.  "
+    "Because the curve cycles dimensions one bit at a time, BOTH keys' "
+    "per-page spans are narrow (a linear sort narrows only its leading "
+    "column; tests/test_layout.py measures the contrast on real files).  "
+    "Scale shape: per-row bit arithmetic + one partial-aggregated "
+    "groupBy on a <=1024-key space.  The physical rewrite counterpart "
+    "(operators/layout.zorder_rewrite) range-partitions on the same key "
+    "with min-max normalization for arbitrary-domain columns.",
+)
+def q_lineitem_zorder_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = L.zorder_key([F.col("l_partkey"), F.col("l_suppkey")])
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.shiftright(z, _Z_SHIFT).alias("z_page"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_page")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("z_page")
     )
