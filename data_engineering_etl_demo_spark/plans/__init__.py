@@ -146,6 +146,8 @@ _CHANGED_THIS_ROUND = {
     "events_type_transitions",
     # NEW this session
     "lineitem_zorder_pages",  # z-order zone maps (operators/layout.py)
+    "docs_weighted_sample",  # A-ES weighted sampling
+    "docs_stratified_sample",  # salted two-phase per-stratum top-m
     "docs_span_dedup",
     "docs_bpe_pair_merge",
     "orders_profile",

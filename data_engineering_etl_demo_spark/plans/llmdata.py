@@ -2621,3 +2621,123 @@ def q_docs_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_containment(_docs_wide(spark, sf_dir), threshold=0.8).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_K = 64  # sample size
+_WS_M = 4294967296.0  # 2^32: the md5-derived 32-bit uniform's denominator
+
+# deterministic uniform in (0, 1]: independent salt stream per decision
+_SQL_WS_H = _sql_hexbig("'wsample:' || CAST(doc_id AS VARCHAR)", 1, 8)
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    SELECT doc_id, lang, n_chars, key9 FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(ROUND(1e9 * EXP(LN(({_SQL_WS_H} + 1) / {_WS_M})
+                                    / GREATEST(n_chars, 1))) AS BIGINT)
+                   AS key9
+        FROM documents
+    )
+    ORDER BY key9 DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+    doc="Distributed weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis A-ES): each doc draws a deterministic uniform u from its "
+    "own salted md5 stream and scores key = u^(1/w) with w = n_chars; "
+    "the global top-k by key IS an exact w-weighted sample — no RNG "
+    "state, no sequential pass, reproducible at any parallelism.  "
+    "Physically a per-row expression + TakeOrdered top-k (bounded "
+    "per-partition heaps, no global sort) — the shape that samples "
+    "100 TB in one map pass.  Cross-engine: the score is rounded to an "
+    "integer at 1e-9 before comparison, so libm's last-bit EXP/LN "
+    "differences cannot reorder the selection; ties at that granularity "
+    "break on doc_id in both engines.",
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(_WS_M)
+    key9 = F.round(
+        F.lit(1e9) * F.exp(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)))
+    ).cast("long")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars", key9.alias("key9"))
+        .orderBy(F.col("key9").desc(), F.col("doc_id"))
+        .limit(_WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: exact per-language top-m, two-phase (salted) at scale
+# ---------------------------------------------------------------------------
+
+_STRAT_M = 8  # docs kept per language
+_STRAT_SALTS = 16
+
+_SQL_STRAT_H = _sql_hexbig("'strat:' || CAST(doc_id AS VARCHAR)", 1, 8)
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+    SELECT lang, rk, doc_id, h FROM (
+        SELECT lang, doc_id, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        FROM (SELECT lang, doc_id, {_SQL_STRAT_H} AS h FROM documents)
+    )
+    WHERE rk <= {_STRAT_M}
+    ORDER BY lang, rk
+    """,
+    doc="Stratified equal-allocation sampling: the m hash-smallest docs "
+    "per language — deterministic, engine-exact, and uniform within each "
+    "stratum.  The oracle states it as one row_number window per lang; "
+    "the Spark plan is the SKEW-SAFE two-phase exact top-m: phase 1 "
+    "ranks within (lang, salt) — fanning each low-cardinality stratum "
+    "over 16 reducers — and keeps m per salt-group; phase 2 re-ranks the "
+    "<= m * 16 survivors per lang (a bounded set) to the true per-lang "
+    "top-m.  Identical output, but no single reducer ever sees a whole "
+    "stratum — the difference between a 5-reducer job and a full-width "
+    "cluster at 100 TB.",
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", h.alias("h"), F.pmod("doc_id", F.lit(_STRAT_SALTS)).alias("_salt")
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy("h", "doc_id")
+    survivors = (
+        docs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= _STRAT_M)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _STRAT_M)
+        .select("lang", "rk", "doc_id", "h")
+        .orderBy("lang", "rk")
+    )
