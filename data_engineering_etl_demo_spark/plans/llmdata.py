@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_etl_demo_spark.catalog import load
 from data_engineering_etl_demo_spark.operators import dedup as D
+from data_engineering_etl_demo_spark.operators import graph as G
 from data_engineering_etl_demo_spark.operators import similarity as S
 from data_engineering_etl_demo_spark.operators import text as X
 from data_engineering_etl_demo_spark.plans import register
@@ -2175,35 +2176,22 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_dup_triangles",
-    f"""
-    WITH prs AS (
-        SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
-    ),
-    w AS (
-        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-        FROM prs e1 JOIN prs e2
-          ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
-    ),
-    t AS (
-        SELECT 1 FROM w JOIN prs p ON p.id_a = w.b AND p.id_b = w.c
-    )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM prs) AS n_edges,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles
-    """,
+    G.sql_triangle_census(_sql_minhash_near_dup(0.5, order=False)),
     doc="Triangle census of the MinHash near-dup graph — the structure "
     "signal that separates template families (dense cliques → many "
     "triangles) from chance collisions (isolated edges).  (The MinHash "
     "graph, NOT the radius-3 SimHash graph: the latter is clique-dense "
-    "on this template corpus — 271k edges / 30M triangles at sf0.1 — "
-    "and any exact join-based count must materialize every triangle.)  "
-    "The classic "
-    "distributed algorithm: ORIENTED edges (id_a < id_b, so each "
-    "triangle is counted exactly once), a wedge self-join on the lower "
-    "endpoint, and a closure join back against the edge set.  At scale "
-    "the orientation key becomes (degree, id) to bound wedge fan-out by "
-    "the SMALLEST endpoint's degree — the id orientation here keeps the "
-    "oracle trivially identical on the bounded pair set.",
+    "on this template corpus — 271k edges / 30M triangles at sf0.1.)  "
+    "Counting runs on the DEGREE-ORDERED orientation "
+    "(operators/graph.triangle_census): every edge points from its "
+    "lower-(degree, id) endpoint to the higher one, bounding each "
+    "vertex's out-degree by O(sqrt(|E|)) so wedge fan-out follows the "
+    "SMALLEST endpoint's degree — on a clique-dense graph the id-"
+    "oriented census pays hub-degree-squared wedges, the degree-ordered "
+    "one provably fewer (tests/test_graph.py measures the gap and pins "
+    "count-equality).  The oracle replays the identical orientation in "
+    "SQL, so n_wedges — the candidate volume the closure join pays — is "
+    "itself oracle-checked, not just the final triangle count.",
     memoize=False,  # composes the signature plan; keep bench honest
 )
 def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2213,27 +2201,8 @@ def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         REGISTRY["docs_minhash_near_dup"]
         .spark_fn(spark, sf_dir)
         .select("id_a", "id_b")
-        .persist()
     )
-    e1 = pairs.select(
-        F.col("id_a").alias("w_a"), F.col("id_b").alias("w_b")
-    )
-    e2 = pairs.select(
-        F.col("id_a").alias("w_a2"), F.col("id_b").alias("w_c")
-    )
-    wedges = e1.join(
-        e2, (F.col("w_a") == F.col("w_a2")) & (F.col("w_b") < F.col("w_c"))
-    ).select("w_b", "w_c")
-    tris = wedges.join(
-        pairs,
-        (F.col("w_b") == pairs["id_a"]) & (F.col("w_c") == pairs["id_b"]),
-    )
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(
-        F.broadcast(n_tris)
-    )
+    return G.triangle_census(pairs)
 
 
 # ---------------------------------------------------------------------------
