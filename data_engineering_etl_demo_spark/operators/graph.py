@@ -234,3 +234,102 @@ def sql_triangle_census(prs_sql: str) -> str:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point, unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # rank fixed-point scale; integer ops only, engine-exact
+
+
+def pagerank(pairs: DataFrame, iters: int = 2) -> DataFrame:
+    """Damped PageRank (alpha = 0.85) over an undirected edge list,
+    ``iters`` power iterations unrolled into one plan.
+
+    All arithmetic is BIGINT fixed-point at PR_SCALE with integer
+    division — bit-identical between Spark and the DuckDB replay
+    (:func:`sql_pagerank`), no float accumulation order to diverge.
+    Every vertex of an edge list has degree >= 1, so there is no
+    dangling-mass term.
+
+    Scale shape per iteration: one shuffle keyed by the message
+    destination (maximal-cardinality key, even partitions) + one join of
+    the rank state against the static degree-annotated edges — the
+    standard BSP round, state is one row per vertex.  For many
+    iterations cut lineage per round (see connected_components); the
+    registry query unrolls two, which keeps the whole computation one
+    Catalyst plan.
+    """
+    edges = pairs.select("id_a", "id_b").persist()
+    edges.count()  # eager: reused by degree + every unrolled round
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    adj = sym.join(deg, "src").persist()
+    n_nodes = deg.count()
+    r0 = PR_SCALE // n_nodes
+    teleport = (PR_SCALE * 15 // 100) // n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(r0).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(teleport) + F.expr("s * 85 DIV 100")).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_fp")).orderBy(
+        F.col("rank_fp").desc(), F.col("doc_id")
+    )
+
+
+def sql_pagerank(prs_sql: str, iters: int = 2) -> str:
+    """DuckDB replay of :func:`pagerank` — same fixed-point integer
+    arithmetic, iterations unrolled as chained CTEs."""
+    parts = [
+        f"WITH prs AS MATERIALIZED (SELECT id_a, id_b FROM ({prs_sql})),",
+        """sym AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM prs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM prs
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src
+        ),
+        consts AS MATERIALIZED (
+            SELECT CAST({s} AS BIGINT) // COUNT(*) AS r0,
+                   (CAST({s} AS BIGINT) * 15 // 100) // COUNT(*) AS tele
+            FROM deg
+        ),
+        r0 AS (
+            SELECT src AS node, (SELECT r0 FROM consts) AS r FROM deg
+        )""".format(s=PR_SCALE),
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+            SELECT sym.dst AS node,
+                   (SELECT tele FROM consts)
+                   + SUM({prev}.r // deg.d) * 85 // 100 AS r
+            FROM sym
+            JOIN deg ON deg.src = sym.src
+            JOIN {prev} ON {prev}.node = sym.src
+            GROUP BY sym.dst
+        )"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+        SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp
+        FROM {prev} ORDER BY rank_fp DESC, doc_id"""
+    )
+    return "\n".join(parts)

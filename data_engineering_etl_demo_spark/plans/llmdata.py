@@ -2710,3 +2710,34 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rk", "doc_id", "h")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (fixed-point power iteration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_pagerank",
+    G.sql_pagerank(_sql_minhash_near_dup(0.5, order=False), iters=2),
+    doc="Two damped power iterations of PageRank over the MinHash "
+    "near-dup graph (operators/graph.pagerank) — centrality inside "
+    "duplicate families: the highest-rank member of a template cluster "
+    "is its most-connected exemplar.  All arithmetic is BIGINT "
+    "fixed-point at 1e12 with integer division (alpha = 85/100), so "
+    "Spark and the DuckDB replay agree bit-exactly — no float "
+    "accumulation order in sight.  Scale shape: per iteration one "
+    "shuffle keyed by message destination + a join against the static "
+    "degree-annotated edges, state = one row per vertex (the standard "
+    "BSP round); two rounds unroll into a single Catalyst plan.",
+    memoize=False,  # composes the signature plan; keep bench honest
+)
+def q_docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    pairs = (
+        REGISTRY["docs_minhash_near_dup"]
+        .spark_fn(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    return G.pagerank(pairs, iters=2)

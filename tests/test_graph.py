@@ -124,3 +124,46 @@ def test_triangle_census_matches_sql_replay(spark):
         sql_triangle_census("SELECT id_a, id_b FROM edge_df")
     ).fetchone()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_path_graph_closed_form(spark):
+    """Hand-computed two-iteration ranks on the path 1-2-3 (all integer
+    fixed-point steps replayed by hand)."""
+    from data_engineering_etl_demo_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["rank_fp"] for r in pagerank(df, iters=2).collect()}
+    assert got == {
+        1: 312083333333,
+        2: 375833333332,
+        3: 312083333333,
+    }
+    # center of the path outranks the leaves
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_matches_sql_replay(spark):
+    import duckdb
+    import pandas as pd
+
+    from data_engineering_etl_demo_spark.operators.graph import (
+        pagerank,
+        sql_pagerank,
+    )
+
+    edges = _dense_edges()
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(map(tuple, pagerank(df, iters=2).collect()))
+    con = duckdb.connect()
+    con.register("edge_df", pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    want = sorted(
+        con.execute(
+            sql_pagerank("SELECT id_a, id_b FROM edge_df", iters=2)
+        ).fetchall()
+    )
+    assert got == want
