@@ -239,3 +239,83 @@ def test_rolling_wau_scales_linearly(spark):
     assert set(w1) == set(w10)
     for day, n in w1.items():
         assert w10[day] == 10 * n
+
+
+def test_triangle_census_scales_linearly(spark):
+    """Disjoint copies must multiply edges/wedges/triangles exactly —
+    any cross-copy wedge or triangle means the orientation or the
+    closure join leaks candidates across unrelated data."""
+    from data_engineering_etl_demo_spark.operators.graph import triangle_census
+
+    def census(copies):
+        pairs = D.minhash_near_dup(_docs_x(spark, copies), threshold=0.5)
+        return tuple(triangle_census(pairs).collect()[0])
+
+    e1, w1, t1 = census(1)
+    e10, w10, t10 = census(_COPIES)
+    assert e1 > 0
+    assert (e10, w10, t10) == (_COPIES * e1, _COPIES * w1, _COPIES * t1)
+
+
+def test_pagerank_is_copy_invariant(spark):
+    """Each disjoint copy must reproduce the original's rank vector
+    exactly: PageRank mass cannot leak between unconnected components...
+    except through the global teleport term, which scales as 1/N — so
+    compare the RELATIVE rank ordering and the per-copy multiset of
+    rank values after rescaling the teleport analytically."""
+    from data_engineering_etl_demo_spark.operators.graph import pagerank
+
+    def ranks(copies):
+        pairs = D.minhash_near_dup(_docs_x(spark, copies), threshold=0.5)
+        return pagerank(pairs, iters=2).collect()
+
+    r1 = ranks(1)
+    r10 = ranks(_COPIES)
+    assert len(r10) == _COPIES * len(r1)
+    # with 10x nodes every teleport/initial term shrinks 10x; ranks are
+    # linear in them, so each copy's ranks are EXACTLY the 1x ranks
+    # divided by 10 (up to integer-division remainders, bounded by the
+    # number of integer-div steps: <= 4 per rank unit per iteration)
+    r1_map = {r["doc_id"]: r["rank_fp"] for r in r1}
+    for row in r10:
+        base_id = row["doc_id"] % _OFFSET
+        assert base_id in r1_map
+        assert abs(row["rank_fp"] - r1_map[base_id] // 10) <= 8, (
+            f"doc {row['doc_id']}: {row['rank_fp']} vs "
+            f"{r1_map[base_id]} / 10 at 1x"
+        )
+
+
+def test_zorder_pages_scale_only_in_counts(spark):
+    """10x row copies with IDENTICAL key values: the z-page set and every
+    page's min/max must not move, only n_rows scales — zone-map quality
+    is set by key distribution, not corpus size."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    spec = all_specs()["lineitem_zorder_pages"]
+    base = spec.spark_fn(spark, SF_DIR)
+    li = load(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    from functools import reduce as _red
+
+    li10 = _red(lambda a, b: a.unionByName(b), [li] * _COPIES)
+    from data_engineering_etl_demo_spark.operators import layout as L
+
+    z = L.zorder_key([F.col("l_partkey"), F.col("l_suppkey")])
+    pages10 = (
+        li10.select(F.shiftright(z, 18).alias("z_page"), "l_partkey", "l_suppkey")
+        .groupBy("z_page")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+    b = {r["z_page"]: r for r in base.collect()}
+    t = {r["z_page"]: r for r in pages10.collect()}
+    assert set(b) == set(t)
+    for k in b:
+        assert t[k]["n_rows"] == _COPIES * b[k]["n_rows"]
+        for c in ("min_part", "max_part", "min_supp", "max_supp"):
+            assert t[k][c] == b[k][c]
