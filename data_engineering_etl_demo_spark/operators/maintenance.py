@@ -72,3 +72,37 @@ def compact_parquet(
         "bytes": total,
         "skipped": False,
     }
+
+
+def bucketize(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Write ``df`` as a bucketed+sorted parquet table registered as
+    ``table`` — the storage-level half of a co-located join.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT any runtime exchange: each task reads bucket i of both sides
+    and joins locally (the sort makes it a zero-sort merge join).  At
+    100 TB this converts every recurring fact⨝fact join on the bucket
+    key from two full shuffles per query into a one-time layout cost —
+    the same contract as Hive/Iceberg bucketing.
+    tests/test_maintenance.py asserts the exchange-free plan.
+
+    Spark only honors bucket metadata through the catalog, so this is a
+    ``saveAsTable`` with an explicit path, not a bare ``.parquet()``
+    write; re-running replaces the table (idempotent maintenance).
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -87,3 +87,41 @@ def test_profile_rejects_unknown_kind(spark):
     df = spark.range(1)
     with _pt.raises(ValueError):
         P.profile(df, [("id", "float")])
+
+
+def test_bucketized_join_is_exchange_free(spark, tmp_path):
+    """Both sides bucketed on the join key -> the join plan contains no
+    shuffle Exchange (and no extra sort: buckets are written sorted)."""
+    from data_engineering_etl_demo_spark.operators.maintenance import bucketize
+
+    left = spark.range(10_000).selectExpr(
+        "id AS k", "id * 2 AS lv"
+    )
+    right = spark.range(5_000).selectExpr("id AS k", "id * 3 AS rv")
+    bucketize(spark, left, "b_left", ["k"], 8, str(tmp_path / "bl"))
+    bucketize(spark, right, "b_right", ["k"], 8, str(tmp_path / "br"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick a merge join — the
+        # scenario bucketing exists for is two FACT-sized sides, where
+        # broadcast is off the table anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_left")
+            .join(spark.table("b_right"), "k")
+            .where("rv IS NOT NULL")
+        )
+        phys = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys, phys
+        assert joined.count() == 5_000
+        # and the unbucketed control DOES shuffle, so the assertion means
+        # something
+        plain_l = spark.read.parquet(str(tmp_path / "bl"))
+        plain_r = spark.read.parquet(str(tmp_path / "br"))
+        control = plain_l.join(plain_r, "k").where("rv IS NOT NULL")
+        cphys = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in cphys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
