@@ -148,6 +148,7 @@ _CHANGED_THIS_ROUND = {
     "lineitem_zorder_pages",  # z-order zone maps (operators/layout.py)
     "docs_weighted_sample",  # A-ES weighted sampling
     "docs_pagerank",  # fixed-point PageRank over the near-dup graph
+    "embedding_semdedup",  # semantic dedup verdicts (SemDeDup shape)
     "docs_stratified_sample",  # salted two-phase per-stratum top-m
     "docs_span_dedup",
     "docs_bpe_pair_merge",

@@ -2741,3 +2741,73 @@ def q_docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return G.pagerank(pairs, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup verdicts over the embedding near-dup graph
+# ---------------------------------------------------------------------------
+
+_SQL_SEMDEDUP = f"""
+    WITH RECURSIVE prs AS (
+        SELECT id_a, id_b FROM ({_sql_lsh_near_dup(_NEAR_DUP_LSH_T)})
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS vec_id, MIN(comp) AS component FROM reach GROUP BY 1)
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS component,
+           CASE WHEN c.component IS NOT NULL AND c.component <> e.vec_id
+                THEN 'semantic_dup' ELSE 'kept' END AS status
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ORDER BY e.vec_id
+"""
+
+
+@register(
+    "embedding_semdedup",
+    _SQL_SEMDEDUP,
+    doc="SemDeDup-style semantic dedup keep-list: sign-LSH embedding "
+    "near-dup pairs → connected components (hash-min label propagation) "
+    "→ per-vector verdict, keeping each semantic group's min-id member.  "
+    "The embedding-space counterpart of docs_dedup_survivors: text "
+    "near-dup catches lexical templates, this catches paraphrases that "
+    "share no shingles.  Every stage is the same bounded machinery "
+    "(banded LSH candidates, BSP components), so the 100 TB posture is "
+    "inherited; the oracle replays the identical collision set plus a "
+    "recursive-CTE closure.",
+    memoize=False,  # runs label propagation at plan-build; keep bench honest
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    pairs = REGISTRY["embedding_near_dup"].spark_fn(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    cc = G.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        emb.join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("component"),
+            F.when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("vec_id")),
+                F.lit("semantic_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("vec_id")
+    )
