@@ -98,3 +98,41 @@ def test_normalize_dim_constant_column(spark):
         L.normalize_dim(F.lit(5), F.lit(5), F.lit(5)).alias("n")
     )
     assert all(r["n"] == 0 for r in df.collect())
+
+
+def test_zorder_key_roundtrip_property(spark):
+    """Injectivity via exact de-interleave: recover (x, y) from z for a
+    hypothesis-style sweep of boundary + random grid points (driven
+    through one DataFrame pass, not per-example Spark jobs)."""
+    import random
+
+    rng = random.Random(20260814)
+    pts = [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    pts += [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", L.zorder_key([F.col("x"), F.col("y")]).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["x"], r["y"])
+    # z-order locality: within a 2^k-aligned square, all z-values are
+    # contiguous — the property file skipping relies on
+    assert (
+        spark.range(16)
+        .select(
+            L.zorder_key(
+                [(F.col("id") % 4) + 64, (F.col("id") / 4).cast("long") + 32]
+            ).alias("z")
+        )
+        .agg((F.max("z") - F.min("z")).alias("span"))
+        .collect()[0]["span"]
+        == 15
+    )
