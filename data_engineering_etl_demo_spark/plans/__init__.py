@@ -149,6 +149,7 @@ _CHANGED_THIS_ROUND = {
     "docs_weighted_sample",  # A-ES weighted sampling
     "docs_pagerank",  # fixed-point PageRank over the near-dup graph
     "embedding_semdedup",  # semantic dedup verdicts (SemDeDup shape)
+    "events_value_ema",  # sequential per-key recurrence as array fold
     "docs_stratified_sample",  # salted two-phase per-stratum top-m
     "docs_span_dedup",
     "docs_bpe_pair_merge",

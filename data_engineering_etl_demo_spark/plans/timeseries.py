@@ -950,3 +950,67 @@ def q_events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmv_users", "direct_kmv"
     )
     return merged.join(direct, on="event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Per-user EMA: sequential stateful fold as an ordered-array reduce
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_ema",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               list(CAST(ROUND(value * 1000000) AS BIGINT)
+                    ORDER BY epoch_us(ts), event_id) AS vals
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(vals, (acc, x) -> (2*x + 8*acc) // 10)
+                AS BIGINT) AS ema_e6
+    FROM seq
+    ORDER BY user_id
+    """,
+    doc="Per-user exponential moving average (alpha = 0.2) of event "
+    "values — an inherently SEQUENTIAL per-key recurrence, which windows "
+    "cannot express (each step depends on the previous result, not a "
+    "frame aggregate).  Pattern: collect each key's ordered value array "
+    "in ONE groupBy shuffle, then fold it with the aggregate() "
+    "higher-order function — per-key state lives inside a single row, "
+    "never across rows, so the computation distributes by key with no "
+    "iteration or driver involvement.  Fixed-point BIGINT with integer "
+    "division = engine-exact (inputs are positive, so floor == "
+    "truncation); bounded per-key arrays (events per user), the same "
+    "memory contract as any collect_list session op.",
+)
+def q_events_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+            ).alias("s"),
+        )
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+        .withColumn("vals", F.expr("transform(arr, x -> x.v)"))
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n_events"),
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+                " (acc, x) -> (2*x + 8*acc) div 10)"
+            ).alias("ema_e6"),
+        )
+        .orderBy("user_id")
+    )
