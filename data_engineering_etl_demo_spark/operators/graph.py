@@ -271,6 +271,11 @@ def pagerank(pairs: DataFrame, iters: int = 2) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     adj = sym.join(deg, "src").persist()
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty graph: no vertices, no ranks — keep the declared schema
+        return edges.sparkSession.createDataFrame(
+            [], "doc_id long, rank_fp long"
+        )
     r0 = PR_SCALE // n_nodes
     teleport = (PR_SCALE * 15 // 100) // n_nodes
     ranks = deg.select(

@@ -167,3 +167,16 @@ def test_pagerank_matches_sql_replay(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_census_and_pagerank_empty_graph(spark):
+    from data_engineering_etl_demo_spark.operators.graph import (
+        pagerank,
+        triangle_census,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert tuple(triangle_census(empty).collect()[0]) == (0, 0, 0)
+    pr = pagerank(empty, iters=2)
+    assert pr.collect() == []
+    assert [f.name for f in pr.schema.fields] == ["doc_id", "rank_fp"]
