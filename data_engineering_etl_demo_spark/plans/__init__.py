@@ -150,6 +150,7 @@ _CHANGED_THIS_ROUND = {
     "docs_pagerank",  # fixed-point PageRank over the near-dup graph
     "embedding_semdedup",  # semantic dedup verdicts (SemDeDup shape)
     "events_value_ema",  # sequential per-key recurrence as array fold
+    "streaming_value_ema",  # the same recurrence with cross-batch state
     "docs_stratified_sample",  # salted two-phase per-stratum top-m
     "docs_span_dedup",
     "docs_bpe_pair_merge",

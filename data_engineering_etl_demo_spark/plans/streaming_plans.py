@@ -406,3 +406,51 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = P.run_to_completion(counts, "stream_dedup_counts", "complete")
     return result.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming EMA: the batch recurrence replayed with cross-batch state
+# ---------------------------------------------------------------------------
+
+
+from data_engineering_etl_demo_spark.plans.timeseries import SQL_VALUE_EMA
+
+
+@register(
+    "streaming_value_ema",
+    SQL_VALUE_EMA,
+    doc="Per-user EMA as a REAL streaming job: applyInPandasWithState "
+    "carries (ema, n) across micro-batches and each batch folds its "
+    "event-time-ordered rows on top of the inherited state "
+    "(streaming/pipeline.value_ema).  The oracle is the identical batch "
+    "recurrence (events_value_ema's SQL) — stream result == batch "
+    "result, the replayability contract a lakehouse pipeline needs.  "
+    "The fixed-point v6 terms are computed Spark-side before the kernel "
+    "so rounding matches the batch query bit-for-bit; per-batch "
+    "cumulative emissions are resolved to each user's final state with "
+    "one max_by.  State = two LONGs per user (bounded by key "
+    "cardinality); tests drain it multi-batch via maxFilesPerTrigger.",
+    memoize=False,
+)
+def q_streaming_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+        )
+    )
+    out = P.run_to_completion(
+        P.value_ema(ev), query_name=f"ema_{abs(hash(sf_dir)) % 99991}"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max_by("ema_e6", "n_events").cast("long").alias("ema_e6"),
+        )
+        .orderBy("user_id")
+    )

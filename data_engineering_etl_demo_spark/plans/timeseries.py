@@ -957,9 +957,7 @@ def q_events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_value_ema",
-    """
+SQL_VALUE_EMA = """
     WITH seq AS (
         SELECT user_id,
                list(CAST(ROUND(value * 1000000) AS BIGINT)
@@ -974,7 +972,12 @@ def q_events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS ema_e6
     FROM seq
     ORDER BY user_id
-    """,
+    """
+
+
+@register(
+    "events_value_ema",
+    SQL_VALUE_EMA,
     doc="Per-user exponential moving average (alpha = 0.2) of event "
     "values — an inherently SEQUENTIAL per-key recurrence, which windows "
     "cannot express (each step depends on the previous result, not a "

@@ -273,3 +273,77 @@ def run_to_completion(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming EMA: cross-batch sequential recurrence per key
+# ---------------------------------------------------------------------------
+
+EMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ema_e6", T.LongType()),
+    ]
+)
+_EMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ema", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def value_ema(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user exponential moving average
+    (alpha = 2/10) carried ACROSS micro-batches via applyInPandasWithState
+    — the streaming form of the batch array-fold (plans/timeseries
+    events_value_ema), and a recurrence no windowed aggregation can
+    express.
+
+    Input must carry (user_id, ts, event_id, v6) with v6 the fixed-point
+    value (computed Spark-side so rounding matches the batch query
+    bit-for-bit).  Each micro-batch's rows are buffered and folded in
+    (ts, event_id) order on top of the carried state, and the CUMULATIVE
+    (n_events, ema) is emitted per batch; the caller keeps each user's
+    row with the highest n_events (n grows monotonically).  Exactness
+    across batches requires per-user event-time-ordered arrival — true
+    for a replayed file source and for any log-compacted/keyed feed;
+    out-of-order feeds need the watermark-buffered variant of the same
+    fold (the state contract is identical).
+
+    State is two LONGs per user — bounded by key cardinality, not by
+    stream length.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ema, n = state.get
+        else:
+            ema, n = 0, 0
+        rows = sorted(
+            (int(ts.value) // 1_000, int(e), int(v))
+            for pdf in pdfs
+            for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
+        )
+        if not rows:
+            return
+        for _, _, v in rows:
+            ema = v if n == 0 else (2 * v + 8 * ema) // 10
+            n += 1
+        state.update((ema, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ema_e6": [ema]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EMA_SCHEMA,
+        stateStructType=_EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

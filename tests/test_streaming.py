@@ -262,3 +262,46 @@ def test_doubled_source_actually_replays_every_event(spark):
     doubled = result.collect()[0][0]
     single = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert doubled == 2 * single
+
+
+def test_value_ema_state_carries_across_batches(spark, tmp_path):
+    """The EMA recurrence must fold batch-2 events ON TOP of batch-1
+    state: final = fold([100, 200, 300]) = 156, not fold([300])."""
+    from datetime import datetime, timedelta as _td
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, v6 long"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t = datetime(2026, 1, 1)
+    m = _td(minutes=1)
+    write("b1", [(1, t, 10, 100), (1, t + m, 11, 200), (2, t, 20, 50)])
+    write("b2", [(1, t + 2 * m, 12, 300)])
+    _stagger_mtimes(src, ["b1", "b2"])
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    out = P.run_to_completion(P.value_ema(stream), "t_ema_mb")
+    rows = out.collect()
+    # cumulative emission per batch: user 1 appears twice (n=2 then n=3)
+    assert sorted(
+        (r["user_id"], r["n_events"], r["ema_e6"]) for r in rows
+    ) == [(1, 2, 120), (1, 3, 156), (2, 1, 50)]
+    final = {
+        r["user_id"]: (r["n"], r["ema"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.max_by("ema_e6", "n_events").alias("ema"),
+        )
+        .collect()
+    }
+    assert final == {1: (3, 156), 2: (1, 50)}
