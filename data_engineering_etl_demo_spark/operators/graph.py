@@ -128,13 +128,15 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
     naive id-orientation on a dense synthetic graph and measures the
     wedge reduction.
     """
-    edges = pairs.select("id_a", "id_b").persist()
-    # eager: the census fans edges into several plan branches (degree union
-    # x2, annotation, closure); without materializing the cache first,
-    # parallel stages of one job race past it and recompute the upstream
-    # pair plan (expensive when it is a composed MinHash index) per branch.
-    # The count doubles as the n_edges output scalar (1 row driver-side).
-    n_edges = edges.count()
+    # localCheckpoint(eager), not persist(): the census fans edges into
+    # several plan branches (degree union x2, annotation, closure), so the
+    # upstream pair plan (expensive when it is a composed MinHash index)
+    # must be materialized ONCE; checkpoint blocks are freed by the
+    # ContextCleaner when this DataFrame is garbage collected, whereas a
+    # persist() entry lives in the CacheManager until explicit unpersist —
+    # a leak for a memoize=False query re-built every bench round.
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    n_edges = edges.count()  # doubles as the n_edges output scalar
     deg = (
         edges.select(F.col("id_a").alias("v"))
         .unionAll(edges.select(F.col("id_b").alias("v")))
@@ -160,9 +162,8 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
         F.when(fwd, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
         F.when(fwd, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
         F.when(fwd, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
-    ).persist()  # 3 downstream branches; recompute-from-cached-edges is
-    # cheap, so no second eager action — the persist just lets whichever
-    # branch runs first fill the cache for the others
+    ).localCheckpoint(eager=True)  # 3 downstream branches; materialized
+    # once, blocks freed on GC (see edges above)
     e1 = oriented.select(
         F.col("src").alias("w_src"),
         F.col("dst").alias("w_v"),
@@ -261,15 +262,17 @@ def pagerank(pairs: DataFrame, iters: int = 2) -> DataFrame:
     registry query unrolls two, which keeps the whole computation one
     Catalyst plan.
     """
-    edges = pairs.select("id_a", "id_b").persist()
-    edges.count()  # eager: reused by degree + every unrolled round
+    # localCheckpoint, not persist: blocks are GC-cleaned, so repeated
+    # bench/test invocations of this memoize=False op don't accumulate
+    # CacheManager entries (same reasoning as triangle_census)
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    adj = sym.join(deg, "src").persist()
+    adj = sym.join(deg, "src").localCheckpoint(eager=True)
     n_nodes = deg.count()
     if n_nodes == 0:
         # empty graph: no vertices, no ranks — keep the declared schema

@@ -17,11 +17,13 @@ that serves all clustered dimensions instead of one.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.operators.maintenance import (
+    parquet_layout,
+    swap_dir,
+)
 
 ZORDER_BITS = 16  # 2 dims x 16 bits -> 32-bit z-value, BIGINT-safe
 
@@ -112,7 +114,7 @@ def zorder_rewrite(
         for c in cols
     ]
     zed = df.withColumn("__z", zorder_key(dims, bits))
-    staging, old = path + ".staging", path + ".old"
+    staging = path + ".staging"
     (
         zed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -120,13 +122,12 @@ def zorder_rewrite(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_dir(path, staging)
+    # measure, don't echo the request: skewed/low-cardinality z-values
+    # leave range partitions empty, which emit no part-file
+    files_after, _ = parquet_layout(path)
     n_rows = spark.read.parquet(path).count()
-    return {"files_after": n_files, "n_rows": n_rows, "cols": list(cols)}
+    return {"files_after": files_after, "n_rows": n_rows, "cols": list(cols)}
 
 
 def file_spans(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:

@@ -32,6 +32,20 @@ def parquet_layout(path: str) -> tuple[int, int]:
     return n, total
 
 
+def swap_dir(path: str, staging: str) -> None:
+    """Crash-recoverable two-rename directory swap (same contract as
+    Warehouse._swap_write): readers never observe a half-written table;
+    a crash between the renames leaves a recoverable ``.old``.  Shared
+    by compact_parquet and layout.zorder_rewrite so the durability
+    protocol cannot silently diverge between rewrite operators."""
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -57,14 +71,9 @@ def compact_parquet(
             "skipped": True,
         }
     df: DataFrame = spark.read.parquet(path)
-    staging, old = path + ".staging", path + ".old"
+    staging = path + ".staging"
     df.repartition(n_out).write.mode("overwrite").parquet(staging)
-    # same crash-recoverable two-rename swap as Warehouse._swap_write
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_dir(path, staging)
     files_after, _ = parquet_layout(path)
     return {
         "files_before": files_before,

@@ -474,38 +474,79 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-order zone maps: multi-dimensional clustering key + per-page statistics
 # ---------------------------------------------------------------------------
 
-_Z_SHIFT = 18  # 32-bit z-value >> 18 -> at most 16k z-pages
+_Z_SHIFT = 22  # 32-bit z-value >> 22 -> at most 1024 z-pages
+
+_SQL_NORM = (
+    "CASE WHEN hi_{n} <= lo_{n} THEN 0 ELSE "
+    "CAST(FLOOR(({c} - lo_{n}) / CAST(hi_{n} - lo_{n} AS DOUBLE) * 65535.0)"
+    " AS BIGINT) END"
+)
 
 
 @register(
     "lineitem_zorder_pages",
     f"""
-    SELECT ({L.sql_zorder_key(['l_partkey', 'l_suppkey'])} >> {_Z_SHIFT})
-               AS z_page,
+    WITH b AS (
+        SELECT MIN(l_partkey) AS lo_p, MAX(l_partkey) AS hi_p,
+               MIN(l_suppkey) AS lo_s, MAX(l_suppkey) AS hi_s
+        FROM lineitem
+    ),
+    n AS (
+        SELECT l_partkey, l_suppkey,
+               {_SQL_NORM.format(c='l_partkey', n='p')} AS nx,
+               {_SQL_NORM.format(c='l_suppkey', n='s')} AS ny
+        FROM lineitem, b
+    )
+    SELECT ({L.sql_zorder_key(['nx', 'ny'])} >> {_Z_SHIFT}) AS z_page,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
            MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
-    FROM lineitem
+    FROM n
     GROUP BY 1
     ORDER BY z_page
     """,
     doc="Zone-map construction over the Z-order (Morton) curve of "
-    "(l_partkey, l_suppkey): interleave the low 16 bits of each key "
-    "(operators/layout.zorder_key — pure shift/mask Catalyst built-ins), "
-    "bucket rows into at most 1024 z-pages, and emit each page's min/max "
-    "per dimension — the statistics a data-skipping reader consults.  "
-    "Because the curve cycles dimensions one bit at a time, BOTH keys' "
-    "per-page spans are narrow (a linear sort narrows only its leading "
-    "column; tests/test_layout.py measures the contrast on real files).  "
-    "Scale shape: per-row bit arithmetic + one partial-aggregated "
-    "groupBy on a <=1024-key space.  The physical rewrite counterpart "
-    "(operators/layout.zorder_rewrite) range-partitions on the same key "
-    "with min-max normalization for arbitrary-domain columns.",
+    "(l_partkey, l_suppkey): min-max normalize each key to the 16-bit "
+    "grid (one tiny broadcast aggregate — raw keys would silently alias "
+    "above 65535, e.g. partkey at TPC-H sf>=1), interleave the bits "
+    "(operators/layout.zorder_key — pure shift/mask Catalyst "
+    "built-ins), bucket rows into at most 1024 z-pages, and emit each "
+    "page's min/max per dimension — the statistics a data-skipping "
+    "reader consults.  Because the curve cycles dimensions one bit at a "
+    "time, BOTH keys' per-page spans are narrow (a linear sort narrows "
+    "only its leading column; tests/test_layout.py measures the "
+    "contrast on real files).  Normalization uses an explicit FLOOR in "
+    "both engines (DuckDB CAST(double AS BIGINT) rounds, Spark's "
+    "truncates — floor of a non-negative value sidesteps both).  Scale "
+    "shape: per-row bit arithmetic + one partial-aggregated groupBy on "
+    "a <=1024-key space; the physical rewrite counterpart "
+    "(operators/layout.zorder_rewrite) range-partitions on the same "
+    "normalized key.",
 )
 def q_lineitem_zorder_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    z = L.zorder_key([F.col("l_partkey"), F.col("l_suppkey")])
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("lo_p"),
+        F.max("l_partkey").alias("hi_p"),
+        F.min("l_suppkey").alias("lo_s"),
+        F.max("l_suppkey").alias("hi_s"),
+    )
+
+    def norm(c: str, lo: str, hi: str):
+        span = (F.col(hi) - F.col(lo)).cast("double")
+        return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
+            F.floor((F.col(c) - F.col(lo)) / span * F.lit(65535.0))
+        )
+
+    z = L.zorder_key([F.col("nx"), F.col("ny")])
     return (
-        load(spark, sf_dir, "lineitem")
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            norm("l_partkey", "lo_p", "hi_p").alias("nx"),
+            norm("l_suppkey", "lo_s", "hi_s").alias("ny"),
+        )
         .select(
             F.shiftright(z, _Z_SHIFT).alias("z_page"),
             "l_partkey",

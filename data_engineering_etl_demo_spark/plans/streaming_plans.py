@@ -443,8 +443,13 @@ def q_streaming_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
         )
     )
+    from pathlib import Path
+
+    # deterministic per-sf name (str hash is PYTHONHASHSEED-salted and
+    # collision-prone mod a small space)
     out = P.run_to_completion(
-        P.value_ema(ev), query_name=f"ema_{abs(hash(sf_dir)) % 99991}"
+        P.value_ema(ev),
+        query_name=f"ema_{Path(sf_dir).name.replace('.', '_')}",
     )
     return (
         out.groupBy("user_id")

@@ -286,32 +286,29 @@ def test_pagerank_is_copy_invariant(spark):
         )
 
 
-def test_zorder_pages_scale_only_in_counts(spark):
+def test_zorder_pages_scale_only_in_counts(spark, tmp_path):
     """10x row copies with IDENTICAL key values: the z-page set and every
     page's min/max must not move, only n_rows scales — zone-map quality
-    is set by key distribution, not corpus size."""
+    (and the min-max normalization grid) is set by key distribution, not
+    corpus size.  Runs the registered query itself against a duplicated
+    copy of the table so the probe tracks the real implementation."""
+    from functools import reduce as _red
+
     from data_engineering_etl_demo_spark.plans import all_specs
 
     spec = all_specs()["lineitem_zorder_pages"]
     base = spec.spark_fn(spark, SF_DIR)
-    li = load(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
-    from functools import reduce as _red
+    li = load(spark, SF_DIR, "lineitem")
+    # the catalog expects single-FILE tables (footer inspection), so write
+    # the duplicated copy with pyarrow, not a Spark directory write
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    li10 = _red(lambda a, b: a.unionByName(b), [li] * _COPIES)
-    from data_engineering_etl_demo_spark.operators import layout as L
-
-    z = L.zorder_key([F.col("l_partkey"), F.col("l_suppkey")])
-    pages10 = (
-        li10.select(F.shiftright(z, 18).alias("z_page"), "l_partkey", "l_suppkey")
-        .groupBy("z_page")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_partkey").alias("min_part"),
-            F.max("l_partkey").alias("max_part"),
-            F.min("l_suppkey").alias("min_supp"),
-            F.max("l_suppkey").alias("max_supp"),
-        )
+    pdf = _red(lambda a, b: a.unionByName(b), [li] * _COPIES).toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(tmp_path / "lineitem.parquet")
     )
+    pages10 = spec.spark_fn(spark, str(tmp_path))
     b = {r["z_page"]: r for r in base.collect()}
     t = {r["z_page"]: r for r in pages10.collect()}
     assert set(b) == set(t)
