@@ -119,7 +119,7 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     detail = dict(protocol, queries=timings, oracle=oracle)
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
