@@ -77,3 +77,13 @@ def test_cli_query_and_list(spark, capsys):
 
     rc = main(["query", "no_such_query"], spark=spark)
     assert rc == 2
+
+
+def test_cli_loader(spark, tmp_path, capsys):
+    rc = main(
+        ["loader", "--csv-dir", "tests/data", "--output", str(tmp_path / "o")],
+        spark=spark,
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "files" in printed and "outputs" in printed
