@@ -20,6 +20,7 @@ pass --cpus to bound parallelism.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -44,7 +45,13 @@ def _build_parser() -> argparse.ArgumentParser:
 
     pq = sub.add_parser("query", help="run one registered query")
     pq.add_argument("name")
-    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    # no machine-specific hardcoded default: honor the same env var the
+    # bench uses, and fail with a clear message when neither is given
+    pq.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+        help="table directory (default: $SPARK_GRAFT_SF_DIR)",
+    )
     pq.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list", help="list registered queries")
@@ -116,6 +123,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         specs = all_specs()
         if args.name not in specs:
             print(f"unknown query {args.name!r}; try `list`", file=sys.stderr)
+            return 2
+        if not args.sf_dir:
+            print(
+                "no table directory: pass --sf-dir or set SPARK_GRAFT_SF_DIR",
+                file=sys.stderr,
+            )
             return 2
         df = specs[args.name].spark_fn(spark, args.sf_dir)
         df.show(args.limit, truncate=False)

@@ -935,6 +935,68 @@ def pq_encode(
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
+def exact_l2_rerank(
+    cands: DataFrame,
+    corpus: DataFrame,
+    query_ids,
+    query_mat,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cand_id, exact_fixed): exact fixed-point squared-L2
+    between each surviving (query, candidate) pair — the re-rank stage of
+    an IVF-PQ search.
+
+    ``cands`` is the small ADC-survivor relation (query_id, cand_id),
+    |Q|·R rows: it broadcasts to the corpus scan, so only candidate
+    vectors leave the scan and the exact math runs on R rows per query —
+    never on the corpus.  Query vectors ride in the kernel closure
+    (fitted-model-scale constants, like the centroids/codebook).
+    Arithmetic mirrors pq_encode element-for-element — float32→float64
+    widen, subtract, square, ·1e12, floor, int64 sum — every step
+    IEEE-exact or correctly rounded, so the DuckDB oracle reproduces
+    exact_fixed bit-for-bit."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qrow = {int(q): i for i, q in enumerate(query_ids)}
+    joined = (
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec"))
+        .join(F.broadcast(cands), "cand_id")
+        .select("query_id", "cand_id", "_vec")
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("exact_fixed", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            qi = np.array([qrow[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            diff = qmat[qi] - mat
+            exact = (
+                np.floor(diff * diff * PROD_SCALE).astype(np.int64).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "exact_fixed": exact,
+                }
+            )
+
+    return joined.mapInPandas(kernel, out_schema)
+
+
 def pq_adc_lut(
     query_ids,
     query_mat,

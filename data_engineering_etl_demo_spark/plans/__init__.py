@@ -74,106 +74,76 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-4 verification ordering.  The driver walks ``queries()`` in dict
+# Round-5 verification ordering.  The driver walks ``queries()`` in dict
 # order and stops after ~50 of the registered queries, so ordering decides
-# which queries get hard-signal rows.  Principle (round-3 advice): order by
-# EVIDENCE STALENESS OF THE CURRENT IMPLEMENTATION, not by last round's
-# colors —
-#   0. queries that have NEVER had a driver green row (new this round;
-#      zero hard-signal evidence exists),
-#   1. queries whose implementation changed this round but that were green
-#      on the old code (local sf0.01/sf0.1 parity is their only fresh
-#      evidence),
-#   2. queries whose freshest green is round 2 (beyond round 3's cap; two
-#      rounds stale),
-#   3. everything green in round 3 (freshest evidence; safe beyond cap),
-#   4. streaming last — round-3 green AND each one costs multiple seconds
-#      of driver budget.
+# which queries get hard-signal rows.  Principle (round-3 advice, restated
+# by VERDICT r4 items 1-2): order by EVIDENCE STALENESS OF THE CURRENT
+# IMPLEMENTATION —
+#   0. queries that are NEW or impl-changed THIS round (zero hard-signal
+#      evidence exists for the current code),
+#   1. the 10 round-4 reworks whose green rows predate the rework (their
+#      driver evidence is stale; VERDICT r4 priority item 1),
+#   2. queries whose freshest green is round 2 (three rounds stale),
+#   3. queries whose freshest green is round 3 (VERDICT r4 item 2: these
+#      become the stalest cohort once the buckets above land),
+#   4. round-4 greens (freshest evidence; safe beyond cap),
+#   5. streaming last — r3/r4 green AND each one costs multiple seconds
+#      of driver budget (a changed streaming query still sorts at 0).
 _IMPL_CHANGED_THIS_ROUND = {
-    # MinHash base hash reworked (word-fold kernel, 20x2 bands)
+    # Round-4 reworks carrying only pre-rework driver greens
+    # (VERDICT r4 "What's wrong"): MinHash word-fold kernel 20x2,
     "docs_minhash_near_dup",
     "docs_incremental_dedup",
     "docs_dedup_survivors",
     "docs_dup_clusters",
-    # IVF/k-means vectorized single-pass kernels
+    # IVF/k-means vectorized single-pass kernels,
     "embedding_topk_ivf",
     "embedding_kmeans_step",
-    # SimHash signature kernelized (word-md5 + numpy bit votes)
+    # SimHash kernelization,
     "docs_simhash",
     "docs_simhash_near_dup",
-    # shuffle-hash join
+    # shuffle-hash hint,
     "sole_late_supplier",
-    # oracle empty-array guard
+    # oracle empty-array guard.
     "embedding_quantize",
 }
-_CHANGED_THIS_ROUND = {
-    # NEW this round — never had a driver green row at all
-    "forecast_revenue",
-    "nation_trade_volume",
-    "market_share",
-    "product_profit",
-    "shipping_delay_priority",
-    "promo_revenue",
-    "docs_chunk_windows",  # new last session (sliding-window chunking)
-    "min_cost_supplier",
-    "important_parts",
-    "supplier_part_variety",
-    "small_quantity_revenue",
-    "dominant_part_suppliers",
-    "docs_word_bigrams",
-    "docs_unigram_surprisal",
-    "embedding_pq_codes",
-    "embedding_pq_adc_topk",
-    "events_gapfill_daily",
-    "events_revenue_anomaly_days",
-    "streaming_enriched_counts",
-    "embedding_ivf_pq_topk",
-    "multimodal_patch_grid",
-    "events_salted_type_join",
-    "nation_wealth_balance",
-    "events_cohort_setops",
-    "docs_dedup_report",
-    "streaming_dedup_counts",
-    "customer_balance_deciles",
-    "events_inter_arrival",
-    "docs_vocab_growth",
-    "docs_length_histogram",
-    "monthly_revenue_growth",
-    "events_rolling_wau",
-    "docs_dup_triangles",
-    "market_basket_pairs",
-    "docs_cluster_representatives",
-    "events_type_transitions",
-    # NEW this session
-    "lineitem_zorder_pages",  # z-order zone maps (operators/layout.py)
-    "docs_weighted_sample",  # A-ES weighted sampling
-    "docs_pagerank",  # fixed-point PageRank over the near-dup graph
-    "embedding_semdedup",  # semantic dedup verdicts (SemDeDup shape)
-    "events_value_ema",  # sequential per-key recurrence as array fold
-    "streaming_value_ema",  # the same recurrence with cross-batch state
-    "docs_stratified_sample",  # salted two-phase per-stratum top-m
-    "docs_span_dedup",
-    "docs_bpe_pair_merge",
-    "orders_profile",
-    "embedding_topk_ivf2",
-    "events_kmv_merge",
-    "docs_train_split",
-    "docs_minhash_containment",
+_CHANGED_THIS_ROUND: set[str] = {
+    # NEW or impl-changed in round 5 — zero driver evidence for this code
+    "embedding_ivf_pq_rerank",  # exact-distance re-rank of ADC candidates
+    "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
+    "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
 }
+# Freshest driver green per query, from CORRECTNESS_r0{1..4}.json union.
 _ROUND2_GREEN = {
-    "events_sketch_distinct", "events_time_rollup", "events_pivot_daily",
-    "events_unpivot_daily", "events_cohort_retention", "pricing_summary",
-    "top_customers", "nation_rollup", "order_rank", "customers_without_orders",
-    "all_parties_union", "pricing_percentiles", "shipping_priority",
-    "regional_supplier_volume", "returned_item_revenue",
-    "orders_above_customer_avg", "order_priority_lateship",
-    "large_quantity_orders", "customer_order_distribution",
-    "idle_rich_customers", "brand_quantity_revenue", "top_supplier_revenue",
-    "sole_late_supplier", "docs_pack_batches", "intl_revenue",
-    "ecommerce_events_canonical", "ecommerce_loader_stats",
-    "ecommerce_intl_canonical", "ecommerce_intl_stats", "docs_token_stats",
-    "docs_quality", "docs_lang_id", "docs_top_tokens", "docs_exact_dedup",
-    "docs_minhash_near_dup", "docs_dup_clusters",
+    "all_parties_union", "brand_quantity_revenue",
+    "customer_order_distribution", "customers_without_orders",
+    "docs_exact_dedup", "docs_lang_id", "docs_pack_batches", "docs_quality",
+    "docs_top_tokens", "events_cohort_retention", "events_pivot_daily",
+    "events_sketch_distinct", "events_time_rollup", "events_unpivot_daily",
+    "idle_rich_customers", "large_quantity_orders", "nation_rollup",
+    "order_priority_lateship", "order_rank", "orders_above_customer_avg",
+    "pricing_percentiles", "pricing_summary", "regional_supplier_volume",
+    "returned_item_revenue", "shipping_priority", "top_customers",
+    "top_supplier_revenue",
+}
+_ROUND3_GREEN = {
+    "dau", "dedup_keep_latest", "docs_boilerplate_ngrams",
+    "docs_decontaminate", "docs_fingerprint_winnow", "docs_ngram_jaccard",
+    "docs_pii_scrub", "docs_repetition", "docs_sample_mix",
+    "docs_tfidf_topterms", "docs_token_stats", "docs_winnow_overlap",
+    "ecommerce_events_canonical", "ecommerce_intl_canonical",
+    "ecommerce_intl_stats", "ecommerce_loader_stats",
+    "embedding_label_stats", "embedding_near_dup",
+    "embedding_near_dup_exact", "embedding_topk", "event_counts",
+    "events_click_attribution", "events_heavy_hitters",
+    "events_ordered_funnel", "events_preview", "events_purchase_window",
+    "events_rolling_hour", "events_salted_user_stats",
+    "events_session_window", "events_user_scd2", "funnel", "intl_revenue",
+    "multimodal_audio_features", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_resize", "props_k_stats",
+    "quarantine_invalid_events", "revenue",
+    "streaming_click_purchase_join", "streaming_sessionize",
+    "streaming_sessionize_flush", "streaming_window_counts",
 }
 
 
@@ -182,11 +152,13 @@ def _verify_priority(spec: QuerySpec) -> int:
         return 0
     if spec.name in _IMPL_CHANGED_THIS_ROUND:
         return 1
+    if spec.module == "streaming_plans":
+        return 5
     if spec.name in _ROUND2_GREEN:
         return 2
-    if spec.module == "streaming_plans":
-        return 4
-    return 3
+    if spec.name in _ROUND3_GREEN:
+        return 3
+    return 4
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -304,6 +304,124 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Generated dirty data through the quarantine path, at table volume
+# (the fuzz scenarios of /root/reference/scripts/generate_events.py:23-49,
+# rates: ~10% invalid event types, ~5% null users, ~0.2% bad timestamps)
+# ---------------------------------------------------------------------------
+
+
+def _sql_h8(salt: str) -> str:
+    """DuckDB: first 8 md5 hex chars of salt||event_id as BIGINT (the
+    engine-portable pseudo-random stream; mirror of the Spark conv())."""
+    expr = f"'{salt}' || CAST(event_id AS VARCHAR)"
+    return (
+        "CAST(list_sum(list_transform(range(1, 9),"
+        f" i -> CAST(instr('0123456789abcdef',"
+        f" substr(md5({expr}), i, 1)) - 1 AS BIGINT)"
+        " << (4 * (8 - i)))) AS BIGINT)"
+    )
+
+
+_GEN_INVALID = ("click", "logout", "refund_requested")  # generate_events.py:18
+
+
+def _spark_h8(salt: str) -> F.Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register(
+    "events_generated_quarantine",
+    f"""
+    WITH c AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN {_sql_h8('dirty_ts:')} % 1000 < 2
+                    THEN NULL ELSE ts END AS ts2,
+               CASE WHEN {_sql_h8('dirty_nu:')} % 100 < 5
+                    THEN NULL ELSE user_id END AS user2,
+               CASE WHEN {_sql_h8('dirty_inv:')} % 100 < 10
+                    THEN list_extract(
+                        ['click', 'logout', 'refund_requested'],
+                        CAST({_sql_h8('dirty_which:')} % 3 + 1 AS INT))
+                    ELSE {SQL_CANON} END AS event2
+        FROM events
+    ),
+    v AS (
+        SELECT event_id, user2,
+               CASE WHEN ts2 IS NULL THEN 'quarantined_bad_ts'
+                    WHEN event2 NOT IN ('pageview', 'signup', 'purchase')
+                        THEN 'quarantined_invalid_event'
+                    WHEN user2 IS NULL THEN 'kept_null_user'
+                    ELSE 'kept' END AS verdict
+        FROM c
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user2) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM v
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="The quarantine path fuzzed at table volume: every event row is "
+    "deterministically corrupted with the reference fuzz generator's "
+    "scenarios (generate_events.py rates — ~10% disallowed event types "
+    "drawn from its invalid list, ~5% null users, ~0.2% unparseable "
+    "timestamps, each decided by an independent md5 stream so the "
+    "'randomness' is engine-portable and parallelism-invariant), then "
+    "classified with the S1/P1/P2 precedence: ingest ts check first, "
+    "transform anti-split second, null-user metric exclusion third.  "
+    "The per-verdict census pins both the corruption streams and the "
+    "classification order; the file-based twin of this fuzz "
+    "(sources/generator.generate_dirty_events) drives the REAL JSONL "
+    "ingest in tests/test_generator.py.  One scan, one 4-group agg — "
+    "the shape survives any scale.",
+)
+def q_events_generated_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ts2 = F.when(
+        _spark_h8("dirty_ts:") % 1000 < 2, F.lit(None)
+    ).otherwise(F.col("ts"))
+    user2 = F.when(
+        _spark_h8("dirty_nu:") % 100 < 5, F.lit(None)
+    ).otherwise(F.col("user_id"))
+    event2 = F.when(
+        _spark_h8("dirty_inv:") % 100 < 10,
+        F.element_at(
+            F.array(*[F.lit(e) for e in _GEN_INVALID]),
+            (_spark_h8("dirty_which:") % 3 + 1).cast("int"),
+        ),
+    ).otherwise(canonicalize_event(F.col("event_type")))
+    verdict = (
+        F.when(ts2.isNull(), F.lit("quarantined_bad_ts"))
+        .when(
+            ~event2.isin(*ALLOWED_EVENTS), F.lit("quarantined_invalid_event")
+        )
+        .when(user2.isNull(), F.lit("kept_null_user"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        ev.select(
+            "event_id", verdict.alias("verdict"), user2.alias("user2")
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user2").alias("n_users"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .orderBy("verdict")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A6 — dedup keep-latest-per-key (/root/reference/pipeline/transform.py:72-75)
 # Driver event_ids are unique, so the exercised key is (user_id, event):
 # keep the row with max ts per key, ties broken by event_id (deterministic —

@@ -1885,10 +1885,13 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "embedding_ivf_pq_topk",
-    f"""
-    WITH cent AS (
+# Shared WITH-clause block of the IVF-PQ oracle: cell assignment (cent/
+# at0/ag/ass), PQ codes (cb/sub/dist/codes), the query-side probe cell +
+# ADC lookup tables (qcell/qdist), and the in-cell ADC candidate scores
+# (adc).  embedding_ivf_pq_topk ranks `adc` directly; embedding_ivf_pq_
+# rerank re-scores its top candidates by exact distance.
+_SQL_IVF_PQ_CTES = f"""
+    cent AS (
         SELECT vec_id AS cell, embedding AS cv FROM embeddings
         WHERE vec_id < {S.IVF_CELLS}
     ),
@@ -1960,6 +1963,13 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.vec_id <> qc.query_id
         GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "embedding_ivf_pq_topk",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES}
     SELECT query_id, cand_id, adc_fixed, rank FROM (
         SELECT query_id, cand_id, adc_fixed,
                ROW_NUMBER() OVER (
@@ -1982,8 +1992,27 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-sum agg over the probed cells, top-5 per query.",
 )
 def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
     from pyspark.sql.window import Window
+
+    adc = _ivf_pq_adc_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fixed"), F.col("cand_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, adc_fixed): the shared IVF-PQ candidate-scoring
+    plan — corpus encoded in one kernel pass, each query's probe cell and
+    4×16 ADC lookup table resolved driver-side, candidates restricted to
+    the probe cell by the broadcast join, ADC score = sum of four LUT
+    lookups.  embedding_ivf_pq_topk ranks this directly;
+    embedding_ivf_pq_rerank re-scores its top-R by exact distance."""
+    from pyspark.sql import types as T
 
     emb = load(spark, sf_dir, "embeddings")
     path = f"{sf_dir}/embeddings.parquet"
@@ -2020,9 +2049,6 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m", "code"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_fixed"), F.col("cand_id")
-    )
     return (
         sub_codes.join(
             F.broadcast(lut),
@@ -2033,7 +2059,82 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("cand_id"))
         .agg(F.sum("d").cast("long").alias("adc_fixed"))
-        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+_RERANK_R = 32  # ADC candidates re-scored by exact distance per query
+
+
+@register(
+    "embedding_ivf_pq_rerank",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES},
+    cand AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_fixed, cand_id) AS arank
+            FROM adc
+        ) WHERE arank <= {_RERANK_R}
+    ),
+    exact AS (
+        SELECT t.query_id, t.cand_id,
+               CAST(list_sum(list_transform(range(1, 65), i ->
+                   CAST(floor(
+                       (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE))
+                     * (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE))
+                     * 1e12) AS BIGINT))) AS BIGINT) AS exact_fixed
+        FROM cand t
+        JOIN embeddings q ON q.vec_id = t.query_id
+        JOIN embeddings c ON c.vec_id = t.cand_id
+    )
+    SELECT query_id, cand_id, exact_fixed, rank FROM (
+        SELECT query_id, cand_id, exact_fixed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY exact_fixed, cand_id) AS rank
+        FROM exact
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-PQ search WITH exact re-ranking — the complete production "
+    "ANN recipe (coarse quantize → ADC scan → exact re-rank): the "
+    "shared IVF-PQ plan scores every in-cell candidate by ADC, the "
+    f"top-{_RERANK_R} per query survive, and only those |Q|·R rows are "
+    "re-scored against their TRUE vectors (exact fixed-point squared "
+    "L2, same IEEE op order as the PQ kernels) before the final top-5. "
+    "Plan shape at 100 TB: the candidate relation is tiny (|Q|·R), so "
+    "it broadcasts to the corpus scan and only candidate vectors leave "
+    "the scan — the expensive exact math runs on R rows per query, not "
+    "the corpus; ADC's quantization error can no longer reorder the "
+    "winners.  Engine-exact: both rank stages break ties on cand_id.",
+)
+def q_embedding_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    path = f"{sf_dir}/embeddings.parquet"
+    q_ids, q_mat = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fixed"), F.col("cand_id")
+    )
+    cand = (
+        _ivf_pq_adc_scores(spark, sf_dir)
+        .withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= _RERANK_R)
+        .select("query_id", "cand_id")
+    )
+    exact = S.exact_l2_rerank(
+        cand, load(spark, sf_dir, "embeddings"), q_ids, q_mat
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_fixed"), F.col("cand_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
@@ -2625,8 +2726,12 @@ _SQL_WS_H = _sql_hexbig("'wsample:' || CAST(doc_id AS VARCHAR)", 1, 8)
     "per-partition heaps, no global sort) — the shape that samples "
     "100 TB in one map pass.  Cross-engine: the score is rounded to an "
     "integer at 1e-9 before comparison, so libm's last-bit EXP/LN "
-    "differences cannot reorder the selection; ties at that granularity "
-    "break on doc_id in both engines.",
+    "differences almost never reorder the selection (a last-ulp "
+    "difference only matters if the two engines' doubles straddle a .5 "
+    "rounding boundary, ~1e-7 probability per row — narrowed, not "
+    "eliminated; a bit-exact contract would need the key derived in "
+    "integer-only arithmetic); ties at that granularity break on doc_id "
+    "in both engines.",
 )
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(

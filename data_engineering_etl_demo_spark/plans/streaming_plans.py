@@ -105,7 +105,9 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("events"))
     )
-    result = P.run_to_completion(counts, "stream_window_counts", "complete")
+    result = P.run_to_completion(
+        counts, "stream_window_counts", "complete", shuffle_partitions=4
+    )
     return result.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "event_type",
@@ -156,7 +158,9 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("string").alias("user_id"), "ts")
     )
     sessions = P.sessionize(events, gap_minutes=30)
-    result = P.run_to_completion(sessions, "stream_sessions", "append")
+    result = P.run_to_completion(
+        sessions, "stream_sessions", "append", shuffle_partitions=32
+    )
     return result.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -217,7 +221,9 @@ def q_streaming_sessionize_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "10 minutes")
     )
     sessions = P.sessionize(events, gap_minutes=30, flush_on_timeout=True)
-    result = P.run_to_completion(sessions, "stream_sessions_flush", "append")
+    result = P.run_to_completion(
+        sessions, "stream_sessions_flush", "append", shuffle_partitions=32
+    )
     return result.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -281,7 +287,9 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
             """
         ),
     )
-    result = P.run_to_completion(joined, "stream_click_purchase", "append")
+    result = P.run_to_completion(
+        joined, "stream_click_purchase", "append", shuffle_partitions=4
+    )
     return result.select(
         "purchase_id",
         "click_id",
@@ -333,7 +341,9 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev_fixed).alias("rev_f"),
         )
     )
-    result = P.run_to_completion(enriched, "stream_enriched_counts", "complete")
+    result = P.run_to_completion(
+        enriched, "stream_enriched_counts", "complete", shuffle_partitions=4
+    )
     return result.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "segment",
@@ -404,7 +414,9 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    result = P.run_to_completion(counts, "stream_dedup_counts", "complete")
+    result = P.run_to_completion(
+        counts, "stream_dedup_counts", "complete", shuffle_partitions=4
+    )
     return result.orderBy("event_type")
 
 
@@ -450,6 +462,158 @@ def q_streaming_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = P.run_to_completion(
         P.value_ema(ev),
         query_name=f"ema_{Path(sf_dir).name.replace('.', '_')}",
+        shuffle_partitions=32,
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max_by("ema_e6", "n_events").cast("long").alias("ema_e6"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order streaming EMA: watermark-buffered fold over a shuffled feed
+# ---------------------------------------------------------------------------
+
+_OOO_SHIFT_US = 3 * 3600 * 1_000_000  # disorder window (< the 6-h watermark)
+_OOO_DELAY_MS = 21_600_000  # the stream's 6-hour watermark delay, in ms
+
+
+def _ooo_staged_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as THREE time-sliced parquet files where a
+    deterministic md5-picked half of the rows in the 3 hours below each
+    slice boundary are MOVED to the next file — so each later batch
+    delivers rows that predate the previous batch's maximum event time
+    (genuine cross-batch disorder), while every row's lateness stays
+    under the 6-hour watermark delay (nothing is dropped; the window is
+    sized for the testdata's ~43-minute sparsest event spacing).  Built once
+    per sf_dir; files get increasing mtimes so the file source replays
+    them in slice order."""
+    import os
+    from pathlib import Path
+
+    from data_engineering_etl_demo_spark.catalog import load
+
+    stage = Path("/tmp/spark_graft_stream_ooo") / Path(sf_dir).name
+    done = stage / "_built"
+    if done.exists():
+        return str(stage)
+    stage.mkdir(parents=True, exist_ok=True)
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    e = F.unix_micros("ts")
+    in_window = (
+        ((e >= b1 - _OOO_SHIFT_US) & (e < b1))
+        | ((e >= b2 - _OOO_SHIFT_US) & (e < b2))
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ooo:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    base = F.when(e < b1, 0).when(e < b2, 1).otherwise(2)
+    fidx = base + (in_window & pick).cast("int")
+    tagged = ev.withColumn("_f", fidx)
+    for k in range(3):
+        tmp = stage / f"_tmp{k}"
+        tagged.filter(F.col("_f") == k).drop("_f").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = stage / f"f{k}.parquet"
+        os.replace(part, dst)
+        os.utime(dst, (k, k))  # file source replays in mtime order
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    done.touch()
+    return str(stage)
+
+
+@register(
+    "streaming_value_ema_ooo",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    wm AS (
+        SELECT ((epoch_us(MAX(ts)) // 1000) - {_OOO_DELAY_MS}) * 1000
+            AS w_us
+        FROM e
+    ),
+    seq AS (
+        SELECT user_id,
+               list(v6 ORDER BY epoch_us(ts), event_id) AS vals
+        FROM e
+        WHERE epoch_us(ts) <= (SELECT w_us FROM wm)
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(vals, (acc, x) -> (2*x + 8*acc) // 10)
+                AS BIGINT) AS ema_e6
+    FROM seq
+    ORDER BY user_id
+    """,
+    doc="The EMA recurrence under OUT-OF-ORDER delivery (the one streaming "
+    "property the in-order variant enforces away): the source replays "
+    "three time slices of the events table with a deterministic half of "
+    "each 3-hour slice-boundary window delayed into the NEXT micro-"
+    "batch, so "
+    "later batches deliver rows that predate earlier batches' max event "
+    "time.  value_ema_ooo buffers rows in state and folds only the "
+    "≤-watermark prefix in (ts, event_id) order — EventTimeTimeout "
+    "drains the buffer as the watermark advances — so the shuffled feed "
+    "produces the SAME fold as the ordered batch recurrence.  The "
+    "oracle is that batch fold with the final-watermark cutoff applied "
+    "(rows in the last 6 hours stay buffered, exactly as a live "
+    "stream would hold them).  State per key = (ema, n) + a "
+    "delay-bounded buffer, the standard watermarked-operator bound.",
+    memoize=False,
+)
+def q_streaming_value_ema_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    stage = _ooo_staged_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(_schema_with_ts(T.TimestampType()))
+        # one slice per micro-batch: the delayed rows genuinely arrive in
+        # a later batch than newer rows, exercising the state buffer
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    ev = (
+        raw.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+        )
+        .withWatermark("ts", "6 hours")
+    )
+    out = P.run_to_completion(
+        P.value_ema_ooo(ev),
+        query_name=f"ema_ooo_{Path(sf_dir).name.replace('.', '_')}",
+        shuffle_partitions=32,
     )
     return (
         out.groupBy("user_id")

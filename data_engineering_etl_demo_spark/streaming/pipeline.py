@@ -184,49 +184,82 @@ def sessionize(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        def emit(rows: list[tuple]) -> pd.DataFrame:
+        import numpy as np
+
+        def emit(starts, lasts, ns) -> pd.DataFrame:
+            # vectorized µs→Timestamp conversion: per-session pd.Timestamp
+            # objects were the kernel's hottest line at sf0.1 (~190k of
+            # them); datetime64 array casts are two array ops
+            starts = np.asarray(starts, dtype=np.int64)
+            lasts = np.asarray(lasts, dtype=np.int64)
             return pd.DataFrame(
                 {
-                    "user_id": [c[0] for c in rows],
-                    "session_start": [pd.Timestamp(c[1], unit="us") for c in rows],
-                    "session_end": [pd.Timestamp(c[2], unit="us") for c in rows],
-                    "n_events": [c[3] for c in rows],
+                    "user_id": np.repeat(key[0], len(starts)),
+                    "session_start": (starts * 1000).astype("datetime64[ns]"),
+                    "session_end": (lasts * 1000).astype("datetime64[ns]"),
+                    "n_events": np.asarray(ns, dtype=np.int64),
                 }
             )
 
         if flush_on_timeout and state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
-            yield emit([(key[0], start_us, last_us, n)])
+            yield emit([start_us], [last_us], [n])
             return
 
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = None, None, 0
-        closed: list[tuple] = []
         # Buffer the group's FULL micro-batch before the gap scan: Arrow
         # hands the group's rows as multiple chunks in arrival order, so
         # sorting per-chunk is not enough — a later chunk can carry an
         # earlier timestamp, which would mis-assign it to the current
         # session (session_start never moves backward).  Only the ts values
-        # are buffered (one int per event, pandas ns → µs), not the whole
-        # frames.
-        all_ts = sorted(int(ts.value) // 1_000 for pdf in pdfs for ts in pdf["ts"])
-        for ts_us in all_ts:
-            if start_us is None:
-                start_us, last_us, n = ts_us, ts_us, 1
-            elif ts_us - last_us > gap_us:
-                closed.append((key[0], start_us, last_us, n))
-                start_us, last_us, n = ts_us, ts_us, 1
+        # are buffered (one int64 per event, pandas ns → µs), not the
+        # whole frames.
+        ts = np.sort(
+            np.concatenate(
+                [pdf["ts"].to_numpy(dtype="datetime64[ns]") for pdf in pdfs]
+            ).astype("datetime64[us]").astype(np.int64)
+        )
+        if len(ts) == 0:
+            return
+        if state.exists:
+            start0, last0, n0 = state.get
+            # running "last event so far" = max(carried last, prefix max):
+            # a batch row can predate the carried last (late within gap)
+            # and must merge without moving the session end backward
+            prev = np.maximum.accumulate(np.concatenate(([last0], ts)))[:-1]
+        else:
+            start0, last0, n0 = None, None, 0
+            prev = np.concatenate(([ts[0]], np.maximum.accumulate(ts)[:-1]))
+        brk = (ts - prev) > gap_us  # True at i → a new session starts at i
+        # segment 0 always begins at index 0 (brk[0] only decides whether
+        # the CARRIED session closes, below) — including index 0 in the
+        # nonzero scan would double it and mint a phantom empty segment
+        seg_first = np.concatenate(([0], np.nonzero(brk[1:])[0] + 1))
+        seg_start = ts[seg_first]
+        seg_last = np.maximum.reduceat(ts, seg_first)
+        seg_n = np.diff(np.concatenate((seg_first, [len(ts)])))
+        starts: list = []
+        lasts: list = []
+        ns: list = []
+        if n0:
+            if brk[0]:
+                # carried session closed by the batch's first row
+                starts.append(start0), lasts.append(last0), ns.append(n0)
             else:
-                last_us, n = max(last_us, ts_us), n + 1
+                seg_start[0] = start0
+                seg_last[0] = max(last0, seg_last[0])
+                seg_n[0] += n0
+        # every segment except the final one closes within this batch
+        starts.extend(seg_start[:-1])
+        lasts.extend(seg_last[:-1])
+        ns.extend(seg_n[:-1])
+        start_us, last_us, n = int(seg_start[-1]), int(seg_last[-1]), int(seg_n[-1])
         state.update((start_us, last_us, n))
-        if flush_on_timeout and last_us is not None:
+        if flush_on_timeout:
             # fire when the watermark passes the session's gap deadline
             state.setTimeoutTimestamp(last_us // 1_000 + gap_minutes * 60_000)
-        if closed:
-            yield emit(closed)
+        if starts:
+            yield emit(starts, lasts, ns)
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
@@ -242,7 +275,10 @@ def sessionize(
 
 
 def run_to_completion(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream (availableNow) into a memory sink and return
     the materialized result as a static DataFrame.  Aggregations should pass
@@ -253,26 +289,42 @@ def run_to_completion(
     (/dev/shm): the state store fsyncs its delta files at every micro-batch
     commit, which on a disk-backed /tmp dominates small-drain latency.  A
     long-lived production stream would instead point this at durable
-    storage (HDFS/S3) — the checkpoint is the recovery contract there."""
+    storage (HDFS/S3) — the checkpoint is the recovery contract there.
+
+    ``shuffle_partitions`` pins the stream's state-store partitioning
+    independently of the session's batch setting (StreamExecution clones
+    the session conf at start, so the restore below cannot race the
+    running stream).  Each stateful operator keeps one state store PER
+    shuffle partition and every store commits+fsyncs every micro-batch,
+    so a JVM-stateful query (stream-stream join: FOUR stores/partition)
+    wants few wide partitions, while an applyInPandasWithState kernel
+    wants enough partitions to spread its Python workers across cores.
+    The results are partition-count-invariant; only latency moves."""
     import shutil
     import tempfile
     import uuid
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     ckpt = os.path.join(base, f"spark_graft_ckpt-{query_name}-{uuid.uuid4().hex}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
     finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return stream_df.sparkSession.table(query_name)
+    return spark.table(query_name)
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +342,11 @@ _EMA_STATE_SCHEMA = T.StructType(
     [
         T.StructField("ema", T.LongType()),
         T.StructField("n", T.LongType()),
+        # last folded row, for runtime detection of out-of-order arrival
+        # across micro-batches (ADVICE r4): an ordered-arrival violation
+        # must fail loudly, not silently diverge from the batch oracle
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
     ]
 )
 
@@ -308,11 +365,18 @@ def value_ema(events: DataFrame) -> DataFrame:
     (n_events, ema) is emitted per batch; the caller keeps each user's
     row with the highest n_events (n grows monotonically).  Exactness
     across batches requires per-user event-time-ordered arrival — true
-    for a replayed file source and for any log-compacted/keyed feed;
-    out-of-order feeds need the watermark-buffered variant of the same
-    fold (the state contract is identical).
+    for a replayed file source and for any log-compacted/keyed feed —
+    and the kernel ENFORCES it: the last folded (ts, event_id) rides in
+    the state, and a batch whose earliest row precedes it raises instead
+    of silently diverging from the batch oracle.  Out-of-order feeds use
+    ``value_ema_ooo`` (same state contract plus a watermark buffer).
 
-    State is two LONGs per user — bounded by key cardinality, not by
+    The fold uses Python floor division, which equals the batch query's
+    ``div`` (truncation toward zero) only for non-negative operands —
+    so the kernel also asserts v6 >= 0 (a future signed value source
+    must fail loudly, not drift in the last unit).
+
+    State is four LONGs per user — bounded by key cardinality, not by
     stream length.
     """
 
@@ -322,9 +386,9 @@ def value_ema(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ema, n = state.get
+            ema, n, last_ts, last_eid = state.get
         else:
-            ema, n = 0, 0
+            ema, n, last_ts, last_eid = 0, 0, -1, -1
         rows = sorted(
             (int(ts.value) // 1_000, int(e), int(v))
             for pdf in pdfs
@@ -332,10 +396,25 @@ def value_ema(events: DataFrame) -> DataFrame:
         )
         if not rows:
             return
+        if n > 0 and rows[0][:2] < (last_ts, last_eid):
+            raise ValueError(
+                f"value_ema requires per-user event-time-ordered arrival "
+                f"across micro-batches: user {key[0]} got row "
+                f"(ts_us={rows[0][0]}, event_id={rows[0][1]}) after state "
+                f"(ts_us={last_ts}, event_id={last_eid}); use value_ema_ooo "
+                f"for out-of-order sources"
+            )
         for _, _, v in rows:
+            if v < 0:
+                raise ValueError(
+                    "value_ema fold requires v6 >= 0: floor division "
+                    "diverges from the batch oracle's trunc-toward-zero "
+                    f"div on negatives (user {key[0]}, v6={v})"
+                )
             ema = v if n == 0 else (2 * v + 8 * ema) // 10
             n += 1
-        state.update((ema, n))
+        last_ts, last_eid = rows[-1][0], rows[-1][1]
+        state.update((ema, n, last_ts, last_eid))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ema_e6": [ema]}
         )
@@ -346,4 +425,101 @@ def value_ema(events: DataFrame) -> DataFrame:
         stateStructType=_EMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_EMA_OOO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ema", T.LongType()),
+        T.StructField("n", T.LongType()),
+        # watermark buffer: rows not yet folded because their event time is
+        # still above the watermark (a later batch may deliver earlier rows)
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_v", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def value_ema_ooo(events: DataFrame) -> DataFrame:
+    """The out-of-order-tolerant variant of ``value_ema``: same per-user
+    EMA recurrence and the same (ema, n) state contract, plus a WATERMARK
+    BUFFER — rows are held in state until the event-time watermark passes
+    them, and only the ≤-watermark prefix is folded (in (ts, event_id)
+    order).  A row delivered in a later micro-batch than a newer row is
+    therefore folded in its correct event-time position, as long as its
+    lateness stays inside the watermark delay — the standard streaming
+    contract (Spark itself drops rows older than the watermark before any
+    stateful operator sees them).
+
+    Input must carry a ``withWatermark("ts", delay)``; EventTimeTimeout
+    fires each key once the watermark advances past its registered
+    deadline, so buffered rows fold (and emit) without waiting for the
+    key's next arrival — including in the final no-data micro-batch of a
+    bounded drain, where the watermark reaches max event time − delay.
+    Rows above that final watermark remain buffered, never folded: the
+    matching batch oracle applies the identical cutoff.
+
+    State per user = two LONGs + the buffer, and the buffer is bounded by
+    (per-key rate × watermark delay) — the same bound every watermarked
+    stateful operator carries, NOT stream length."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            ema, n, buf_ts, buf_eid, buf_v = state.get
+            rows = list(zip(buf_ts, buf_eid, buf_v))
+        else:
+            ema, n = 0, 0
+            rows = []
+        if not state.hasTimedOut:
+            rows.extend(
+                (int(ts.value) // 1_000, int(e), int(v))
+                for pdf in pdfs
+                for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
+            )
+        rows.sort()
+        cutoff_us = wm_ms * 1_000
+        folded = 0
+        for ts_us, _, v in rows:
+            if ts_us > cutoff_us:
+                break
+            if v < 0:
+                raise ValueError(
+                    "value_ema_ooo fold requires v6 >= 0: floor division "
+                    "diverges from the batch oracle's trunc-toward-zero "
+                    f"div on negatives (user {key[0]}, v6={v})"
+                )
+            ema = v if n == 0 else (2 * v + 8 * ema) // 10
+            n += 1
+            folded += 1
+        rest = rows[folded:]
+        state.update(
+            (
+                ema,
+                n,
+                [r[0] for r in rest],
+                [r[1] for r in rest],
+                [r[2] for r in rest],
+            )
+        )
+        if rest:
+            # fire on the next watermark advance so the buffer drains
+            # without waiting for this key's next arrival
+            state.setTimeoutTimestamp(max(wm_ms, 0) + 1)
+        if folded:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ema_e6": [ema]}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EMA_SCHEMA,
+        stateStructType=_EMA_OOO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -53,6 +53,7 @@ def test_verify_order_puts_stale_evidence_first():
         _CHANGED_THIS_ROUND,
         _IMPL_CHANGED_THIS_ROUND,
         _ROUND2_GREEN,
+        _ROUND3_GREEN,
         all_specs,
     )
 
@@ -60,32 +61,41 @@ def test_verify_order_puts_stale_evidence_first():
     pos = {n: i for i, n in enumerate(names)}
     specs = all_specs()
     front = _CHANGED_THIS_ROUND | _IMPL_CHANGED_THIS_ROUND
+
+    def is_streaming_tail(n: str) -> bool:
+        # a CHANGED/new streaming query has no fresh evidence and belongs
+        # in the changed bucket, not the deprioritized streaming tail
+        return specs[n].module == "streaming_plans" and n not in front
+
     never_green = [n for n in names if n in _CHANGED_THIS_ROUND]
     impl_changed = [
         n
         for n in names
         if n in _IMPL_CHANGED_THIS_ROUND and n not in _CHANGED_THIS_ROUND
     ]
-    stale = [n for n in names if n in _ROUND2_GREEN and n not in front]
-    fresh = [
+    r2 = [
+        n for n in names
+        if n in _ROUND2_GREEN and n not in front and not is_streaming_tail(n)
+    ]
+    r3 = [
+        n for n in names
+        if n in _ROUND3_GREEN and n not in front and not is_streaming_tail(n)
+    ]
+    r4 = [
         n
         for n in names
         if n not in _ROUND2_GREEN
+        and n not in _ROUND3_GREEN
         and n not in front
-        and specs[n].module != "streaming_plans"
+        and not is_streaming_tail(n)
     ]
-    # a CHANGED/new streaming query has no fresh evidence and belongs in
-    # the changed bucket, not the deprioritized streaming tail
-    streaming = [
-        n
-        for n in names
-        if specs[n].module == "streaming_plans" and n not in front
-    ]
-    assert never_green and impl_changed and stale and fresh and streaming
+    streaming = [n for n in names if is_streaming_tail(n)]
+    assert never_green and impl_changed and r2 and r3 and r4 and streaming
     assert max(pos[n] for n in never_green) < min(pos[n] for n in impl_changed)
-    assert max(pos[n] for n in impl_changed) < min(pos[n] for n in stale)
-    assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
-    assert max(pos[n] for n in fresh) < min(pos[n] for n in streaming)
+    assert max(pos[n] for n in impl_changed) < min(pos[n] for n in r2)
+    assert max(pos[n] for n in r2) < min(pos[n] for n in r3)
+    assert max(pos[n] for n in r3) < min(pos[n] for n in r4)
+    assert max(pos[n] for n in r4) < min(pos[n] for n in streaming)
 
 
 def test_plan_caches_keyed_by_application_id(spark, monkeypatch):

@@ -305,3 +305,112 @@ def test_value_ema_state_carries_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == {1: (3, 156), 2: (1, 50)}
+
+
+def test_value_ema_rejects_cross_batch_disorder(spark, tmp_path):
+    """ADVICE r4: the in-order kernel must FAIL LOUDLY when a later batch
+    delivers an earlier row, not silently diverge from the batch oracle."""
+    from datetime import datetime, timedelta as _td
+
+    import pytest as _pytest
+
+    src = tmp_path / "ema_ooo_bad"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, v6 long"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t = datetime(2026, 1, 1)
+    m = _td(minutes=1)
+    write("b1", [(1, t, 10, 100), (1, t + 2 * m, 12, 300)])
+    write("b2", [(1, t + m, 11, 200)])  # predates batch 1's last row
+    _stagger_mtimes(src, ["b1", "b2"])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    with _pytest.raises(Exception, match="event-time-ordered arrival"):
+        P.run_to_completion(P.value_ema(stream), "t_ema_disorder")
+
+
+def test_value_ema_ooo_folds_cross_batch_disorder_in_event_order(
+    spark, tmp_path
+):
+    """The watermark-buffered variant folds a late-delivered row in its
+    event-time position: batch order [100, 300], [200] must fold as
+    [100, 200, 300] = 156.  Rows above the final watermark stay
+    buffered (the 30-min row never folds under a 10-min delay)."""
+    from datetime import datetime, timedelta as _td
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ema_ooo_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, v6 long"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t = datetime(2026, 1, 1)
+    m = _td(minutes=1)
+    write("b1", [(1, t, 10, 100), (1, t + 2 * m, 12, 300)])
+    write("b2", [(1, t + m, 11, 200)])  # arrives later, predates row 12
+    write("b3", [(1, t + 30 * m, 13, 400)])  # advances the watermark
+    _stagger_mtimes(src, ["b1", "b2", "b3"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = P.run_to_completion(P.value_ema_ooo(stream), "t_ema_ooo_mb")
+    final = {
+        r["user_id"]: (r["n"], r["ema"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.max_by("ema_e6", "n_events").alias("ema"),
+        )
+        .collect()
+    }
+    # fold([100, 200, 300]) in EVENT order = 156; arrival order would give
+    # fold([100, 300, 200]) = 164; the t+30m row is above the final
+    # watermark (t+20m) and must remain buffered
+    assert final == {1: (3, 156)}
+
+
+def test_ooo_staged_source_is_genuinely_out_of_order(spark):
+    """The registered streaming_value_ema_ooo source must deliver real
+    cross-batch disorder (a later file contains rows predating the
+    earlier file's max) with lateness bounded under the watermark delay
+    (nothing may be dropped)."""
+    import shutil
+
+    from data_engineering_etl_demo_spark.plans.streaming_plans import (
+        _ooo_staged_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("/tmp/spark_graft_stream_ooo/sf0.001", ignore_errors=True)
+    stage = _ooo_staged_dir(spark, sf)
+    f = [
+        spark.read.parquet(f"{stage}/f{k}.parquet")
+        .agg(
+            *[
+                getattr(__import__("pyspark.sql.functions", fromlist=["x"]), fn)(
+                    "ts"
+                ).alias(fn)
+                for fn in ("min", "max")
+            ]
+        )
+        .first()
+        for k in range(3)
+    ]
+    for k in (1, 2):
+        late_by = (f[k - 1]["max"] - f[k]["min"]).total_seconds()
+        assert late_by > 0, f"file {k} is not out of order"
+        assert late_by < 21600, f"file {k} lateness {late_by}s >= watermark"
