@@ -112,6 +112,12 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_ivf_pq_rerank",  # exact-distance re-rank of ADC candidates
     "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
     "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
+    # streaming kernels REWRITTEN this round (vectorized sessionize,
+    # value_ema 2->4-long state + disorder guard): their old greens don't
+    # cover the new code, so they leave the streaming tail for bucket 0
+    "streaming_sessionize",
+    "streaming_sessionize_flush",
+    "streaming_value_ema",
 }
 # Freshest driver green per query, from CORRECTNESS_r0{1..4}.json union.
 _ROUND2_GREEN = {

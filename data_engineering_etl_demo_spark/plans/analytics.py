@@ -26,7 +26,14 @@ from data_engineering_etl_demo_spark.functions.cleaning import (
     canonicalize_event,
     money_sum,
 )
+from data_engineering_etl_demo_spark.functions.hashing import (
+    md5_stream,
+    sql_md5_stream,
+)
 from data_engineering_etl_demo_spark.plans import register
+from data_engineering_etl_demo_spark.sources.generator import (
+    INVALID_GEN_EVENTS as _GEN_INVALID,
+)
 
 # ---------------------------------------------------------------------------
 # Shared silver view of the events table + the matching oracle SQL fragments
@@ -312,29 +319,13 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_h8(salt: str) -> str:
     """DuckDB: first 8 md5 hex chars of salt||event_id as BIGINT (the
-    engine-portable pseudo-random stream; mirror of the Spark conv())."""
-    expr = f"'{salt}' || CAST(event_id AS VARCHAR)"
-    return (
-        "CAST(list_sum(list_transform(range(1, 9),"
-        f" i -> CAST(instr('0123456789abcdef',"
-        f" substr(md5({expr}), i, 1)) - 1 AS BIGINT)"
-        " << (4 * (8 - i)))) AS BIGINT)"
-    )
-
-
-_GEN_INVALID = ("click", "logout", "refund_requested")  # generate_events.py:18
+    engine-portable pseudo-random stream; mirror of the Spark
+    hashing.md5_stream)."""
+    return sql_md5_stream(f"'{salt}' || CAST(event_id AS VARCHAR)")
 
 
 def _spark_h8(salt: str) -> F.Column:
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    return md5_stream(salt, F.col("event_id"))
 
 
 @register(

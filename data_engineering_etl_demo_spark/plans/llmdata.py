@@ -264,15 +264,9 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load(spark, sf_dir, "documents")).orderBy("keep_id")
 
 
-def _sql_hexbig(expr: str, start: int, n: int) -> str:
-    """DuckDB: hex chars [start, start+n) of md5(expr) as a BIGINT (DuckDB
-    has no conv(hex); rebuild with per-char instr shifts)."""
-    return (
-        f"CAST(list_sum(list_transform(range(1, {n + 1}),"
-        f" i -> CAST(instr('0123456789abcdef',"
-        f" substr(md5({expr}), {start} + i - 1, 1)) - 1 AS BIGINT)"
-        f" << (4 * ({n} - i)))) AS BIGINT)"
-    )
+from data_engineering_etl_demo_spark.functions.hashing import (  # noqa: E402
+    sql_hexbig as _sql_hexbig,
+)
 
 
 def _sql_minhash_near_dup(

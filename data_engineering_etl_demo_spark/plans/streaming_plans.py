@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_engineering_etl_demo_spark.functions.hashing import md5_stream
 from data_engineering_etl_demo_spark.plans import register
 from data_engineering_etl_demo_spark.streaming import pipeline as P
 
@@ -440,7 +441,7 @@ from data_engineering_etl_demo_spark.plans.timeseries import SQL_VALUE_EMA
     "The fixed-point v6 terms are computed Spark-side before the kernel "
     "so rounding matches the batch query bit-for-bit; per-batch "
     "cumulative emissions are resolved to each user's final state with "
-    "one max_by.  State = two LONGs per user (bounded by key "
+    "one max_by.  State = four LONGs per user (bounded by key "
     "cardinality); tests drain it multi-batch via maxFilesPerTrigger.",
     memoize=False,
 )
@@ -493,11 +494,22 @@ def _ooo_staged_dir(spark: SparkSession, sf_dir: str) -> str:
     per sf_dir; files get increasing mtimes so the file source replays
     them in slice order."""
     import os
+    import shutil
     from pathlib import Path
 
     from data_engineering_etl_demo_spark.catalog import load
 
-    stage = Path("/tmp/spark_graft_stream_ooo") / Path(sf_dir).name
+    import hashlib
+
+    # cache key = full path + source file size/mtime: regenerated testdata
+    # or a different tree with the same basename must NOT replay stale
+    # staged slices against a fresh oracle read
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    fp = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    stage = Path("/tmp/spark_graft_stream_ooo") / f"{Path(sf_dir).name}-{fp}"
     done = stage / "_built"
     if done.exists():
         return str(stage)
@@ -513,19 +525,7 @@ def _ooo_staged_dir(spark: SparkSession, sf_dir: str) -> str:
         ((e >= b1 - _OOO_SHIFT_US) & (e < b1))
         | ((e >= b2 - _OOO_SHIFT_US) & (e < b2))
     )
-    pick = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ooo:"), F.col("event_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-        == 0
-    )
+    pick = md5_stream("ooo:", F.col("event_id")) % 2 == 0
     base = F.when(e < b1, 0).when(e < b2, 1).otherwise(2)
     fidx = base + (in_window & pick).cast("int")
     tagged = ev.withColumn("_f", fidx)
@@ -538,8 +538,6 @@ def _ooo_staged_dir(spark: SparkSession, sf_dir: str) -> str:
         dst = stage / f"f{k}.parquet"
         os.replace(part, dst)
         os.utime(dst, (k, k))  # file source replays in mtime order
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
     done.touch()
     return str(stage)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_etl_demo_spark.functions.hashing import md5_stream
+
 # reference generate_events.py:17-18
 ALLOWED_GEN_EVENTS = ("pageview", "signup", "purchase")
 INVALID_GEN_EVENTS = ("click", "logout", "refund_requested")
@@ -30,12 +32,7 @@ def _hmod(salt: str, col: Column, mod: int) -> Column:
     """md5-derived integer in [0, mod): an independent deterministic
     pseudo-random stream per salt — the same engine-portable trick the
     sampling/sketch queries use."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(mod)
+    return md5_stream(salt, col) % F.lit(mod)
 
 
 def _pick(options: tuple[str, ...], idx: Column) -> Column:

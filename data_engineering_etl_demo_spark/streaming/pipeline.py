@@ -396,7 +396,10 @@ def value_ema(events: DataFrame) -> DataFrame:
         )
         if not rows:
             return
-        if n > 0 and rows[0][:2] < (last_ts, last_eid):
+        if n > 0 and rows[0][:2] <= (last_ts, last_eid):
+            # <= : an exact redelivery of the last folded row (same ts AND
+            # event_id) is a duplicate, which would fold twice — as loud a
+            # contract violation as a reordering
             raise ValueError(
                 f"value_ema requires per-user event-time-ordered arrival "
                 f"across micro-batches: user {key[0]} got row "

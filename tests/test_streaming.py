@@ -395,18 +395,13 @@ def test_ooo_staged_source_is_genuinely_out_of_order(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    shutil.rmtree("/tmp/spark_graft_stream_ooo/sf0.001", ignore_errors=True)
+    shutil.rmtree("/tmp/spark_graft_stream_ooo", ignore_errors=True)
     stage = _ooo_staged_dir(spark, sf)
+    from pyspark.sql import functions as F
+
     f = [
         spark.read.parquet(f"{stage}/f{k}.parquet")
-        .agg(
-            *[
-                getattr(__import__("pyspark.sql.functions", fromlist=["x"]), fn)(
-                    "ts"
-                ).alias(fn)
-                for fn in ("min", "max")
-            ]
-        )
+        .agg(F.min("ts").alias("min"), F.max("ts").alias("max"))
         .first()
         for k in range(3)
     ]
