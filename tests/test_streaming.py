@@ -409,3 +409,43 @@ def test_ooo_staged_source_is_genuinely_out_of_order(spark):
         late_by = (f[k - 1]["max"] - f[k]["min"]).total_seconds()
         assert late_by > 0, f"file {k} is not out of order"
         assert late_by < 21600, f"file {k} lateness {late_by}s >= watermark"
+
+
+def test_ooo_staging_cache_invalidates_on_source_change(spark, tmp_path):
+    """The staged-slice cache must key on the SOURCE file's identity
+    (path + size + mtime), not the directory basename: regenerated
+    testdata or a same-named tree must get fresh slices, not a stale
+    replay against a fresh oracle."""
+    import os
+    import shutil
+
+    from data_engineering_etl_demo_spark.plans.streaming_plans import (
+        _ooo_staged_dir,
+    )
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    stage1 = _ooo_staged_dir(spark, str(src))
+    assert (os.path.exists(f"{stage1}/_built"))
+    # same source, untouched -> same cache dir
+    assert _ooo_staged_dir(spark, str(src)) == stage1
+    # "regenerate" the source (content change simulated by an mtime bump)
+    os.utime(src / "events.parquet", None)
+    stage2 = _ooo_staged_dir(spark, str(src))
+    assert stage2 != stage1, "stale staged slices would be replayed"
+
+
+def test_run_to_completion_restores_shuffle_partitions_on_failure(spark):
+    """The per-stream shuffle_partitions override must be restored even
+    when the drain raises (a failed stream must not poison the session's
+    batch parallelism)."""
+    import pytest as _pytest
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    bogus = spark.readStream.format("rate").load()  # unbounded, wrong sink
+    with _pytest.raises(Exception):
+        # memory sink + complete mode on a non-agg stream -> analysis error
+        P.run_to_completion(bogus, "t_conf_restore", "complete",
+                            shuffle_partitions=3)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
