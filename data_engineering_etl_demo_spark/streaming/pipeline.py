@@ -163,6 +163,53 @@ def foreach_batch_merge(warehouse_path: str):
     return merge
 
 
+def gap_scan(ts, carried, gap_us: int):
+    """Pure vectorized gaps-and-islands step over ONE key's sorted batch:
+    ``ts`` is an int64 array of event times (µs, ascending), ``carried``
+    the open session from state as (start_us, last_us, n) or None.
+    Returns (closed, open_session) where closed is a list of
+    (start_us, last_us, n) sessions finished by this batch and
+    open_session is the still-open tail to put back in state.
+
+    Semantics (pinned by the scalar reference in
+    tests/test_sessionize_kernel.py): the running "previous event" is the
+    prefix MAX including the carried last — a batch row may predate the
+    carried last (late within gap) and must merge without moving the
+    session end backward; a gap strictly greater than ``gap_us`` closes;
+    segment 0 always begins at index 0 (brk[0] only decides whether the
+    CARRIED session closes — counting index 0 as a boundary would mint a
+    phantom empty segment)."""
+    import numpy as np
+
+    if carried is not None:
+        start0, last0, n0 = carried
+        prev = np.maximum.accumulate(np.concatenate(([last0], ts)))[:-1]
+    else:
+        start0, last0, n0 = None, None, 0
+        prev = np.concatenate(([ts[0]], np.maximum.accumulate(ts)[:-1]))
+    brk = (ts - prev) > gap_us  # True at i → a new session starts at i
+    seg_first = np.concatenate(([0], np.nonzero(brk[1:])[0] + 1))
+    seg_start = ts[seg_first]
+    seg_last = np.maximum.reduceat(ts, seg_first)
+    seg_n = np.diff(np.concatenate((seg_first, [len(ts)])))
+    closed: list[tuple[int, int, int]] = []
+    if n0:
+        if brk[0]:
+            # carried session closed by the batch's first row
+            closed.append((start0, last0, n0))
+        else:
+            seg_start[0] = start0
+            seg_last[0] = max(last0, seg_last[0])
+            seg_n[0] += n0
+    # every segment except the final one closes within this batch
+    closed.extend(
+        (int(s), int(e), int(c))
+        for s, e, c in zip(seg_start[:-1], seg_last[:-1], seg_n[:-1])
+    )
+    open_session = (int(seg_start[-1]), int(seg_last[-1]), int(seg_n[-1]))
+    return closed, open_session
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, flush_on_timeout: bool = False
 ) -> DataFrame:
@@ -221,45 +268,14 @@ def sessionize(
         )
         if len(ts) == 0:
             return
-        if state.exists:
-            start0, last0, n0 = state.get
-            # running "last event so far" = max(carried last, prefix max):
-            # a batch row can predate the carried last (late within gap)
-            # and must merge without moving the session end backward
-            prev = np.maximum.accumulate(np.concatenate(([last0], ts)))[:-1]
-        else:
-            start0, last0, n0 = None, None, 0
-            prev = np.concatenate(([ts[0]], np.maximum.accumulate(ts)[:-1]))
-        brk = (ts - prev) > gap_us  # True at i → a new session starts at i
-        # segment 0 always begins at index 0 (brk[0] only decides whether
-        # the CARRIED session closes, below) — including index 0 in the
-        # nonzero scan would double it and mint a phantom empty segment
-        seg_first = np.concatenate(([0], np.nonzero(brk[1:])[0] + 1))
-        seg_start = ts[seg_first]
-        seg_last = np.maximum.reduceat(ts, seg_first)
-        seg_n = np.diff(np.concatenate((seg_first, [len(ts)])))
-        starts: list = []
-        lasts: list = []
-        ns: list = []
-        if n0:
-            if brk[0]:
-                # carried session closed by the batch's first row
-                starts.append(start0), lasts.append(last0), ns.append(n0)
-            else:
-                seg_start[0] = start0
-                seg_last[0] = max(last0, seg_last[0])
-                seg_n[0] += n0
-        # every segment except the final one closes within this batch
-        starts.extend(seg_start[:-1])
-        lasts.extend(seg_last[:-1])
-        ns.extend(seg_n[:-1])
-        start_us, last_us, n = int(seg_start[-1]), int(seg_last[-1]), int(seg_n[-1])
+        carried = tuple(state.get) if state.exists else None
+        closed, (start_us, last_us, n) = gap_scan(ts, carried, gap_us)
         state.update((start_us, last_us, n))
         if flush_on_timeout:
             # fire when the watermark passes the session's gap deadline
             state.setTimeoutTimestamp(last_us // 1_000 + gap_minutes * 60_000)
-        if starts:
-            yield emit(starts, lasts, ns)
+        if closed:
+            yield emit(*zip(*closed))
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
