@@ -460,6 +460,37 @@ _EMA_OOO_STATE_SCHEMA = T.StructType(
 )
 
 
+def ema_ooo_step(carried, new_rows, wm_ms: int):
+    """Pure per-key step of the watermark-buffered EMA: merge the carried
+    buffer with this batch's rows, fold the ≤-watermark prefix in
+    (ts_us, event_id) order on top of the carried (ema, n), keep the rest
+    buffered.  ``carried`` is (ema, n, rows) or None; returns
+    ((ema, n, rest_rows), n_folded).
+
+    The composition property pinned by tests/test_ema_ooo_kernel.py: for
+    ANY split of a row set into batches and ANY nondecreasing watermark
+    sequence, chaining steps yields the same (ema, n) as one ordered fold
+    with the final-watermark cutoff — the stream == batch contract."""
+    ema, n, rows = carried if carried is not None else (0, 0, [])
+    rows = rows + list(new_rows)
+    rows.sort()
+    cutoff_us = wm_ms * 1_000
+    folded = 0
+    for ts_us, _, v in rows:
+        if ts_us > cutoff_us:
+            break
+        if v < 0:
+            raise ValueError(
+                "value_ema_ooo fold requires v6 >= 0: floor division "
+                "diverges from the batch oracle's trunc-toward-zero "
+                f"div on negatives (v6={v})"
+            )
+        ema = v if n == 0 else (2 * v + 8 * ema) // 10
+        n += 1
+        folded += 1
+    return (ema, n, rows[folded:]), folded
+
+
 def value_ema_ooo(events: DataFrame) -> DataFrame:
     """The out-of-order-tolerant variant of ``value_ema``: same per-user
     EMA recurrence and the same (ema, n) state contract, plus a WATERMARK
@@ -491,32 +522,17 @@ def value_ema_ooo(events: DataFrame) -> DataFrame:
         wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
             ema, n, buf_ts, buf_eid, buf_v = state.get
-            rows = list(zip(buf_ts, buf_eid, buf_v))
+            carried = (ema, n, list(zip(buf_ts, buf_eid, buf_v)))
         else:
-            ema, n = 0, 0
-            rows = []
+            carried = None
+        new_rows = []
         if not state.hasTimedOut:
-            rows.extend(
+            new_rows = [
                 (int(ts.value) // 1_000, int(e), int(v))
                 for pdf in pdfs
                 for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
-            )
-        rows.sort()
-        cutoff_us = wm_ms * 1_000
-        folded = 0
-        for ts_us, _, v in rows:
-            if ts_us > cutoff_us:
-                break
-            if v < 0:
-                raise ValueError(
-                    "value_ema_ooo fold requires v6 >= 0: floor division "
-                    "diverges from the batch oracle's trunc-toward-zero "
-                    f"div on negatives (user {key[0]}, v6={v})"
-                )
-            ema = v if n == 0 else (2 * v + 8 * ema) // 10
-            n += 1
-            folded += 1
-        rest = rows[folded:]
+            ]
+        (ema, n, rest), folded = ema_ooo_step(carried, new_rows, wm_ms)
         state.update(
             (
                 ema,
