@@ -1,0 +1,34 @@
+"""Leak-controlled persist for rebuilt lazy plans.
+
+The registry's memoize=False queries rebuild their DataFrames on every
+invocation; a bare ``.persist()`` inside the builder then accrues one
+CacheManager entry per call — the leak class the round-4 review fixed in
+graph.py (there via localCheckpoint, which fits because graph ops RUN jobs
+while building).  For plans that must stay LAZY, this helper keeps at most
+one live cached instance per (slot, session): rebuilding the plan
+unpersists the previous instance before persisting the new one.  The
+blocks themselves are evicted lazily (blocking=False), so the unpersist is
+metadata-cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_live: dict[tuple[str, str], DataFrame] = {}
+
+
+def persist_latest(df: DataFrame, slot: str, storage_level=None) -> DataFrame:
+    """persist() with at most one live cached instance per (slot, session)."""
+    from data_engineering_etl_demo_spark.catalog import session_key
+
+    key = (slot, session_key(df.sparkSession))
+    prev = _live.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already unpersisted — nothing to free
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _live[key] = df
+    return df

@@ -49,31 +49,37 @@ def asof_join(
     l2 = left.withColumn("_t", F.col(left_ts)).withColumn(
         "_side", F.lit(lside)
     )
+    # The whole payload rides in ONE struct so the running last() is
+    # row-consistent: carrying each column independently with
+    # last(ignorenulls) would replace a legitimately-NULL payload value in
+    # the matched right row with the value from an OLDER right row —
+    # tearing the row and emitting a payload that never existed.  A struct
+    # is non-null on every right row (even when all its fields are null)
+    # and null on interleaved left rows, which is exactly the distinction
+    # ignorenulls needs.
     r2 = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_t"),
         F.lit(rside).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_r"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
 
     order = [F.col("_t").asc(), F.col("_side").asc()]
     if tiebreak is not None:
-        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+        order.append(F.col(f"_r.{tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_carried")
+    )
+    return carried.filter(F.col("_side") == lside).select(
         "*",
         *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{ASOF_PREFIX}{c}")
+            F.col(f"_carried.{c}").alias(f"{ASOF_PREFIX}{c}")
             for c in payload_cols
         ],
-    )
-    return carried.filter(F.col("_side") == lside).drop(
-        "_t", "_side", *[f"_r_{c}" for c in payload_cols]
-    )
+    ).drop("_t", "_side", "_r", "_carried")

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_engineering_etl_demo_spark.functions.caching import persist_latest
+
 from data_engineering_etl_demo_spark.operators.text import fingerprint, words
 
 # LSH geometry: K = BANDS * ROWS_PER_BAND signature components.
@@ -113,6 +115,11 @@ def explode_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             ids, hs = [], []
             for did, warr in zip(pdf[id_col], pdf["_w"]):
+                if warr is None:
+                    # NULL text -> NULL word array: the SQL forms (and the
+                    # oracle's unnest) emit no rows; the kernel must match,
+                    # not crash on len(None)
+                    continue
                 whs = np.fromiter(
                     (wh(t) for t in warr), dtype=np.int64, count=len(warr)
                 )
@@ -229,17 +236,18 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
-    shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+def _pair_overlap_sizes(
+    shingled: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for candidate pairs with jaccard >= threshold."""
+    """(id_a, id_b, n_inter, n_a, n_b) for candidate pairs — the shared
+    intersection stage of the pairwise verifiers.  Candidate pairs are
+    tiny (LSH pruned); broadcasting them keeps the big shingle table from
+    shuffling on the first join — only the (pairs × doc-a shingles)
+    intermediate shuffles into the second join."""
     shingles = shingled.select(F.col(id_col).alias("sid"), "shingle")
     sizes = shingles.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col("sid").alias("id_a"), "shingle")
     sb = shingles.select(F.col("sid").alias("id_b"), "shingle")
-    # Candidate pairs are tiny (LSH pruned); broadcasting them keeps the big
-    # shingle table from shuffling on the first join — only the (pairs ×
-    # doc-a shingles) intermediate shuffles into the second join.
     inter = (
         F.broadcast(pairs)
         .join(sa, on="id_a")
@@ -254,18 +262,26 @@ def jaccard_pairs(
         .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
         .join(na, on="id_a")
         .join(nb, on="id_b")
-        .withColumn(
-            # floor-truncate instead of round: ROUND(double, n) last-ulp
-            # behavior is engine-defined; floor(x·1e6)/1e6 is IEEE-exact in
-            # both Spark and the DuckDB oracle.
-            "jaccard",
-            F.floor(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-                * F.lit(1e6)
-            ).cast("double")
-            / F.lit(1e6),
-        )
+    )
+
+
+def _trunc6(x: Column) -> Column:
+    # floor-truncate instead of round: ROUND(double, n) last-ulp behavior
+    # is engine-defined; floor(x·1e6)/1e6 is IEEE-exact in both Spark and
+    # the DuckDB oracle.
+    return F.floor(x * F.lit(1e6)).cast("double") / F.lit(1e6)
+
+
+def jaccard_pairs(
+    shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs with jaccard >= threshold."""
+    sized = _pair_overlap_sizes(shingled, pairs, id_col)
+    jac = _trunc6(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+    return (
+        sized.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -277,36 +293,13 @@ def containment_pairs(
     """(id_a, id_b, containment) for candidate pairs where containment =
     |A∩B| / min(|A|, |B|) >= threshold — the asymmetric complement to
     Jaccard: a short document wholly embedded in a long one scores
-    containment ≈ 1 while its Jaccard stays near |A|/|B|.  Same join
-    shape as jaccard_pairs (broadcast pairs, one co-partitioned shingle
-    intersection)."""
-    shingles = shingled.select(F.col(id_col).alias("sid"), "shingle")
-    sizes = shingles.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col("sid").alias("id_a"), "shingle")
-    sb = shingles.select(F.col("sid").alias("id_b"), "shingle")
-    inter = (
-        F.broadcast(pairs)
-        .join(sa, on="id_a")
-        .join(sb, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("n_b"))
+    containment ≈ 1 while its Jaccard stays near |A|/|B|.  Shares
+    _pair_overlap_sizes with jaccard_pairs (one tuned join shape, two
+    thin score adapters)."""
+    sized = _pair_overlap_sizes(shingled, pairs, id_col)
+    cont = _trunc6(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")))
     return (
-        pairs.join(inter, on=["id_a", "id_b"], how="left")
-        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-        .join(na, on="id_a")
-        .join(nb, on="id_b")
-        .withColumn(
-            "containment",
-            F.floor(
-                F.col("n_inter")
-                / F.least(F.col("n_a"), F.col("n_b"))
-                * F.lit(1e6)
-            ).cast("double")
-            / F.lit(1e6),
-        )
+        sized.withColumn("containment", cont)
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
@@ -330,8 +323,10 @@ def minhash_containment(
     test pins recall at the sizes this corpus actually has."""
     from pyspark import StorageLevel
 
-    shingled = explode_shingles(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = persist_latest(
+        explode_shingles(docs, id_col, text_col),
+        "dedup.shingles.a",
+        StorageLevel.MEMORY_AND_DISK,
     )
     sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
@@ -354,8 +349,10 @@ def minhash_near_dup(
     candidate generation — see lsh_candidate_pairs for the trade."""
     from pyspark import StorageLevel
 
-    shingled = explode_shingles(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = persist_latest(
+        explode_shingles(docs, id_col, text_col),
+        "dedup.shingles.b",
+        StorageLevel.MEMORY_AND_DISK,
     )
     sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
@@ -384,8 +381,10 @@ def incremental_near_dup(
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    shingled = explode_shingles(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = persist_latest(
+        explode_shingles(docs, id_col, text_col),
+        "dedup.shingles.c",
+        StorageLevel.MEMORY_AND_DISK,
     )
     sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
@@ -462,7 +461,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         for pdf in batches:
             ids, sigs = [], []
             for did, tarr in zip(pdf[id_col], pdf["_t"]):
-                if len(tarr) == 0:
+                if tarr is None or len(tarr) == 0:
                     continue
                 h = np.fromiter(
                     (th(t) for t in tarr), dtype=np.int64, count=len(tarr)
@@ -605,8 +604,8 @@ def span_dedup(
             F.array_join("s.sw", " ").alias("txt"),
         )
         .withColumn("h", F.md5(F.col("txt")))
-        .persist()
     )
+    segs = persist_latest(segs, "dedup.span_segs")
     freq = segs.groupBy(F.col("h").alias("c_h")).agg(
         F.countDistinct(id_col).alias("n_docs")
     )

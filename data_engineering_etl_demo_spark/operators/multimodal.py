@@ -244,6 +244,10 @@ def decode_media_features(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                # empty Arrow batch: pd.DataFrame([]) has no columns and
+                # the astype below would KeyError
+                continue
             feats = [
                 _decode_any(p, mt)
                 for p, mt in zip(pdf["payload"], pdf["media_type"])

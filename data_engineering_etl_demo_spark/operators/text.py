@@ -217,6 +217,31 @@ def winnow(hashes: Column, w: int = WINNOW_W) -> Column:
     )
 
 
+def _winnow_doc_fps(s, np):
+    """(n_grams, sorted unique fingerprints) for ONE document — the shared
+    rolling-hash + sliding-min + unique arithmetic of the two winnowing
+    kernels below (one computation, two output adapters; NULL text behaves
+    as empty, matching the Catalyst reference's null propagation)."""
+    k, w = ROLL_K, WINNOW_W
+    c = np.frombuffer((s or "").encode("ascii"), dtype=np.uint8).astype(
+        np.int64
+    )
+    n_grams = max(len(c) - (k - 1), 0)
+    if n_grams == 0:
+        return 0, np.empty(0, dtype=np.int64)
+    h = sum(c[j : n_grams + j] * _ROLL_WEIGHTS[j] for j in range(k))
+    if len(h) < w:
+        mins = np.array([h.min()])
+    else:
+        mins = np.minimum.reduce(
+            [h[i : len(h) - (w - 1) + i] for i in range(w)]
+        )
+    return n_grams, np.unique(mins)
+
+
+_ROLL_WEIGHTS = [ROLL_BASE ** (ROLL_K - 1 - j) for j in range(ROLL_K)]
+
+
 def fingerprint_winnow_stats(norm_docs, id_col: str = "doc_id", s_col: str = "s"):
     """(doc_id, n_grams, n_fp, min_fp, max_fp) via an Arrow/numpy kernel.
 
@@ -241,32 +266,13 @@ def fingerprint_winnow_stats(norm_docs, id_col: str = "doc_id", s_col: str = "s"
             StructField("max_fp", LongType()),
         ]
     )
-    k, w = ROLL_K, WINNOW_W
-    weights = [ROLL_BASE ** (k - 1 - j) for j in range(k)]
-
     def kernel(batches):
         import numpy as np
 
         for pdf in batches:
             ids, ng, nf, lo, hi = [], [], [], [], []
             for doc_id, s in zip(pdf[id_col], pdf[s_col]):
-                c = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                )
-                n_grams = max(len(c) - (k - 1), 0)
-                if n_grams == 0:
-                    fps = np.empty(0, dtype=np.int64)
-                else:
-                    h = sum(
-                        c[j : n_grams + j] * weights[j] for j in range(k)
-                    )
-                    if len(h) < w:
-                        mins = np.array([h.min()])
-                    else:
-                        mins = np.minimum.reduce(
-                            [h[i : len(h) - (w - 1) + i] for i in range(w)]
-                        )
-                    fps = np.unique(mins)
+                n_grams, fps = _winnow_doc_fps(s, np)
                 ids.append(doc_id)
                 ng.append(n_grams)
                 nf.append(len(fps))
@@ -300,29 +306,15 @@ def winnow_fingerprints(norm_docs, id_col: str = "doc_id", s_col: str = "s"):
     out_schema = StructType(
         [StructField(id_col, LongType()), StructField("fp", LongType())]
     )
-    k, w = ROLL_K, WINNOW_W
-    weights = [ROLL_BASE ** (k - 1 - j) for j in range(k)]
-
     def kernel(batches):
         import numpy as np
 
         for pdf in batches:
             ids, fps = [], []
             for doc_id, s in zip(pdf[id_col], pdf[s_col]):
-                c = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                )
-                n_grams = max(len(c) - (k - 1), 0)
-                if n_grams == 0:
+                _, uniq = _winnow_doc_fps(s, np)
+                if len(uniq) == 0:
                     continue
-                h = sum(c[j : n_grams + j] * weights[j] for j in range(k))
-                if len(h) < w:
-                    mins = np.array([h.min()])
-                else:
-                    mins = np.minimum.reduce(
-                        [h[i : len(h) - (w - 1) + i] for i in range(w)]
-                    )
-                uniq = np.unique(mins)
                 ids.extend([doc_id] * len(uniq))
                 fps.extend(int(x) for x in uniq)
             yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="Int64")})

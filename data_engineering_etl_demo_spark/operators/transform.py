@@ -174,6 +174,12 @@ def transform(events: DataFrame, users: DataFrame) -> TransformResult:
         normalize_id("user_id").alias("user_id"),
         *[c for c in ("country", "signup_source") if c in users.columns],
     )
+    # Deliberately NOT deduplicated: the reference merges users as-is
+    # (pandas events.merge(users, how="left"), transform.py:103), so a
+    # duplicate user_id in users.csv fans out event rows identically in
+    # both engines — parity over prettiness.  The warehouse DIM is
+    # protected separately (upsert_dim_users dedupes, like the
+    # reference's ON CONFLICT insert).
     clean = derived.join(F.broadcast(users_dim), on="user_id", how="left").drop(
         "_ingest_order"
     )

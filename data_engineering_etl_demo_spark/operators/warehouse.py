@@ -78,15 +78,30 @@ class Warehouse:
         shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
+    def _row_fingerprint(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
+        """Deterministic whole-row hash: the tiebreak that makes a keep-one
+        window stable when a single batch carries DUPLICATE merge keys —
+        without it row_number over _prio alone is broken by shuffle order,
+        and a re-run of the identical pipeline can persist a different
+        row, breaking the idempotency the warehouse tests pin."""
+        cols = [F.col(c) for c in df.columns if c not in exclude]
+        return F.xxhash64(F.struct(*cols))
+
+    @staticmethod
     def _last_writer_wins(
         existing: DataFrame, updates: DataFrame, key: str, insert_only: bool
     ) -> DataFrame:
         """updates beat existing on key collision (``ON CONFLICT DO
-        UPDATE``); insert_only keeps existing rows (``INSERT OR IGNORE``)."""
+        UPDATE``); insert_only keeps existing rows (``INSERT OR IGNORE``).
+        Ties (duplicate keys within one side) break on the deterministic
+        row fingerprint."""
         existing = existing.withColumn("_prio", F.lit(0 if not insert_only else 1))
         updates = updates.withColumn("_prio", F.lit(1 if not insert_only else 0))
         unioned = existing.unionByName(updates, allowMissingColumns=True)
-        w = Window.partitionBy(key).orderBy(F.col("_prio").desc())
+        w = Window.partitionBy(key).orderBy(
+            F.col("_prio").desc(),
+            Warehouse._row_fingerprint(unioned, exclude=("_prio",)).desc(),
+        )
         return (
             unioned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -119,7 +134,16 @@ class Warehouse:
                 self.table(name), updates, key, insert_only
             )
         else:
-            merged = updates.dropDuplicates([key])
+            # deterministic keep-one for in-batch duplicate keys (bare
+            # dropDuplicates picks by partition order)
+            w = Window.partitionBy(key).orderBy(
+                self._row_fingerprint(updates).desc()
+            )
+            merged = (
+                updates.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         self._swap_write(name, merged, partition_by)
 
     def _merge_touched_partitions(
@@ -134,13 +158,31 @@ class Warehouse:
         partitions the batch touches, merge, write those partitions to
         staging, and directory-swap each one.  The distinct-partition
         collect is driver-side metadata (dates, not data) — the same class
-        of operation as a Delta MERGE's file-listing."""
-        vals = [
+        of operation as a Delta MERGE's file-listing.
+
+        "Touched" = partitions present in the batch UNION partitions that
+        currently hold any of the batch's KEYS: an update that moves a
+        key's partition value (e.g. an event's ts corrected to another
+        day) must also rewrite the key's OLD partition, or a stale
+        duplicate survives there.  Locating old keys is a key+partition
+        column scan semi-joined to the batch keys — the two-column,
+        column-pruned analogue of Delta MERGE's touched-file join; the
+        REWRITE still only covers the touched partitions."""
+        vals = {
             r[0]
             for r in updates.select(partition_by).distinct().collect()
-        ]
+        }
         if not vals:
             return
+        vals |= {
+            r[0]
+            for r in self.table(name)
+            .select(key, partition_by)
+            .join(updates.select(key).distinct(), on=key, how="leftsemi")
+            .select(partition_by)
+            .distinct()
+            .collect()
+        }
         non_null = [v for v in vals if v is not None]
         cond = F.col(partition_by).isin(non_null)
         if len(non_null) < len(vals):
@@ -151,17 +193,28 @@ class Warehouse:
         final = self._path(name)
         staging = final + ".staging"
         merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
-        self._swap_partition_dirs(final, staging)
+        expected = {
+            f"{partition_by}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for v in vals
+        }
+        self._swap_partition_dirs(final, staging, expected)
 
     @staticmethod
-    def _swap_partition_dirs(final: str, staging: str) -> int:
+    def _swap_partition_dirs(
+        final: str, staging: str, expected: set[str] | None = None
+    ) -> int:
         """Directory-swap every partition dir staged under ``staging`` into
-        ``final``; returns the number of partitions swapped."""
+        ``final``; returns the number of partitions swapped.  ``expected``
+        names the touched partition dirs: a touched partition with NO
+        staged dir merged to zero rows (its only rows moved elsewhere) and
+        its live dir must be REMOVED, not left holding the stale copy."""
         n = 0
+        staged = set()
         for d in os.listdir(staging):
             src = os.path.join(staging, d)
             if not (os.path.isdir(src) and "=" in d):
                 continue
+            staged.add(d)
             dst = os.path.join(final, d)
             old = dst + ".old"
             if os.path.exists(dst):
@@ -169,6 +222,8 @@ class Warehouse:
             os.rename(src, dst)
             shutil.rmtree(old, ignore_errors=True)
             n += 1
+        for d in (expected or set()) - staged:
+            shutil.rmtree(os.path.join(final, d), ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
         return n
 

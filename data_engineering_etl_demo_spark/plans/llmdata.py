@@ -21,6 +21,7 @@ from data_engineering_etl_demo_spark.operators import dedup as D
 from data_engineering_etl_demo_spark.operators import graph as G
 from data_engineering_etl_demo_spark.operators import similarity as S
 from data_engineering_etl_demo_spark.operators import text as X
+from data_engineering_etl_demo_spark.functions.caching import persist_latest
 from data_engineering_etl_demo_spark.plans import register
 
 # ---------------------------------------------------------------------------
@@ -1172,9 +1173,10 @@ def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over tf — deriving it there (instead of a second countDistinct over
     # toks) tokenizes the corpus once, and persisting tf lets the dfreq agg
     # and the join below share that single pass.
-    tf = (
-        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    ).persist()
+    tf = persist_latest(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")),
+        "llmdata.tfidf_tf",
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load(spark, sf_dir, "documents").count()
     scored = tf.join(dfreq, on="tok").select(
@@ -1667,9 +1669,10 @@ def q_docs_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_wide(spark, sf_dir)
-    ex = docs.select(
-        "doc_id", F.explode(X.words(F.col("text"))).alias("tok")
-    ).persist()
+    ex = persist_latest(
+        docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("tok")),
+        "llmdata.surprisal_toks",
+    )
     v = ex.groupBy(F.col("tok").alias("v_tok")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

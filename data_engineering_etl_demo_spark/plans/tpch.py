@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_etl_demo_spark.catalog import load
 from data_engineering_etl_demo_spark.functions.cleaning import money_sum
+from data_engineering_etl_demo_spark.functions.caching import persist_latest
 from data_engineering_etl_demo_spark.plans import register
 from data_engineering_etl_demo_spark.plans.analytics import sql_money_sum
 
@@ -1498,7 +1499,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: pr feeds both the global scalar and the filter — without it
     # Spark re-runs the fact scan + agg twice (no common-subplan reuse)
-    pr = pr.persist()
+    pr = persist_latest(pr, "tpch.important_parts_pr")
     tot = pr.agg(
         F.sum("rev_fixed").alias("tot_fixed"),
         F.count(F.lit(1)).alias("np"),
@@ -1684,7 +1685,7 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q_fixed).alias("qty_fixed")
     )
     # persist: sq feeds both the per-part rollup and the join-back
-    sq = sq.persist()
+    sq = persist_latest(sq, "tpch.top_supplier_sq")
     pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
         F.sum("qty_fixed").alias("tot_fixed")
     )

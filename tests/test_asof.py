@@ -65,3 +65,24 @@ def test_left_rows_and_columns_preserved(spark):
     )
     assert out.count() == left.count()
     assert set(left.columns) < set(out.columns)
+
+
+def test_asof_payload_is_row_consistent_with_null_fields(spark):
+    """A NULL payload value in the matched right row must come through as
+    NULL — not be backfilled from an older right row (per-column carry
+    tears the row; the payload must travel as one struct)."""
+    from data_engineering_etl_demo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0, 2.0), (1, 7, None, 9.0)],
+        "k long, rts long, a double, b double",
+    )
+    row = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        payload_cols=["a", "b"], strict=True,
+    ).collect()[0]
+    # the latest right row before ts=10 is (ts=7, a=NULL, b=9.0): both
+    # fields must come from THAT row
+    assert row["asof_a"] is None
+    assert row["asof_b"] == 9.0

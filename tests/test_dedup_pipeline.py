@@ -238,3 +238,22 @@ def test_containment_flags_embedded_doc_jaccard_misses(spark):
         for r in D.minhash_near_dup(docs, threshold=0.8).collect()
     }
     assert (0, 1) not in jac  # symmetric jaccard misses the embedding
+
+
+def test_kernels_tolerate_null_text(spark):
+    """NULL text must behave like the SQL forms (no rows / zero grams),
+    not crash the Arrow kernel task (review r5 finding)."""
+    from data_engineering_etl_demo_spark.operators import dedup as D
+    from data_engineering_etl_demo_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog"), (4, None)],
+        "doc_id long, text string",
+    )
+    # explode_shingles path (None word array must emit nothing)
+    sh = D.explode_shingles(docs, id_col="doc_id", text_col="text").collect()
+    assert {r["doc_id"] for r in sh} == {2}
+    # winnowing stats path (None text = zero grams, still one stats row)
+    st_rows = TX.fingerprint_winnow_stats(docs, id_col="doc_id", s_col="text")
+    got = {r["doc_id"]: r["n_fp"] for r in st_rows.collect()}
+    assert got[4] == 0 and got[2] > 0

@@ -226,3 +226,41 @@ def test_erase_users_empty_list_is_noop(spark, tmp_path):
     report = wh.erase_users([])
     assert report["fact_rows_removed"] == 0
     assert wh.table("fact_events").count() == 3
+
+
+def test_fact_merge_removes_stale_row_when_key_changes_partition(spark, tmp_path):
+    """An update that MOVES a key's partition value (event's date
+    corrected) must also rewrite the key's old partition — otherwise a
+    stale duplicate survives there despite 'MERGE on event_id'."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.upsert_fact_events(df_clean(spark, CLEAN_ROWS))
+    # e3 was the ONLY row in 2026-01-02; it moves to 2026-01-03
+    moved = [("e3", None, "2", "pageview", None, "/home", "2026-01-03", 2)]
+    wh.upsert_fact_events(df_clean(spark, moved))
+    fact = wh.table("fact_events")
+    rows = {r["event_id"]: r for r in fact.collect()}
+    assert len(rows) == 3, "stale copy of e3 survived in its old partition"
+    assert rows["e3"]["event_date"] == "2026-01-03"
+    # the now-empty old partition dir must be gone, not hold the stale row
+    import os
+
+    assert not os.path.exists(
+        str(tmp_path / "fact_events" / "event_date=2026-01-02")
+    )
+
+
+def test_merge_duplicate_keys_within_batch_deterministic(spark, tmp_path):
+    """Duplicate merge keys inside ONE batch must pick the same winner on
+    every run (row_number over _prio alone is shuffle-order-broken)."""
+    dup = [
+        ("e9", None, "1", "purchase", 1.0, None, "2026-01-01", 1),
+        ("e9", None, "1", "purchase", 2.0, None, "2026-01-01", 1),
+    ]
+    winners = set()
+    for i in range(2):
+        wh = Warehouse(spark, str(tmp_path / f"w{i}"))
+        wh.upsert_fact_events(
+            df_clean(spark, dup).repartition(4 if i else 1)
+        )
+        winners.add(wh.table("fact_events").collect()[0]["amount"])
+    assert len(winners) == 1
