@@ -13,22 +13,33 @@ metadata-cheap.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _live: dict[tuple[str, str], DataFrame] = {}
+_lock = threading.Lock()
 
 
 def persist_latest(df: DataFrame, slot: str, storage_level=None) -> DataFrame:
-    """persist() with at most one live cached instance per (slot, session)."""
+    """persist() with at most one live cached instance per (slot, session).
+    Locked: an unsynchronized get-then-set would let two concurrent
+    rebuilds of the same slot both persist, orphaning one cache entry —
+    the exact leak this helper exists to prevent."""
     from data_engineering_etl_demo_spark.catalog import session_key
 
     key = (slot, session_key(df.sparkSession))
-    prev = _live.get(key)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session gone / already unpersisted — nothing to free
-    df = df.persist(storage_level) if storage_level is not None else df.persist()
-    _live[key] = df
+    with _lock:
+        prev = _live.pop(key, None)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # session gone / already unpersisted — nothing to free
+        df = (
+            df.persist(storage_level)
+            if storage_level is not None
+            else df.persist()
+        )
+        _live[key] = df
     return df

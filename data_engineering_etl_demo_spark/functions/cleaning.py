@@ -69,25 +69,47 @@ def strict_utc_ts(col: Column | str) -> Column:
     return F.try_to_timestamp(F.regexp_replace(c.cast("string"), r"Z$", "+00:00"))
 
 
-# F10: the Kaggle loader's 9-format fallback chain
+# F10: the Kaggle loader's 9-format fallback chain IN ITS ORDER
 # (/root/reference/pipeline/sources/ecommerce/kaggle_amazon_sales_loader.py:40-50)
-# plus the noon-default rule for date-only values (:55-56).
+# plus two ISO timestamp forms ahead of it (a strict ISO token can't match
+# any loader format, so prepending them changes nothing for loader inputs),
+# plus the noon-default rule for date-only values (:55-56).  Ambiguity
+# resolution mirrors the reference: DASH-separated 4-digit-year dates are
+# day-first (%d-%m-%Y), SLASH dates try month-first then day-first.  The
+# exported helper is best-effort coalesce semantics; the byte-exact,
+# oracle-tested implementation of the same chain (CPython field-width and
+# resolver quirks pinned as regexes) is sources/ecommerce_loader.FORMATS.
 _TS_FORMATS = (
     "yyyy-MM-dd'T'HH:mm:ssXXX",
     "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd HH:mm:ss",
-    "yyyy-MM-dd",
-    "MM-dd-yy",
-    "MM/dd/yy",
-    "MM-dd-yyyy",
-    "MM/dd/yyyy",
-    "dd-MM-yyyy",
+    "yyyy-MM-dd",  # loader :41
+    "dd-MM-yyyy",  # loader :42
+    "MM/dd/yyyy",  # loader :43
+    "dd/MM/yyyy",  # loader :44
+    "yyyy-MM-dd HH:mm:ss",  # loader :45
+    "MM/dd/yyyy HH:mm",  # loader :46
+    "dd/MM/yyyy HH:mm",  # loader :47
+)
+_TS_FORMATS_2Y = (
+    "MM-dd-yy",  # loader :48
+    "dd-MM-yy",  # loader :49
 )
 
 
 def parse_ts_multiformat(col: Column | str) -> Column:
     c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
-    parsed = F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in _TS_FORMATS])
+    parsed4 = F.coalesce(
+        *[F.try_to_timestamp(c, F.lit(fmt)) for fmt in _TS_FORMATS]
+    )
+    parsed2 = F.coalesce(
+        *[F.try_to_timestamp(c, F.lit(fmt)) for fmt in _TS_FORMATS_2Y]
+    )
+    # CPython %y century rule: 69-99 → 19xx (Spark's 'yy' maps everything
+    # to 20xx); applies only to values matched by a 2-digit-year format
+    parsed2 = F.when(
+        F.year(parsed2) >= 2069, parsed2 - F.expr("INTERVAL 100 YEARS")
+    ).otherwise(parsed2)
+    parsed = F.coalesce(parsed4, parsed2)
     # date-only token (<= 10 chars) → set time to 12:00:00 noon (loader :55-56)
     return F.when(
         F.length(c) <= 10, parsed + F.expr("INTERVAL 12 HOURS")

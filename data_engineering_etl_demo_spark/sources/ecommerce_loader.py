@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_engineering_etl_demo_spark.functions.hashing import (
+    hash_id as _hash_id,
+)
+
 # --------------------------------------------------------------------------
 # Format chain (kaggle_amazon_sales_loader.py:39-50), in reference order.
 # Group indices are 1-based regex capture groups; None = field absent.
@@ -205,16 +209,22 @@ def to_float_scrub(c: Column) -> Column:
 
 
 def to_int_scrub(c: Column) -> Column:
-    """_to_int: int(float(x)) — parse as double, truncate toward zero."""
+    """_to_int: int(float(x)) — parse as double, truncate toward zero.
+    Both casts are try_cast: a plain cast('long') under ANSI mode (the
+    session default this repo runs with) THROWS on NaN/Infinity/overflow
+    doubles, killing the load job, where the reference's catch-ValueError
+    returns 0.  (Reference int(1e300) would return the huge int; that
+    magnitude is outside any quantity column's domain — 0 is the sane
+    engine-portable fallback.)"""
     cleaned = F.regexp_replace(nb(c), CURRENCY_SYMBOLS_RE, "")
-    return F.coalesce(cleaned.try_cast("double").cast("long"), F.lit(0))
+    return F.coalesce(cleaned.try_cast("double").try_cast("long"), F.lit(0))
 
 
 def hash_id(*parts: Column) -> Column:
-    """_hash_id (F16): sha256('|'.join(stripped parts)) first 24 hex chars."""
-    return F.substring(
-        F.sha2(F.concat_ws("|", *[F.trim(p) for p in parts]), 256), 1, HASH_LEN
-    )
+    """_hash_id (F16): sha256('|'.join(stripped parts)) first 24 hex chars —
+    functions/hashing.hash_id over trimmed parts (the reference _norm
+    strips each part before joining, loader:27-31)."""
+    return _hash_id(*[F.trim(p) for p in parts], length=HASH_LEN)
 
 
 # --------------------------------------------------------------------------
@@ -254,6 +264,12 @@ def amazon_events(df: DataFrame, source_name: str) -> DataFrame:
         staged.filter(F.col("ts").isNotNull())
         .filter(F.col("amount") <= F.lit(AMOUNT_OUTLIER))
         .select(
+            # amount reaches the hash via cast(double AS string).  Java
+            # Double.toString and Python str() agree on the currency
+            # domain (2-dp values >= 0.01 and 0.0 both render plain), but
+            # DIVERGE below 1e-3 (Java '1.0E-4' vs Python '0.0001') — if a
+            # sub-milli amount source ever appears, pin a formatter here
+            # before trusting cross-engine id equality.
             hash_id(
                 F.lit(source_name),
                 F.col("order_id"),
@@ -368,8 +384,19 @@ def intl_loader_stats(df: DataFrame) -> DataFrame:
 
 def read_raw_csv(spark, path: str) -> DataFrame:
     """All-string CSV read (header row, BOM-tolerant) — the Spark analog of
-    csv.DictReader over utf-8-sig (kaggle_amazon_sales_loader.py:131-132)."""
-    df = spark.read.option("header", True).csv(path)
+    csv.DictReader over utf-8-sig (kaggle_amazon_sales_loader.py:131-132).
+
+    multiLine: csv.DictReader natively handles quoted fields containing
+    embedded newlines; Spark's default line-split parser would shear such
+    a record into two misaligned rows.  The option costs input-split
+    parallelism WITHIN one file (each file becomes one task) — the right
+    trade for parity here; a 100 TB ingest would pre-split files upstream
+    or sanitize newlines before the splittable fast path."""
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
     renames = {c: c.lstrip("﻿") for c in df.columns if c.startswith("﻿")}
     for old, new in renames.items():
         df = df.withColumnRenamed(old, new)
@@ -377,29 +404,53 @@ def read_raw_csv(spark, path: str) -> DataFrame:
 
 
 def run_loader(spark, csv_dir: str, out_dir: str) -> dict:
-    """EP3 driver parity (kaggle_amazon_sales_loader.py:251-303): load every
-    known CSV in ``csv_dir``, write canonical JSONL datasets (events + intl
-    sales, each the union of its per-file outputs) and a per-file stats
-    report JSON.  Returns the report dict."""
+    """EP3 driver parity (kaggle_amazon_sales_loader.py:251-303): load the
+    TARGET_FILES whitelist from ``csv_dir``, write canonical JSONL datasets
+    (events + intl sales, each the union of its per-file outputs) and a
+    per-file stats report JSON.  Returns the report dict.
+
+    Whitelist, not glob: the reference iterates its TARGET_FILES list
+    (loader:17-22) and INTENTIONALLY skips 'Sale Report.csv' /
+    'May-2022.csv' as not event-grain — globbing *.csv would route those
+    through amazon_events and emit fake purchases.  Names are matched
+    case/space-insensitively so 'amazon_sale_report.csv' works too;
+    non-target CSVs are recorded as skipped, missing targets as missing
+    (the reference warns and records {"missing": true})."""
     import json
     import os
+    import re
 
+    def norm_name(f: str) -> str:
+        return re.sub(r"[^a-z0-9.]+", "_", f.lower())
+
+    # kaggle_amazon_sales_loader.py:17-22
+    targets = {
+        norm_name("Amazon Sale Report.csv"): "amazon",
+        norm_name("International sale Report.csv"): "intl",
+    }
     report: dict = {"files": {}, "outputs": {}}
     events_parts = []
     intl_parts = []
+    seen_targets = set()
     for fname in sorted(os.listdir(csv_dir)):
         if not fname.lower().endswith(".csv"):
             continue
+        kind = targets.get(norm_name(fname))
+        if kind is None:
+            report["files"][fname] = {"skipped_not_event_grain": True}
+            continue
+        seen_targets.add(norm_name(fname))
         path = os.path.join(csv_dir, fname)
         df = read_raw_csv(spark, path)
-        low = fname.lower()
-        if "international" in low:
+        if kind == "intl":
             intl_parts.append(international_sales(df, fname))
             stats = intl_loader_stats(df).collect()[0].asDict()
         else:
             events_parts.append(amazon_events(df, fname))
             stats = amazon_loader_stats(df).collect()[0].asDict()
         report["files"][fname] = stats
+    for t in set(targets) - seen_targets:
+        report["files"][t] = {"missing": True}
 
     def _union(parts):
         out = parts[0]

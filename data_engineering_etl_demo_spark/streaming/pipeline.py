@@ -19,8 +19,10 @@ per-key stream transform.
 Scale notes: dropDuplicatesWithinWatermark keys state by event_id and
 evicts at the watermark, so state is bounded by (rate × delay), not by
 stream history; the windowed agg shuffles once on (window, event_type);
-the foreachBatch merge rewrites only the fact partitions touched by the
-micro-batch keys.
+the foreachBatch merge in THIS module rewrites the whole (small, local)
+fact table per batch — the partition-pruned variant that only rewrites
+touched partitions is operators/warehouse._merge_touched_partitions, which
+a production foreachBatch sink would call instead.
 """
 
 from __future__ import annotations
@@ -137,8 +139,14 @@ def foreach_batch_merge(warehouse_path: str):
             staged = current.unionByName(staged)
         from pyspark.sql.window import Window
 
+        # final tiebreak = deterministic whole-row hash: two different
+        # rows sharing (event_id, ts) within one batch must pick the SAME
+        # winner when the micro-batch is replayed (at-least-once), or the
+        # warehouse diverges across retries of identical input
         w = Window.partitionBy("event_id").orderBy(
-            F.col("ts").desc(), F.col("_batch").desc()
+            F.col("ts").desc(),
+            F.col("_batch").desc(),
+            F.xxhash64(F.struct(*[F.col(c) for c in batch_df.columns])).desc(),
         )
         winner = (
             staged.withColumn("_rn", F.row_number().over(w))
@@ -261,11 +269,15 @@ def sessionize(
         # session (session_start never moves backward).  Only the ts values
         # are buffered (one int64 per event, pandas ns → µs), not the
         # whole frames.
-        ts = np.sort(
-            np.concatenate(
-                [pdf["ts"].to_numpy(dtype="datetime64[ns]") for pdf in pdfs]
-            ).astype("datetime64[us]").astype(np.int64)
+        raw = np.concatenate(
+            [pdf["ts"].to_numpy(dtype="datetime64[ns]") for pdf in pdfs]
         )
+        # drop NaT (null ts) rows: casting NaT to int64 yields INT64_MIN,
+        # which would wrap the gap arithmetic and silently fuse the whole
+        # history into one garbage session.  The watermarked variants never
+        # see nulls (Spark filters them), but the no-watermark form does.
+        raw = raw[~np.isnat(raw)]
+        ts = np.sort(raw.astype("datetime64[us]").astype(np.int64))
         if len(ts) == 0:
             return
         carried = tuple(state.get) if state.exists else None
@@ -409,6 +421,7 @@ def value_ema(events: DataFrame) -> DataFrame:
             (int(ts.value) // 1_000, int(e), int(v))
             for pdf in pdfs
             for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
+            if ts is not pd.NaT  # NaT.value is INT64_MIN, not a timestamp
         )
         if not rows:
             return
@@ -531,6 +544,7 @@ def value_ema_ooo(events: DataFrame) -> DataFrame:
                 (int(ts.value) // 1_000, int(e), int(v))
                 for pdf in pdfs
                 for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
+                if ts is not pd.NaT  # NaT.value is INT64_MIN
             ]
         (ema, n, rest), folded = ema_ooo_step(carried, new_rows, wm_ms)
         state.update(

@@ -154,3 +154,35 @@ def test_run_loader_end_to_end(spark, tmp_path):
     ingest = read_events_jsonl(spark, report["outputs"]["events"])
     assert ingest.events.count() == 12
     assert ingest.bad_records.count() == 0
+
+
+def test_run_loader_skips_non_target_csvs(spark, tmp_path):
+    """Reference parity (loader:17-22): only the TARGET_FILES whitelist is
+    event-grain; 'Sale Report.csv' / 'May-2022.csv' must be recorded as
+    skipped, NOT routed through amazon_events as fake purchases, and a
+    missing target is recorded like the reference's [WARN] entry."""
+    import shutil
+
+    csv_dir = tmp_path / "incoming"
+    csv_dir.mkdir()
+    shutil.copy(AMAZON_CSV, csv_dir / "Amazon Sale Report.csv")
+    # not event-grain: same columns, must not become events
+    shutil.copy(AMAZON_CSV, csv_dir / "Sale Report.csv")
+    shutil.copy(AMAZON_CSV, csv_dir / "May-2022.csv")
+    out_dir = tmp_path / "staging"
+
+    report = L.run_loader(spark, str(csv_dir), str(out_dir))
+    assert report["files"]["Amazon Sale Report.csv"]["written"] == 12
+    assert report["files"]["Sale Report.csv"] == {
+        "skipped_not_event_grain": True
+    }
+    assert report["files"]["May-2022.csv"] == {
+        "skipped_not_event_grain": True
+    }
+    # the intl target is absent from this folder -> recorded as missing
+    assert report["files"]["international_sale_report.csv"] == {
+        "missing": True
+    }
+    # and the canonical events output holds ONLY the whitelisted file's rows
+    ev = spark.read.json(report["outputs"]["events"])
+    assert ev.count() == 12
