@@ -232,10 +232,11 @@ def hash_id(*parts: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
-def amazon_events(df: DataFrame, source_name: str) -> DataFrame:
-    """Amazon Sale Report rows → canonical purchase events
-    (kaggle_amazon_sales_loader.py:120-187).  Skips no-ts rows and
-    amount > 250k outliers; all other semantics are column expressions."""
+def _amazon_staged(df: DataFrame) -> DataFrame:
+    """Shared staged relation of amazon_events / amazon_loader_stats: ONE
+    set of field-pick / scrub / fallback expressions, so the stats report
+    can never disagree with what the event builder actually wrote (the
+    two used to carry copy-pasted twins of the amount-fallback rule)."""
     order_id = pick(df, ORDER_KEYS)
     user_raw = pick(df, USER_KEYS)
     user_id = F.when(user_raw != "", user_raw).otherwise(
@@ -250,15 +251,24 @@ def amazon_events(df: DataFrame, source_name: str) -> DataFrame:
     ).otherwise(amount0)
     currency = default_if_blank(pick(df, CURRENCY_KEYS), "USD")
     country = default_if_blank(pick(df, COUNTRY_KEYS), "unknown")
-
-    staged = df.select(
-        iso_ts(parse_any_ts(df)).alias("ts"),
+    return df.select(
+        parse_any_ts(df).alias("ts_raw"),
         order_id.alias("order_id"),
         user_id.alias("user_id"),
         product_id.alias("product_id"),
         amount.alias("amount"),
         currency.alias("currency"),
         country.alias("country"),
+    )
+
+
+def amazon_events(df: DataFrame, source_name: str) -> DataFrame:
+    """Amazon Sale Report rows → canonical purchase events
+    (kaggle_amazon_sales_loader.py:120-187).  Skips no-ts rows and
+    amount > 250k outliers; all other semantics are column expressions."""
+    staged = _amazon_staged(df).select(
+        iso_ts(F.col("ts_raw")).alias("ts"),
+        "order_id", "user_id", "product_id", "amount", "currency", "country",
     )
     return (
         staged.filter(F.col("ts").isNotNull())
@@ -292,15 +302,10 @@ def amazon_events(df: DataFrame, source_name: str) -> DataFrame:
 
 def amazon_loader_stats(df: DataFrame) -> DataFrame:
     """Per-file counters (kaggle_amazon_sales_loader.py:124-129) as one
-    aggregation: rows_total / written / skipped_no_ts / skipped_outlier."""
-    amount0 = to_float_scrub(pick(df, AMOUNT_KEYS))
-    qty = to_int_scrub(pick(df, QTY_KEYS))
-    unit_price = to_float_scrub(pick(df, PRICE_KEYS))
-    amount = F.when(
-        (amount0 == 0.0) & (unit_price > 0.0) & (qty > 0), unit_price * qty
-    ).otherwise(amount0)
-    staged = df.select(
-        parse_any_ts(df).alias("ts"), amount.alias("amount")
+    aggregation over the SAME staged relation the event builder writes
+    from: rows_total / written / skipped_no_ts / skipped_outlier."""
+    staged = _amazon_staged(df).select(
+        F.col("ts_raw").alias("ts"), "amount"
     )
     no_ts = F.col("ts").isNull()
     outlier = ~no_ts & (F.col("amount") > AMOUNT_OUTLIER)
@@ -312,10 +317,9 @@ def amazon_loader_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def international_sales(df: DataFrame, source_name: str) -> DataFrame:
-    """International sale Report rows → canonical wholesale lines
-    (kaggle_amazon_sales_loader.py:189-249).  A non-blank DATE that is not a
-    strict date token rejects the row before any other parsing."""
+def _intl_staged(df: DataFrame) -> DataFrame:
+    """Shared staged relation of international_sales / intl_loader_stats
+    (same single-source-of-truth rationale as _amazon_staged)."""
     raw_date = pick(df, INTL_DATE_KEYS)
     bad_date = (raw_date != "") & ~raw_date.rlike(DATE_TOKEN_RE)
     customer = default_if_blank(pick(df, CUSTOMER_KEYS), "unknown_customer")
@@ -324,16 +328,26 @@ def international_sales(df: DataFrame, source_name: str) -> DataFrame:
     rate = to_float_scrub(pick(df, RATE_KEYS))
     gross_amt = to_float_scrub(pick(df, GROSS_KEYS))
     currency = default_if_blank(pick(df, CURRENCY_KEYS), "USD")
-
-    staged = df.select(
+    return df.select(
         bad_date.alias("bad_date"),
-        iso_ts(parse_any_ts(df)).alias("ts"),
+        parse_any_ts(df).alias("ts_raw"),
         customer.alias("customer"),
         sku.alias("sku"),
         pcs.alias("pcs"),
         rate.alias("rate"),
         gross_amt.alias("gross_amt"),
         currency.alias("currency"),
+    )
+
+
+def international_sales(df: DataFrame, source_name: str) -> DataFrame:
+    """International sale Report rows → canonical wholesale lines
+    (kaggle_amazon_sales_loader.py:189-249).  A non-blank DATE that is not a
+    strict date token rejects the row before any other parsing."""
+    staged = _intl_staged(df).select(
+        "bad_date",
+        iso_ts(F.col("ts_raw")).alias("ts"),
+        "customer", "sku", "pcs", "rate", "gross_amt", "currency",
     )
     return (
         staged.filter(~F.col("bad_date"))
@@ -361,14 +375,10 @@ def international_sales(df: DataFrame, source_name: str) -> DataFrame:
 
 
 def intl_loader_stats(df: DataFrame) -> DataFrame:
-    """Counters for the intl loader (kaggle_amazon_sales_loader.py:194-200)."""
-    raw_date = pick(df, INTL_DATE_KEYS)
-    bad_date = (raw_date != "") & ~raw_date.rlike(DATE_TOKEN_RE)
-    gross_amt = to_float_scrub(pick(df, GROSS_KEYS))
-    staged = df.select(
-        bad_date.alias("bad_date"),
-        parse_any_ts(df).alias("ts"),
-        gross_amt.alias("gross_amt"),
+    """Counters for the intl loader (kaggle_amazon_sales_loader.py:194-200)
+    over the SAME staged relation the sales builder writes from."""
+    staged = _intl_staged(df).select(
+        "bad_date", F.col("ts_raw").alias("ts"), "gross_amt"
     )
     bad = F.col("bad_date")
     no_ts = ~bad & F.col("ts").isNull()
