@@ -110,6 +110,8 @@ _IMPL_CHANGED_THIS_ROUND = {
 _CHANGED_THIS_ROUND: set[str] = {
     # NEW or impl-changed in round 5 — zero driver evidence for this code
     "embedding_ivf_pq_rerank",  # exact-distance re-rank of ADC candidates
+    "embedding_ivf_pq_topk2",  # multi-probe (nprobe=2) IVF-PQ ADC search
+    "docs_shard_manifest",  # deterministic training-shard manifest
     "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
     "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
     # streaming kernels REWRITTEN this round (vectorized sessionize,
@@ -118,6 +120,15 @@ _CHANGED_THIS_ROUND: set[str] = {
     "streaming_sessionize",
     "streaming_sessionize_flush",
     "streaming_value_ema",
+    # Review-pass rewrites AFTER the recorded 133/133 sweep: the EP3 loader
+    # (TARGET_FILES whitelist, try_cast quantity scrub, strptime-exact
+    # multiformat chain, shared staged relation) and the asof struct-payload
+    # fix — the freshest driver greens for these predate the new code
+    "ecommerce_events_canonical",
+    "ecommerce_loader_stats",
+    "ecommerce_intl_canonical",
+    "ecommerce_intl_stats",
+    "events_click_attribution",
 }
 # Freshest driver green per query, from CORRECTNESS_r0{1..4}.json union.
 _ROUND2_GREEN = {

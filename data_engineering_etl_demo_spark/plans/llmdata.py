@@ -266,7 +266,9 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from data_engineering_etl_demo_spark.functions.hashing import (  # noqa: E402
+    md5_stream,
     sql_hexbig as _sql_hexbig,
+    sql_md5_stream,
 )
 
 
@@ -2002,7 +2004,9 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_pq_adc_scores(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
     """(query_id, cand_id, adc_fixed): the shared IVF-PQ candidate-scoring
     plan — corpus encoded in one kernel pass, each query's probe cell and
     4×16 ADC lookup table resolved driver-side, candidates restricted to
@@ -2016,11 +2020,20 @@ def _ivf_pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.centroids_from_parquet(path)
     _, cb_mat = S.vectors_from_parquet(path, 0, S.PQ_K)
     q_ids, q_mat = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
-    q_cells = S._nearest_cells(q_mat, cents)
-    cell_of = {int(q): int(c) for q, c in zip(q_ids, q_cells)}
+    # (n_queries, nprobe) probe cells, (cos DESC, cell) order — for
+    # nprobe=1 the top-1 column is _nearest_cells by construction (same
+    # arithmetic, same lowest-cell tiebreak).  The ADC lookup table is
+    # cell-independent, so multi-probe just replays each (m, code, d) row
+    # once per probed cell; a candidate lives in exactly one cell, so a
+    # (query, cand) pair still matches one LUT row per subspace.
+    q_cells = S._cell_ranking(q_mat, cents, nprobe)
+    probe_of = {
+        int(q): [int(c) for c in row] for q, row in zip(q_ids, q_cells)
+    }
     lut_rows = [
-        (qid, cell_of[qid], m, code, d)
+        (qid, cell, m, code, d)
         for (qid, m, code, d) in S.pq_adc_lut(q_ids, q_mat, cb_mat)
+        for cell in probe_of[qid]
     ]
     lut_schema = T.StructType(
         [
@@ -2134,6 +2147,128 @@ def q_embedding_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embedding_ivf_pq_topk2",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES},
+    qcell2 AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ag
+            WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}
+        ) WHERE rn <= 2
+    ),
+    adc2 AS (
+        SELECT qc.query_id, c.vec_id AS cand_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_fixed
+        FROM codes c
+        JOIN ass a ON a.vec_id = c.vec_id
+        JOIN qcell2 qc ON qc.cell = a.cell
+        JOIN qdist qd ON qd.query_id = qc.query_id
+                     AND qd.m = c.m AND qd.code = c.code
+        WHERE c.vec_id <> qc.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_fixed, rank FROM (
+        SELECT query_id, cand_id, adc_fixed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_fixed, cand_id) AS rank
+        FROM adc2
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Multi-probe IVF-PQ search (nprobe=2): identical plan to "
+    "embedding_ivf_pq_topk except each query probes its TWO nearest IVF "
+    "cells — the standard recall knob for cell-boundary queries (a "
+    "vector near the edge of its Voronoi cell has its true neighbors "
+    "split across the boundary; probing the runner-up cell recovers "
+    "them).  The ADC lookup table is cell-independent, so multi-probe "
+    "only replicates the broadcast LUT per probed cell; the corpus "
+    "still streams once through the same encode kernel and candidate "
+    "count grows by ~2× (nprobe/n_cells of the corpus), not by a second "
+    "scan.  Oracle extends the shared IVF-PQ CTE block with an rn<=2 "
+    "probe set over the same cell-ranking relation.",
+)
+def q_embedding_ivf_pq_topk2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    adc = _ivf_pq_adc_scores(spark, sf_dir, nprobe=2)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fixed"), F.col("cand_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data sharding: deterministic hash shards + per-shard manifest
+# ---------------------------------------------------------------------------
+
+
+N_SHARDS = 16
+
+
+@register(
+    "docs_shard_manifest",
+    f"""
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM (
+        SELECT text,
+               {sql_md5_stream("'shard' || CAST(doc_id AS VARCHAR)")}
+                   % {N_SHARDS} AS shard,
+               {_fmt(SQL_TOKEN_COUNT)} AS n_tokens
+        FROM documents
+    )
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc=f"Deterministic training-shard assignment + manifest: every doc "
+    f"hashes to one of {N_SHARDS} shards by an md5 stream of its id "
+    "(engine/parallelism/run-invariant — re-running the pipeline or "
+    "adding executors never moves a doc between shards, which is what "
+    "makes shard-level resume and caching sound), and the manifest "
+    "reports per-shard docs/tokens/chars plus the largest single "
+    "document — the numbers a dataloader needs to balance workers and "
+    "size sequence-packing buffers.  Scale shape: one projection-pruned "
+    f"scan, map-side partial aggs, a {N_SHARDS}-row exchange; the md5 "
+    "mixing makes shard sizes concentrate tightly around n/shards "
+    "regardless of doc_id distribution (no range-partition skew).  All "
+    "sums are LONG counts — order-independent, so exact at any "
+    "parallelism in both engines.",
+)
+def q_docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, w = F.col("text"), F.col("w")
+    staged = _docs_wide(spark, sf_dir).select(
+        "text",
+        (md5_stream("shard", F.col("doc_id")) % N_SHARDS).alias("shard"),
+        X.words(F.col("text")).alias("w"),
+    )
+    return (
+        staged.select(
+            "shard", "text", X.token_count(t, w).alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+        .orderBy("shard")
     )
 
 

@@ -72,3 +72,20 @@ def test_stratified_sample_equal_allocation(spark):
     assert len(by_lang) == n_lang
     for ranks in by_lang.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_shard_manifest_covers_corpus_and_balances(spark):
+    """Every doc lands in exactly one shard (token/doc totals conserved),
+    all shards are populated, and the md5 mixing keeps the largest shard
+    within 2x the mean — the property that makes hash sharding safe to
+    use for worker balancing at any doc_id distribution."""
+    rows = all_specs()["docs_shard_manifest"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    n_total = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert len(rows) == 16 and all(r["n_docs"] > 0 for r in rows)
+    assert max(r["n_docs"] for r in rows) <= 2 * (n_total / 16)
+    assert all(r["max_doc_tokens"] <= r["n_tokens"] for r in rows)

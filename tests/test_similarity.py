@@ -240,3 +240,20 @@ def test_adc_of_own_code_equals_reconstruction_error(corpus):
         c0, c1 = code % 4, code // 4
         adc_self = lut[(vid, 0, c0)] + lut[(vid, 1, c1)]
         assert adc_self == err, (vid, adc_self, err)
+
+
+def test_cell_ranking_top1_equals_nearest_cells():
+    """The multi-probe ranking and the single-assignment fast path must
+    agree on the winner for every vector — same fixed-point arithmetic,
+    same lowest-cell tiebreak — because _ivf_pq_adc_scores(nprobe=1)
+    (the oracle-green topk/rerank plans) now derives its probe cell from
+    _cell_ranking while the corpus encode kernel still uses the
+    _nearest_cells arithmetic."""
+    import numpy as np
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    cents = S.centroids_from_parquet(path)
+    ids, mat = S.vectors_from_parquet(path, 0, 1 << 60)
+    top1 = S._cell_ranking(mat, cents, 1)[:, 0]
+    single = S._nearest_cells(mat, cents)
+    assert np.array_equal(top1, single)
