@@ -562,3 +562,92 @@ def q_lineitem_zorder_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_page")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: edit-distance-1 linkage via wildcard-neighborhood
+# blocking (FastSS-family) — no all-pairs comparison ever materializes
+# ---------------------------------------------------------------------------
+
+
+_EDIT1_MAXLEN = 64  # oracle's constant series bound (names are 18 chars)
+
+
+@register(
+    "customers_edit1_pairs",
+    f"""
+    WITH v AS (
+        SELECT c_custkey, c_name, i AS pos,
+               substr(c_name, 1, i - 1) || chr(1) || substr(c_name, i + 1)
+                   AS variant
+        FROM customer, generate_series(1, {_EDIT1_MAXLEN}) AS g(i)
+        WHERE i <= length(c_name)
+    )
+    SELECT a.pos, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(a.c_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(b.c_custkey) AS BIGINT) AS max_custkey
+    FROM v a JOIN v b ON a.variant = b.variant
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) = 1
+    GROUP BY a.pos
+    ORDER BY a.pos
+    """,
+    doc="Entity-resolution linkage: all pairs of customer names at edit "
+    "distance exactly 1, found by wildcard-neighborhood blocking "
+    "(FastSS family): each name emits one variant per character "
+    "position with that character replaced by a hole, and two "
+    "equal-length names are substitution-distance-1 iff they share a "
+    "variant — at exactly one (hole-position) key, so the equi-join "
+    "emits each true pair once and NO quadratic candidate set ever "
+    "exists.  The report aggregates to per-differing-position pair "
+    "counts.  Scale shape: the variant relation is |rows|·len(name) "
+    "(linear), and a bucket holds only names agreeing everywhere "
+    "except the hole — its size is bounded by the alphabet at one "
+    "position (<=10 here), so the self-join's fan-out is "
+    "skew-bounded by construction, unlike sorted-neighborhood or "
+    "length-blocking which collapse under uniform key formats.  The "
+    "levenshtein residual keeps the blocking honest (and would drop "
+    "distance-0 duplicates if the key were not unique).  Both engines "
+    "run integer levenshtein — engine-exact.",
+)
+def q_customers_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("pos"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        "pos",
+        F.concat(
+            F.expr("substr(c_name, 1, pos - 1)"),
+            F.lit("\x01"),
+            F.expr("substr(c_name, pos + 1)"),
+        ).alias("variant"),
+    )
+    a = v.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "pos",
+        "variant",
+    )
+    b = v.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("variant").alias("variant_b"),
+    )
+    return (
+        a.join(b, a["variant"] == b["variant_b"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") == 1)
+        )
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("key_a").alias("min_custkey"),
+            F.max("key_b").alias("max_custkey"),
+        )
+        .orderBy("pos")
+    )

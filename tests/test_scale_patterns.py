@@ -182,3 +182,37 @@ def test_chunk_windows_overlap_semantics(spark):
     assert {
         (k, v["checksum"]) for k, v in by_doc[1].items()
     } == {(k, v["checksum"]) for k, v in by_doc[4].items()}
+
+
+def test_edit1_blocking_equals_brute_force(spark):
+    """The wildcard-neighborhood join must find EXACTLY the brute-force
+    edit-distance-1 pair set — blocking is recall-complete for
+    substitution distance 1 by construction (two equal-length names at
+    distance 1 share the variant holed at their single differing
+    position), and the levenshtein residual removes nothing true."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["pos"], r["n_pairs"])
+        for r in all_specs()["customers_edit1_pairs"].spark_fn(spark, sf).collect()
+    }
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"))
+    b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"))
+    brute = (
+        a.crossJoin(b)
+        .filter((F.col("ka") < F.col("kb")) & (F.levenshtein("na", "nb") == 1))
+        .collect()
+    )
+    # recover the differing position for each brute pair driver-side
+    from collections import Counter
+
+    per_pos = Counter()
+    for r in brute:
+        diffs = [i + 1 for i, (x, y) in enumerate(zip(r["na"], r["nb"])) if x != y]
+        assert len(diffs) == 1
+        per_pos[diffs[0]] += 1
+    assert got == {(p, n) for p, n in per_pos.items()}
