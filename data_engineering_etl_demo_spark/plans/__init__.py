@@ -113,6 +113,8 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_ivf_pq_topk2",  # multi-probe (nprobe=2) IVF-PQ ADC search
     "docs_shard_manifest",  # deterministic training-shard manifest
     "customers_edit1_pairs",  # edit-distance-1 linkage via wildcard blocking
+    "lineitem_bloom_prune",  # engine-exact bloom-filter semi-join pruning
+    "lineitem_zonemap_skip",  # read-side zone-map pruning, z-order vs linear
     "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
     "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
     # streaming kernels REWRITTEN this round (vectorized sessionize,

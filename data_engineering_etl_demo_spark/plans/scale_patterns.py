@@ -651,3 +651,343 @@ def q_customers_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning: compact-bitmap pre-filter for a fact scan
+# ---------------------------------------------------------------------------
+
+
+_BLOOM_M = 8192  # bits in the filter
+_BLOOM_K = 2  # hash functions
+_BLOOM_PRICE = 495000.0  # selective dim predicate (~1% of orders)
+
+
+def _bloom_pos(col, j: int):
+    from data_engineering_etl_demo_spark.functions.hashing import md5_stream
+
+    return md5_stream(f"bloom{j}", col) % _BLOOM_M
+
+
+def _sql_bloom_pos(expr: str, j: int) -> str:
+    from data_engineering_etl_demo_spark.functions.hashing import (
+        sql_md5_stream,
+    )
+
+    salted = f"'bloom{j}' || CAST({expr} AS VARCHAR)"
+    return f"({sql_md5_stream(salted)} % {_BLOOM_M})"
+
+
+_SQL_BLOOM = f"""
+    WITH sel AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT {_sql_bloom_pos('o_orderkey', 0)} AS pos FROM sel
+            UNION ALL
+            SELECT {_sql_bloom_pos('o_orderkey', 1)} AS pos FROM sel
+        )
+    ),
+    li AS (
+        SELECT l_orderkey,
+               {_sql_bloom_pos('l_orderkey', 0)} AS pos0,
+               {_sql_bloom_pos('l_orderkey', 1)} AS pos1,
+               l_orderkey IN (SELECT o_orderkey FROM sel) AS is_true
+        FROM lineitem
+    ),
+    flags AS (
+        SELECT is_true,
+               (pos0 IN (SELECT pos FROM bits))
+               AND (pos1 IN (SELECT pos FROM bits)) AS cand
+        FROM li
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(COUNT(*) FILTER (WHERE cand) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE is_true) AS BIGINT) AS n_true_matches,
+           CAST(COUNT(*) FILTER (WHERE cand AND NOT is_true) AS BIGINT)
+               AS n_false_positives
+    FROM flags
+"""
+
+
+@register(
+    "lineitem_bloom_prune",
+    _SQL_BLOOM,
+    doc="Bloom-filter semi-join pruning: a ~1%-selective predicate on "
+    f"orders builds a {_BLOOM_M}-bit, {_BLOOM_K}-hash Bloom bitmap of "
+    "the surviving keys, packed into 64-bit words and broadcast; the "
+    "lineitem scan tests membership with pure bitwise expressions and "
+    "only candidate rows would proceed to the real join.  The report "
+    "row quantifies the trade: fact rows scanned, bits set, candidates "
+    "passed, true matches, false positives.  This is the pattern that "
+    "replaces a full shuffle-join when the build side is too big to "
+    "broadcast as rows but its BITMAP fits anywhere: at 100 TB a "
+    "billion-key filter is 2^31 bits = 256 MB of words vs tens of GB "
+    "of keys, and the probe side never shuffles at all (the standard "
+    "runtime-filter design; Spark's own runtime bloom filter does this "
+    "opaquely — this one is md5-seeded, so the ORACLE replays the "
+    "identical bit set and the FP count is hash-compared, not "
+    "approximated).  No false negative is possible by construction "
+    "(test pins true_matches <= candidates and exact parity of both).",
+)
+def q_lineitem_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_totalprice") > _BLOOM_PRICE).select(
+        "o_orderkey"
+    )
+    bits = sel.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("o_orderkey"), j) for j in range(_BLOOM_K)]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = bits.groupBy(F.expr(f"pos DIV 64").alias("widx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("word")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    for j in range(_BLOOM_K):
+        li = li.withColumn(f"pos{j}", _bloom_pos(F.col("l_orderkey"), j))
+        w = words.select(
+            F.col("widx").alias(f"widx{j}"), F.col("word").alias(f"word{j}")
+        )
+        li = li.join(
+            F.broadcast(w),
+            F.expr(f"pos{j} DIV 64") == F.col(f"widx{j}"),
+            "left",
+        ).withColumn(
+            f"hit{j}",
+            F.coalesce(
+                F.expr(
+                    f"(word{j} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(pos{j} % 64 AS INT))) != 0"
+                ),
+                F.lit(False),
+            ),
+        )
+    truth = sel.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(True).alias("is_true")
+    )
+    flags = (
+        li.join(F.broadcast(truth), on="l_orderkey", how="left")
+        .withColumn("is_true", F.coalesce("is_true", F.lit(False)))
+        .withColumn(
+            "cand",
+            F.expr(" AND ".join(f"hit{j}" for j in range(_BLOOM_K))),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.count_if(F.col("cand")).alias("n_candidates"),
+        F.count_if(F.col("is_true")).alias("n_true_matches"),
+        F.count_if(F.col("cand") & ~F.col("is_true")).alias(
+            "n_false_positives"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(n_bits)).select(
+        "n_fact_rows",
+        "bits_set",
+        "n_candidates",
+        "n_true_matches",
+        "n_false_positives",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping: the read-side payoff of the z-order layout
+# ---------------------------------------------------------------------------
+
+
+_LIN_PAGE_ROWS = 600  # rows per page in the linear-sort layout
+
+
+@register(
+    "lineitem_zonemap_skip",
+    f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS lo_p, MAX(l_partkey) AS hi_p,
+               MIN(l_suppkey) AS lo_s, MAX(l_suppkey) AS hi_s
+        FROM lineitem
+    ),
+    pred AS (
+        SELECT lo_p + ((hi_p - lo_p) * 2) // 5 AS p1,
+               lo_p + (hi_p - lo_p) // 2 AS p2,
+               lo_s + (hi_s - lo_s) // 10 AS s1,
+               lo_s + (hi_s - lo_s) // 5 AS s2
+        FROM b
+    ),
+    n AS (
+        SELECT l_partkey, l_suppkey,
+               {_SQL_NORM.format(c='l_partkey', n='p')} AS nx,
+               {_SQL_NORM.format(c='l_suppkey', n='s')} AS ny,
+               ROW_NUMBER() OVER (
+                   ORDER BY l_partkey, l_suppkey, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem, b
+    ),
+    zp AS (
+        SELECT ({L.sql_zorder_key(['nx', 'ny'])} >> {_Z_SHIFT}) AS page,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+               MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s
+        FROM n GROUP BY 1
+    ),
+    lp AS (
+        SELECT (rn - 1) // {_LIN_PAGE_ROWS} AS page,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+               MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s
+        FROM n GROUP BY 1
+    ),
+    zs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS z_pages_total,
+               CAST(COUNT(*) FILTER (WHERE NOT (
+                   max_p < p1 OR min_p > p2 OR max_s < s1 OR min_s > s2
+               )) AS BIGINT) AS z_pages_scanned,
+               CAST(COALESCE(SUM(n_rows) FILTER (WHERE NOT (
+                   max_p < p1 OR min_p > p2 OR max_s < s1 OR min_s > s2
+               )), 0) AS BIGINT) AS z_rows_scanned
+        FROM zp, pred
+    ),
+    ls AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS lin_pages_total,
+               CAST(COUNT(*) FILTER (WHERE NOT (
+                   max_p < p1 OR min_p > p2 OR max_s < s1 OR min_s > s2
+               )) AS BIGINT) AS lin_pages_scanned,
+               CAST(COALESCE(SUM(n_rows) FILTER (WHERE NOT (
+                   max_p < p1 OR min_p > p2 OR max_s < s1 OR min_s > s2
+               )), 0) AS BIGINT) AS lin_rows_scanned
+        FROM lp, pred
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching
+        FROM lineitem, pred
+        WHERE l_partkey BETWEEN p1 AND p2 AND l_suppkey BETWEEN s1 AND s2
+    )
+    SELECT z_pages_total, z_pages_scanned, z_rows_scanned,
+           lin_pages_total, lin_pages_scanned, lin_rows_scanned,
+           rows_matching
+    FROM zs, ls, ex
+    """,
+    doc="Read-side zone-map data skipping — the payoff measurement for "
+    "the z-order layout: a 2-D range predicate (a ~10% x 10% box of "
+    "each key's domain, derived from the table bounds in exact integer "
+    "arithmetic so it scales with SF) is evaluated against per-page "
+    "min/max zone maps under TWO layouts of the same rows: the Morton "
+    "z-page bucketing (lineitem_zorder_pages) and a linear "
+    "(l_partkey, l_suppkey) sort cut into fixed-size pages.  The "
+    "report: pages total/scanned and the row-IO bound under each "
+    "layout, plus the true match count.  The z-curve keeps BOTH "
+    "dimensions' per-page spans narrow, so it prunes pages the linear "
+    "sort must scan (the trailing-dimension problem); "
+    "tests/test_storage_layout.py asserts the contrast on this very "
+    "query.  Scale shape: zone maps are <=  pages rows (tiny), the "
+    "scan is one pass, and the linear layout's global sort stands in "
+    "for the writer's range partitioning — at 100 TB the reader "
+    "consults footer stats exactly like this, file by file.",
+)
+def q_lineitem_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("lo_p"),
+        F.max("l_partkey").alias("hi_p"),
+        F.min("l_suppkey").alias("lo_s"),
+        F.max("l_suppkey").alias("hi_s"),
+    ).select(
+        "*",
+        F.expr("lo_p + ((hi_p - lo_p) * 2) DIV 5").alias("p1"),
+        F.expr("lo_p + (hi_p - lo_p) DIV 2").alias("p2"),
+        F.expr("lo_s + (hi_s - lo_s) DIV 10").alias("s1"),
+        F.expr("lo_s + (hi_s - lo_s) DIV 5").alias("s2"),
+    )
+
+    def norm(c: str, lo: str, hi: str):
+        span = (F.col(hi) - F.col(lo)).cast("double")
+        return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
+            F.floor((F.col(c) - F.col(lo)) / span * F.lit(65535.0))
+        )
+
+    w = Window.orderBy(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    staged = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "p1", "p2", "s1", "s2",
+            norm("l_partkey", "lo_p", "hi_p").alias("nx"),
+            norm("l_suppkey", "lo_s", "hi_s").alias("ny"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    z = L.zorder_key([F.col("nx"), F.col("ny")])
+    zp = (
+        staged.select(
+            F.shiftright(z, _Z_SHIFT).alias("page"),
+            "l_partkey", "l_suppkey", "p1", "p2", "s1", "s2",
+        )
+        .groupBy("page", "p1", "p2", "s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_p"),
+            F.max("l_partkey").alias("max_p"),
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+        )
+    )
+    lp = (
+        staged.select(
+            F.expr(f"(rn - 1) DIV {_LIN_PAGE_ROWS}").alias("page"),
+            "l_partkey", "l_suppkey", "p1", "p2", "s1", "s2",
+        )
+        .groupBy("page", "p1", "p2", "s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_p"),
+            F.max("l_partkey").alias("max_p"),
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+        )
+    )
+    overlap = ~(
+        (F.col("max_p") < F.col("p1"))
+        | (F.col("min_p") > F.col("p2"))
+        | (F.col("max_s") < F.col("s1"))
+        | (F.col("min_s") > F.col("s2"))
+    )
+
+    def stats(pages: DataFrame, prefix: str) -> DataFrame:
+        return pages.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_pages_total"),
+            F.count_if(overlap).alias(f"{prefix}_pages_scanned"),
+            F.coalesce(
+                F.sum(F.when(overlap, F.col("n_rows"))), F.lit(0)
+            ).cast("long").alias(f"{prefix}_rows_scanned"),
+        )
+
+    exact = (
+        staged.filter(
+            F.col("l_partkey").between(F.col("p1"), F.col("p2"))
+            & F.col("l_suppkey").between(F.col("s1"), F.col("s2"))
+        )
+        .agg(F.count(F.lit(1)).alias("rows_matching"))
+    )
+    return (
+        stats(zp, "z")
+        .crossJoin(F.broadcast(stats(lp, "lin")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "z_pages_total", "z_pages_scanned", "z_rows_scanned",
+            "lin_pages_total", "lin_pages_scanned", "lin_rows_scanned",
+            "rows_matching",
+        )
+    )

@@ -216,3 +216,17 @@ def test_edit1_blocking_equals_brute_force(spark):
         assert len(diffs) == 1
         per_pos[diffs[0]] += 1
     assert got == {(p, n) for p, n in per_pos.items()}
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Bloom membership can only over-approximate: every true match must
+    be a candidate (candidates == true + false-positives), which is the
+    no-false-negative guarantee the pruning pattern rests on."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    row = all_specs()["lineitem_bloom_prune"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["n_candidates"] == row["n_true_matches"] + row["n_false_positives"]
+    assert 0 < row["n_true_matches"] <= row["n_candidates"] <= row["n_fact_rows"]
+    assert row["bits_set"] > 0

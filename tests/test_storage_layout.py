@@ -97,3 +97,21 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path_factory):
         pruned.count()
         == events.filter(F.col("event_date") == one_day).count()
     )
+
+
+def test_zonemap_skip_zorder_beats_linear_trailing_dim(spark):
+    """The read-side payoff: for a 2-D box predicate, zone maps over the
+    z-order pages must bound the scanned rows tighter than the linear
+    (part, supp) sort — the linear layout's trailing dimension spans
+    nearly the full domain per page, so its pages can't be pruned on
+    l_suppkey.  Both bounds must still cover every true match (zone-map
+    pruning is never allowed to drop a matching row)."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    row = all_specs()["lineitem_zonemap_skip"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["rows_matching"] <= row["z_rows_scanned"]
+    assert row["rows_matching"] <= row["lin_rows_scanned"]
+    assert row["z_rows_scanned"] < row["lin_rows_scanned"]
+    assert row["z_pages_scanned"] < row["z_pages_total"]
