@@ -991,3 +991,112 @@ def q_lineitem_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_matching",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraints: dbt-style tests as one report
+# ---------------------------------------------------------------------------
+
+
+_EVENT_VOCAB = ["click", "view", "purchase", "signup"]
+
+
+@register(
+    "warehouse_constraint_report",
+    f"""
+    SELECT * FROM (
+        SELECT 'accepted_values:events.event_type' AS rule_id,
+               'events' AS table_name, 'accepted_values' AS kind,
+               CAST(COUNT(*) FILTER (WHERE event_type IS NOT NULL
+                   AND event_type NOT IN ('click','view','purchase','signup'))
+                   AS BIGINT) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'foreign_key:events.user_id', 'events', 'foreign_key',
+               CAST(COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = events.user_id))
+                   AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'foreign_key:lineitem.l_orderkey', 'lineitem', 'foreign_key',
+               CAST(COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = lineitem.l_orderkey))
+                   AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'foreign_key:orders.o_custkey', 'orders', 'foreign_key',
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = orders.o_custkey))
+                   AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'in_range:orders.o_totalprice', 'orders', 'in_range',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 450000))
+                   AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'not_null:events.event_id', 'events', 'not_null',
+               CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'not_null:events.user_id', 'events', 'not_null',
+               CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'unique:customer.c_custkey', 'customer', 'unique',
+               CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'unique:events.event_id', 'events', 'unique',
+               CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_id)
+        UNION ALL
+        SELECT 'unique:lineitem.l_orderkey+l_linenumber', 'lineitem',
+               'unique', CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    )
+    ORDER BY rule_id
+    """,
+    doc="Declarative data-quality gate (operators/constraints.py): ten "
+    "dbt-style rules — not-null, multi-column uniqueness, three "
+    "foreign-key containments, an accepted-values vocabulary, a numeric "
+    "range — evaluated as one unioned plan that moves |rules| rows "
+    "total.  The 'error' event type and the price-range rule violate on "
+    "this data, so the report proves it COUNTS rather than merely "
+    "passes.  Scale shape: predicate rules collapse map-side to one "
+    "partial per task; uniqueness pays one keyed groupBy (the exact "
+    "check's floor — swap in the KMV sketch when an estimate "
+    "suffices); FK checks broadcast the dim's distinct key column, "
+    "which is precisely when FK validation is sensible.  The "
+    "generalization of the reference's counter-style quality report "
+    "(pipeline/quality.py) into declared, re-runnable tests-for-data.",
+)
+def q_warehouse_constraint_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_engineering_etl_demo_spark.operators import constraints as C
+
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    rules = [
+        C.accepted_values(events, "events", "event_type", _EVENT_VOCAB),
+        C.foreign_key(events, "events", "user_id", customer, "c_custkey"),
+        C.foreign_key(
+            lineitem, "lineitem", "l_orderkey", orders, "o_orderkey"
+        ),
+        C.foreign_key(orders, "orders", "o_custkey", customer, "c_custkey"),
+        C.in_range(orders, "orders", "o_totalprice", 0, 450000),
+        C.not_null(events, "events", "event_id"),
+        C.not_null(events, "events", "user_id"),
+        C.unique(customer, "customer", ["c_custkey"]),
+        C.unique(events, "events", ["event_id"]),
+        C.unique(lineitem, "lineitem", ["l_orderkey", "l_linenumber"]),
+    ]
+    return C.constraint_report(rules)
