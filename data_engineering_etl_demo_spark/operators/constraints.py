@@ -19,8 +19,9 @@ Scale design: not_null / accepted_values / in_range are scan-local
 predicates that collapse map-side to one partial per task; unique is one
 groupBy on the key (the same shuffle a dedup pays — unavoidable for exact
 uniqueness; swap in a KMV/HLL sketch when an estimate suffices);
-foreign_key broadcasts the parent's distinct key column when it is
-dim-sized, which is exactly when FK checks make sense.  Nothing ever
+foreign_key broadcasts the parent's distinct key column only when the
+caller declares the parent dim-sized (broadcast=True); a fact-sized
+parent stays unhinted so AQE sizes the anti-join itself.  Nothing ever
 collects rows to the driver; the report is |rules| rows.
 
 Reference parity note: the reference's quality layer reports row counters
@@ -64,12 +65,19 @@ def foreign_key(
     col: str,
     parent: DataFrame,
     parent_col: str,
+    broadcast: bool = False,
 ) -> DataFrame:
+    """``broadcast=True`` force-ships the parent's distinct key column to
+    every executor — only ask for it when the parent is genuinely
+    dim-sized; for a fact-sized parent leave it False so the optimizer
+    (AQE) picks shuffle vs broadcast from the observed size."""
     keys = parent.select(F.col(parent_col).alias(col)).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
     orphans = (
         child.select(col)
         .filter(F.col(col).isNotNull())
-        .join(F.broadcast(keys), on=col, how="left_anti")
+        .join(keys, on=col, how="left_anti")
     )
     c = orphans.agg(F.count(F.lit(1)).alias("n"))
     return _report_row(

@@ -110,6 +110,7 @@ _IMPL_CHANGED_THIS_ROUND = {
 _CHANGED_THIS_ROUND: set[str] = {
     # NEW or impl-changed in round 5 — zero driver evidence for this code
     "embedding_ivf_pq_rerank",  # exact-distance re-rank of ADC candidates
+    "embedding_ivf_pq_topk",  # shares the rewritten _ivf_pq_adc_scores
     "embedding_ivf_pq_topk2",  # multi-probe (nprobe=2) IVF-PQ ADC search
     "docs_shard_manifest",  # deterministic training-shard manifest
     "customers_edit1_pairs",  # edit-distance-1 linkage via wildcard blocking

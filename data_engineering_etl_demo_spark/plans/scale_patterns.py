@@ -21,6 +21,7 @@ from pyspark import StorageLevel
 from pyspark.sql.window import Window
 
 from data_engineering_etl_demo_spark.catalog import load
+from data_engineering_etl_demo_spark.functions.caching import persist_latest
 from data_engineering_etl_demo_spark.functions.cleaning import MONEY_SCALE
 from data_engineering_etl_demo_spark.operators import layout as L
 from data_engineering_etl_demo_spark.operators import profile as P
@@ -483,6 +484,17 @@ _SQL_NORM = (
 )
 
 
+def _norm16(c: str, lo: str, hi: str):
+    """Min-max normalize a key column to the 16-bit Morton grid — the
+    Spark twin of _SQL_NORM; both z-order queries MUST share this exact
+    arithmetic (explicit FLOOR: DuckDB CAST(double AS BIGINT) rounds
+    while Spark's truncates)."""
+    span = (F.col(hi) - F.col(lo)).cast("double")
+    return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
+        F.floor((F.col(c) - F.col(lo)) / span * F.lit(65535.0))
+    )
+
+
 @register(
     "lineitem_zorder_pages",
     f"""
@@ -532,20 +544,14 @@ def q_lineitem_zorder_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_suppkey").alias("hi_s"),
     )
 
-    def norm(c: str, lo: str, hi: str):
-        span = (F.col(hi) - F.col(lo)).cast("double")
-        return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
-            F.floor((F.col(c) - F.col(lo)) / span * F.lit(65535.0))
-        )
-
     z = L.zorder_key([F.col("nx"), F.col("ny")])
     return (
         li.crossJoin(F.broadcast(bounds))
         .select(
             "l_partkey",
             "l_suppkey",
-            norm("l_partkey", "lo_p", "hi_p").alias("nx"),
-            norm("l_suppkey", "lo_s", "hi_s").alias("ny"),
+            _norm16("l_partkey", "lo_p", "hi_p").alias("nx"),
+            _norm16("l_suppkey", "lo_s", "hi_s").alias("ny"),
         )
         .select(
             F.shiftright(z, _Z_SHIFT).alias("z_page"),
@@ -909,25 +915,21 @@ def q_lineitem_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("lo_s + (hi_s - lo_s) DIV 5").alias("s2"),
     )
 
-    def norm(c: str, lo: str, hi: str):
-        span = (F.col(hi) - F.col(lo)).cast("double")
-        return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
-            F.floor((F.col(c) - F.col(lo)) / span * F.lit(65535.0))
-        )
-
     w = Window.orderBy(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
     )
-    staged = (
-        li.crossJoin(F.broadcast(bounds))
-        .select(
+    # One staged relation feeds all three consumers (zp, lp, exact) —
+    # persist so the scan + broadcast-bounds join + global sort run once
+    staged = persist_latest(
+        li.crossJoin(F.broadcast(bounds)).select(
             "l_partkey",
             "l_suppkey",
             "p1", "p2", "s1", "s2",
-            norm("l_partkey", "lo_p", "hi_p").alias("nx"),
-            norm("l_suppkey", "lo_s", "hi_s").alias("ny"),
+            _norm16("l_partkey", "lo_p", "hi_p").alias("nx"),
+            _norm16("l_suppkey", "lo_s", "hi_s").alias("ny"),
             F.row_number().over(w).alias("rn"),
-        )
+        ),
+        "scale_patterns.zonemap_staged",
     )
     z = L.zorder_key([F.col("nx"), F.col("ny")])
     zp = (
@@ -1087,11 +1089,18 @@ def q_warehouse_constraint_report(
     customer = load(spark, sf_dir, "customer")
     rules = [
         C.accepted_values(events, "events", "event_type", _EVENT_VOCAB),
-        C.foreign_key(events, "events", "user_id", customer, "c_custkey"),
+        C.foreign_key(
+            events, "events", "user_id", customer, "c_custkey",
+            broadcast=True,  # customer keys are dim-sized
+        ),
+        # orders is fact-sized: no broadcast hint — AQE sizes the anti-join
         C.foreign_key(
             lineitem, "lineitem", "l_orderkey", orders, "o_orderkey"
         ),
-        C.foreign_key(orders, "orders", "o_custkey", customer, "c_custkey"),
+        C.foreign_key(
+            orders, "orders", "o_custkey", customer, "c_custkey",
+            broadcast=True,
+        ),
         C.in_range(orders, "orders", "o_totalprice", 0, 450000),
         C.not_null(events, "events", "event_id"),
         C.not_null(events, "events", "user_id"),
