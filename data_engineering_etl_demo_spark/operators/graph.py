@@ -341,3 +341,59 @@ def sql_pagerank(prs_sql: str, iters: int = 2) -> str:
         FROM {prev} ORDER BY rank_fp DESC, doc_id"""
     )
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS labels from a seed set
+# ---------------------------------------------------------------------------
+
+
+def bounded_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 3,
+) -> DataFrame:
+    """(node, hop) — minimum hop distance from any seed through the
+    undirected edge list, truncated at ``max_hops`` (nodes farther away
+    are absent).  Deterministic: hop is a pure min over path lengths.
+
+    The propagation shape of transitive taint analyses (contamination
+    spreading through near-dup clusters, PII blast radius, lineage
+    reachability): exactly ``max_hops`` BSP rounds, each one keyed join
+    (frontier ⋈ edges) + one min-aggregate — never an all-pairs closure.
+    State per round is bounded by |reachable ≤ max_hops|, and
+    ``localCheckpoint(eager=True)`` cuts lineage per round like
+    :func:`connected_components` (swap for ``checkpoint()`` on a real
+    cluster).  Joining the full label set instead of just the newest
+    frontier costs one re-join of a tiny relation per round and keeps
+    every round's plan identical — at max_hops ≤ 3 the frontier
+    optimization saves nothing measurable.
+    """
+    node_col = seeds.columns[0]
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    sym = (
+        ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "a"), on="a"
+        ).select(F.col("b").alias("node"), (F.col("hop") + F.lit(1)).alias("hop"))
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -117,6 +117,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "lineitem_bloom_prune",  # engine-exact bloom-filter semi-join pruning
     "lineitem_zonemap_skip",  # read-side zone-map pruning, z-order vs linear
     "warehouse_constraint_report",  # declarative data-quality rule report
+    "docs_contamination_hops",  # taint BFS through the near-dup graph
     "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
     "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
     # streaming kernels REWRITTEN this round (vectorized sessionize,

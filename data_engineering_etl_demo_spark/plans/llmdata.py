@@ -1387,6 +1387,76 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contamination propagation: taint spreading through near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+_HOPS_MAX = 3
+
+
+@register(
+    "docs_contamination_hops",
+    f"""
+    WITH RECURSIVE prs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    sh AS ({_SQL_DECON_GRAMS}),
+    ex AS (SELECT doc_id, unnest(g) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM ex WHERE {_DECON_BENCH}),
+    seeds AS MATERIALIZED (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, g FROM ex WHERE NOT ({_DECON_BENCH})) corpus
+        JOIN bench USING (g)
+    ),
+    r AS (
+        SELECT doc_id, 0 AS hop FROM seeds
+        UNION
+        SELECT e.b AS doc_id, r.hop + 1 AS hop
+        FROM r JOIN edges e ON e.a = r.doc_id
+        WHERE r.hop < {_HOPS_MAX}
+    )
+    SELECT doc_id, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM r GROUP BY 1 ORDER BY doc_id
+    """,
+    doc="Transitive decontamination: benchmark taint propagated through "
+    "the near-dup graph.  A doc that shares no n-gram with the "
+    "benchmark but is a near-duplicate of a contaminated doc is still "
+    "suspect — dropping only the direct hits leaves its paraphrases in "
+    "the training set.  Seeds = docs_decontaminate's direct overlaps "
+    "(hop 0); edges = the registered MinHash pair plan (shingle persist "
+    f"shared); hop = min BFS distance, truncated at {_HOPS_MAX} "
+    "(operators/graph.bounded_hops — one keyed join + one min-agg per "
+    "round, lineage cut per round, never an all-pairs closure).  The "
+    "oracle replays seeds and edges with the same SQL blocks and walks "
+    "the recursion with a bounded recursive CTE.  At 100 TB this is "
+    "the shape of any transitive-taint pass (PII blast radius, license "
+    "propagation): rounds = hops, state = reachable set only.",
+    memoize=False,  # building the plan RUNS the BFS rounds (like clusters)
+)
+def q_docs_contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.operators import graph as G
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    pairs = REGISTRY["docs_minhash_near_dup"].spark_fn(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    seeds = REGISTRY["docs_decontaminate"].spark_fn(spark, sf_dir).select(
+        "doc_id"
+    )
+    hops = G.bounded_hops(
+        pairs, seeds, src="id_a", dst="id_b", max_hops=_HOPS_MAX
+    )
+    return hops.select(
+        F.col("node").alias("doc_id"), F.col("hop").cast("long").alias("hop")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window chunking (pretraining / RAG context windows)
 # ---------------------------------------------------------------------------
 

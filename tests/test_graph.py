@@ -180,3 +180,34 @@ def test_census_and_pagerank_empty_graph(spark):
     pr = pagerank(empty, iters=2)
     assert pr.collect() == []
     assert [f.name for f in pr.schema.fields] == ["doc_id", "rank_fp"]
+
+
+def test_bounded_hops_path_graph_truncates(spark):
+    """Closed-form check on a path graph 0-1-2-3-4-5 with seed {0}:
+    hops are exact BFS distances, truncation drops nodes beyond
+    max_hops, and a node reachable two ways keeps the MIN distance."""
+    from data_engineering_etl_demo_spark.operators.graph import bounded_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)],
+        "id_a long, id_b long",
+    )
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bounded_hops(edges, seeds, max_hops=3).collect()
+    }
+    # 0-3 edge gives 3 distance 1, so 4 is at 2 and 5 at 3; 2 is at 2
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+
+
+def test_bounded_hops_no_edges_returns_seeds_only(spark):
+    from data_engineering_etl_demo_spark.operators.graph import bounded_hops
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    seeds = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bounded_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {7: 0, 9: 0}
