@@ -118,6 +118,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "lineitem_zonemap_skip",  # read-side zone-map pruning, z-order vs linear
     "warehouse_constraint_report",  # declarative data-quality rule report
     "docs_contamination_hops",  # taint BFS through the near-dup graph
+    "events_type_day_cube",  # CUBE subtotals in one Expand pass
     "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
     "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
     # streaming kernels REWRITTEN this round (vectorized sessionize,
