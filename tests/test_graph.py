@@ -211,3 +211,50 @@ def test_bounded_hops_no_edges_returns_seeds_only(spark):
         for r in bounded_hops(edges, seeds, max_hops=2).collect()
     }
     assert got == {7: 0, 9: 0}
+
+
+def test_bounded_hops_matches_python_bfs_on_random_graph(spark):
+    """One seeded random graph, checked against a driver-side BFS model:
+    the distributed min-hop labels must equal classic BFS distances
+    truncated at max_hops, for every choice of max_hops."""
+    import random
+    from collections import deque
+
+    rng = random.Random(20260814)
+    n = 30
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(45)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    seeds = [0, 17]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(max_hops):
+        dist = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    from data_engineering_etl_demo_spark.operators.graph import bounded_hops
+
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
+    for k in (1, 2, 4):
+        got = {
+            r["node"]: r["hop"]
+            for r in bounded_hops(edf, sdf, max_hops=k).collect()
+        }
+        assert got == bfs(k), f"max_hops={k}"
