@@ -195,10 +195,11 @@ def test_bounded_hops_path_graph_truncates(spark):
     seeds = spark.createDataFrame([(0,)], "doc_id long")
     got = {
         r["node"]: r["hop"]
-        for r in bounded_hops(edges, seeds, max_hops=3).collect()
+        for r in bounded_hops(edges, seeds, max_hops=2).collect()
     }
-    # 0-3 edge gives 3 distance 1, so 4 is at 2 and 5 at 3; 2 is at 2
-    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    # 0-3 edge gives 3 distance 1, so 4 is at 2; 2 is at 2; node 5 is at
+    # distance 3 and must be DROPPED by the max_hops=2 truncation
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
 
 
 def test_bounded_hops_no_edges_returns_seeds_only(spark):
