@@ -316,3 +316,34 @@ def test_zorder_pages_scale_only_in_counts(spark, tmp_path):
         assert t[k]["n_rows"] == _COPIES * b[k]["n_rows"]
         for c in ("min_part", "max_part", "min_supp", "max_supp"):
             assert t[k][c] == b[k][c]
+
+
+def test_bounded_hops_scales_with_disjoint_copies(spark):
+    """K disjoint offset copies of a seeded graph must produce exactly K
+    copies of the hop histogram — any cross-copy hop means the BFS join
+    leaks labels between unrelated components."""
+    from collections import Counter
+
+    from data_engineering_etl_demo_spark.operators.graph import bounded_hops
+
+    base_edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)]
+    base_seeds = [0]
+    n_ids = 10  # id space per copy (disjoint offsets)
+
+    def histogram(copies):
+        edges = [
+            (a + k * n_ids, b + k * n_ids)
+            for k in range(copies)
+            for a, b in base_edges
+        ]
+        seeds = [s + k * n_ids for k in range(copies) for s in base_seeds]
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
+        return Counter(
+            r["hop"] for r in bounded_hops(edf, sdf, max_hops=3).collect()
+        )
+
+    h1 = histogram(1)
+    h8 = histogram(8)
+    assert sum(h1.values()) > 0
+    assert h8 == Counter({hop: 8 * n for hop, n in h1.items()})
