@@ -21,6 +21,20 @@ _live: dict[tuple[str, str], DataFrame] = {}
 _lock = threading.Lock()
 
 
+def _prune_dead_sessions() -> None:
+    """Drop entries whose SparkContext has stopped (caller holds _lock).
+    The strong DataFrame references here would otherwise pin JVM plan
+    handles for every stopped session in a long-lived driver process
+    (ADVICE r5) — e.g. a pytest run that cycles sessions per module."""
+    for key, df in list(_live.items()):
+        try:
+            dead = df.sparkSession._sc._jsc is None  # cleared by sc.stop()
+        except Exception:
+            dead = True  # gateway gone — certainly not a live session
+        if dead:
+            _live.pop(key, None)
+
+
 def persist_latest(df: DataFrame, slot: str, storage_level=None) -> DataFrame:
     """persist() with at most one live cached instance per (slot, session).
     Locked: an unsynchronized get-then-set would let two concurrent
@@ -30,6 +44,7 @@ def persist_latest(df: DataFrame, slot: str, storage_level=None) -> DataFrame:
 
     key = (slot, session_key(df.sparkSession))
     with _lock:
+        _prune_dead_sessions()
         prev = _live.pop(key, None)
         if prev is not None:
             try:

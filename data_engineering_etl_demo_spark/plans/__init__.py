@@ -74,115 +74,120 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-5 verification ordering.  The driver walks ``queries()`` in dict
+# Round-6 verification ordering.  The driver walks ``queries()`` in dict
 # order and stops after ~50 of the registered queries, so ordering decides
-# which queries get hard-signal rows.  Principle (round-3 advice, restated
-# by VERDICT r4 items 1-2): order by EVIDENCE STALENESS OF THE CURRENT
-# IMPLEMENTATION —
-#   0. queries that are NEW or impl-changed THIS round (zero hard-signal
-#      evidence exists for the current code),
-#   1. the 10 round-4 reworks whose green rows predate the rework (their
-#      driver evidence is stale; VERDICT r4 priority item 1),
-#   2. queries whose freshest green is round 2 (three rounds stale),
-#   3. queries whose freshest green is round 3 (VERDICT r4 item 2: these
-#      become the stalest cohort once the buckets above land),
-#   4. round-4 greens (freshest evidence; safe beyond cap),
-#   5. streaming last — r3/r4 green AND each one costs multiple seconds
-#      of driver budget (a changed streaming query still sorts at 0).
-_IMPL_CHANGED_THIS_ROUND = {
-    # Round-4 reworks carrying only pre-rework driver greens
-    # (VERDICT r4 "What's wrong"): MinHash word-fold kernel 20x2,
-    "docs_minhash_near_dup",
-    "docs_incremental_dedup",
-    "docs_dedup_survivors",
-    "docs_dup_clusters",
-    # IVF/k-means vectorized single-pass kernels,
-    "embedding_topk_ivf",
-    "embedding_kmeans_step",
-    # SimHash kernelization,
-    "docs_simhash",
-    "docs_simhash_near_dup",
-    # shuffle-hash hint,
-    "sole_late_supplier",
-    # oracle empty-array guard.
-    "embedding_quantize",
-}
+# which queries get hard-signal rows.  Principle (rounds 3-5, restated by
+# VERDICT r5 item 1): order by EVIDENCE STALENESS OF THE CURRENT
+# IMPLEMENTATION — queries changed this round first (their old green rows
+# no longer cover the code), then ascending by the round of each query's
+# freshest driver green (the _LATEST_GREEN map below, computed from the
+# CORRECTNESS_r01..r05 union).  After round 6 lands its ~50-query window
+# (changed set + every query at r2/r3 evidence), no registry query should
+# carry evidence older than round 4.
+
 _CHANGED_THIS_ROUND: set[str] = {
-    # NEW or impl-changed in round 5 — zero driver evidence for this code
-    "embedding_ivf_pq_rerank",  # exact-distance re-rank of ADC candidates
-    "embedding_ivf_pq_topk",  # shares the rewritten _ivf_pq_adc_scores
-    "embedding_ivf_pq_topk2",  # multi-probe (nprobe=2) IVF-PQ ADC search
-    "docs_shard_manifest",  # deterministic training-shard manifest
-    "customers_edit1_pairs",  # edit-distance-1 linkage via wildcard blocking
-    "lineitem_bloom_prune",  # engine-exact bloom-filter semi-join pruning
-    "lineitem_zonemap_skip",  # read-side zone-map pruning, z-order vs linear
-    "warehouse_constraint_report",  # declarative data-quality rule report
-    "docs_contamination_hops",  # taint BFS through the near-dup graph
-    "events_type_day_cube",  # CUBE subtotals in one Expand pass
-    "streaming_value_ema_ooo",  # watermark-buffered out-of-order EMA
-    "events_generated_quarantine",  # bulk dirty-data generator via S1/P1
-    # streaming kernels REWRITTEN this round (vectorized sessionize,
-    # value_ema 2->4-long state + disorder guard): their old greens don't
-    # cover the new code, so they leave the streaming tail for bucket 0
-    "streaming_sessionize",
-    "streaming_sessionize_flush",
-    "streaming_value_ema",
-    # Review-pass rewrites AFTER the recorded 133/133 sweep: the EP3 loader
-    # (TARGET_FILES whitelist, try_cast quantity scrub, strptime-exact
-    # multiformat chain, shared staged relation) and the asof struct-payload
-    # fix — the freshest driver greens for these predate the new code
-    "ecommerce_events_canonical",
-    "ecommerce_loader_stats",
-    "ecommerce_intl_canonical",
-    "ecommerce_intl_stats",
-    "events_click_attribution",
+    # NEW or impl-changed in round 6 — zero driver evidence for this code.
+    # IVF-PQ index now built on k-means-TRAINED centroids (2 Lloyd steps),
+    # oracle retrained identically in SQL:
+    "embedding_ivf_pq_topk",
+    "embedding_ivf_pq_topk2",
+    "embedding_ivf_pq_rerank",
+    # segmented fold bounds per-key memory (VERDICT r5 weakness 1):
+    "events_value_ema",
+    # large-star/small-star connected components (VERDICT r5 weakness 3):
+    "docs_dup_clusters",
+    "docs_dedup_survivors",
+    "docs_cluster_representatives",
+    "embedding_semdedup",
+    # nested-EXISTS pair rewritten as one grouped filter (VERDICT r5 #6):
+    "sole_late_supplier",
+    # duplicate-delivery guard in the ooo kernel (ADVICE r5):
+    "streaming_value_ema_ooo",
 }
-# Freshest driver green per query, from CORRECTNESS_r0{1..4}.json union.
-_ROUND2_GREEN = {
-    "all_parties_union", "brand_quantity_revenue",
-    "customer_order_distribution", "customers_without_orders",
-    "docs_exact_dedup", "docs_lang_id", "docs_pack_batches", "docs_quality",
-    "docs_top_tokens", "events_cohort_retention", "events_pivot_daily",
-    "events_sketch_distinct", "events_time_rollup", "events_unpivot_daily",
-    "idle_rich_customers", "large_quantity_orders", "nation_rollup",
-    "order_priority_lateship", "order_rank", "orders_above_customer_avg",
-    "pricing_percentiles", "pricing_summary", "regional_supplier_volume",
-    "returned_item_revenue", "shipping_priority", "top_customers",
-    "top_supplier_revenue",
-}
-_ROUND3_GREEN = {
-    "dau", "dedup_keep_latest", "docs_boilerplate_ngrams",
-    "docs_decontaminate", "docs_fingerprint_winnow", "docs_ngram_jaccard",
-    "docs_pii_scrub", "docs_repetition", "docs_sample_mix",
-    "docs_tfidf_topterms", "docs_token_stats", "docs_winnow_overlap",
-    "ecommerce_events_canonical", "ecommerce_intl_canonical",
-    "ecommerce_intl_stats", "ecommerce_loader_stats",
-    "embedding_label_stats", "embedding_near_dup",
-    "embedding_near_dup_exact", "embedding_topk", "event_counts",
-    "events_click_attribution", "events_heavy_hitters",
-    "events_ordered_funnel", "events_preview", "events_purchase_window",
-    "events_rolling_hour", "events_salted_user_stats",
-    "events_session_window", "events_user_scd2", "funnel", "intl_revenue",
-    "multimodal_audio_features", "multimodal_decode",
-    "multimodal_frame_sample", "multimodal_resize", "props_k_stats",
-    "quarantine_invalid_events", "revenue",
-    "streaming_click_purchase_join", "streaming_sessionize",
-    "streaming_sessionize_flush", "streaming_window_counts",
-}
+
+# Freshest driver-green round per query, from the CORRECTNESS_r01..r05
+# union (latest row wins; every row in that union is green).
+_LATEST_GREEN: dict[str, int] = {}
+for _r, _names in {
+    2: [
+        "brand_quantity_revenue", "customer_order_distribution",
+        "idle_rich_customers", "large_quantity_orders",
+        "order_priority_lateship", "orders_above_customer_avg",
+        "top_supplier_revenue",
+    ],
+    3: [
+        "dau", "dedup_keep_latest", "docs_boilerplate_ngrams",
+        "docs_decontaminate", "docs_fingerprint_winnow",
+        "docs_ngram_jaccard", "docs_pii_scrub", "docs_repetition",
+        "docs_sample_mix", "docs_tfidf_topterms", "docs_token_stats",
+        "docs_winnow_overlap", "embedding_label_stats",
+        "embedding_near_dup", "embedding_near_dup_exact", "embedding_topk",
+        "event_counts", "events_heavy_hitters", "events_ordered_funnel",
+        "events_preview", "events_purchase_window", "events_rolling_hour",
+        "events_salted_user_stats", "events_session_window",
+        "events_user_scd2", "funnel", "intl_revenue",
+        "multimodal_audio_features", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_resize", "props_k_stats",
+        "quarantine_invalid_events", "revenue",
+        "streaming_click_purchase_join", "streaming_window_counts",
+    ],
+    4: [
+        "customer_balance_deciles", "docs_bpe_pair_merge",
+        "docs_chunk_windows", "docs_cluster_representatives",
+        "docs_dedup_report", "docs_dup_triangles", "docs_length_histogram",
+        "docs_minhash_containment", "docs_pagerank", "docs_span_dedup",
+        "docs_stratified_sample", "docs_train_split",
+        "docs_unigram_surprisal", "docs_vocab_growth",
+        "docs_weighted_sample", "docs_word_bigrams",
+        "dominant_part_suppliers", "embedding_pq_adc_topk",
+        "embedding_pq_codes", "embedding_semdedup", "embedding_topk_ivf2",
+        "events_cohort_setops", "events_gapfill_daily",
+        "events_inter_arrival", "events_kmv_merge",
+        "events_revenue_anomaly_days", "events_rolling_wau",
+        "events_salted_type_join", "events_type_transitions",
+        "events_value_ema", "forecast_revenue", "important_parts",
+        "lineitem_zorder_pages", "market_basket_pairs", "market_share",
+        "min_cost_supplier", "monthly_revenue_growth",
+        "multimodal_patch_grid", "nation_trade_volume",
+        "nation_wealth_balance", "orders_profile", "product_profit",
+        "promo_revenue", "shipping_delay_priority",
+        "small_quantity_revenue", "streaming_dedup_counts",
+        "streaming_enriched_counts", "supplier_part_variety",
+    ],
+    5: [
+        "all_parties_union", "customers_edit1_pairs",
+        "customers_without_orders", "docs_contamination_hops",
+        "docs_dedup_survivors", "docs_dup_clusters", "docs_exact_dedup",
+        "docs_incremental_dedup", "docs_lang_id", "docs_minhash_near_dup",
+        "docs_pack_batches", "docs_quality", "docs_shard_manifest",
+        "docs_simhash", "docs_simhash_near_dup", "docs_top_tokens",
+        "ecommerce_events_canonical", "ecommerce_intl_canonical",
+        "ecommerce_intl_stats", "ecommerce_loader_stats",
+        "embedding_ivf_pq_rerank", "embedding_ivf_pq_topk",
+        "embedding_ivf_pq_topk2", "embedding_kmeans_step",
+        "embedding_quantize", "embedding_topk_ivf",
+        "events_click_attribution", "events_cohort_retention",
+        "events_generated_quarantine", "events_pivot_daily",
+        "events_sketch_distinct", "events_time_rollup",
+        "events_type_day_cube", "events_unpivot_daily",
+        "lineitem_bloom_prune", "lineitem_zonemap_skip", "nation_rollup",
+        "order_rank", "pricing_percentiles", "pricing_summary",
+        "regional_supplier_volume", "returned_item_revenue",
+        "shipping_priority", "sole_late_supplier", "streaming_sessionize",
+        "streaming_sessionize_flush", "streaming_value_ema",
+        "streaming_value_ema_ooo", "top_customers",
+        "warehouse_constraint_report",
+    ],
+}.items():
+    for _n in _names:
+        _LATEST_GREEN[_n] = _r
 
 
 def _verify_priority(spec: QuerySpec) -> int:
     if spec.name in _CHANGED_THIS_ROUND:
         return 0
-    if spec.name in _IMPL_CHANGED_THIS_ROUND:
-        return 1
-    if spec.module == "streaming_plans":
-        return 5
-    if spec.name in _ROUND2_GREEN:
-        return 2
-    if spec.name in _ROUND3_GREEN:
-        return 3
-    return 4
+    # a brand-new query has no _LATEST_GREEN entry -> also front of line
+    return _LATEST_GREEN.get(spec.name, 0)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -100,14 +100,17 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoize=False,
 )
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _event_stream(spark, sf_dir)
-    counts = (
-        events.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("events"))
-    )
+    def build(s: SparkSession) -> DataFrame:
+        return (
+            _event_stream(s, sf_dir)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("events"))
+        )
+
     result = P.run_to_completion(
-        counts, "stream_window_counts", "complete", shuffle_partitions=4
+        build, "stream_window_counts", "complete", shuffle_partitions=4,
+        spark=spark,
     )
     return result.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -153,14 +156,17 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoize=False,
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .select(F.col("user_id").cast("string").alias("user_id"), "ts")
-    )
-    sessions = P.sessionize(events, gap_minutes=30)
+    def build(s: SparkSession) -> DataFrame:
+        events = (
+            _event_stream(s, sf_dir)
+            .filter(F.col("user_id").isNotNull())
+            .select(F.col("user_id").cast("string").alias("user_id"), "ts")
+        )
+        return P.sessionize(events, gap_minutes=30)
+
     result = P.run_to_completion(
-        sessions, "stream_sessions", "append", shuffle_partitions=32
+        build, "stream_sessions", "append", shuffle_partitions=32,
+        spark=spark,
     )
     return result.select(
         "user_id",
@@ -215,15 +221,18 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoize=False,
 )
 def q_streaming_sessionize_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .select(F.col("user_id").cast("string").alias("user_id"), "ts")
-        .withWatermark("ts", "10 minutes")
-    )
-    sessions = P.sessionize(events, gap_minutes=30, flush_on_timeout=True)
+    def build(s: SparkSession) -> DataFrame:
+        events = (
+            _event_stream(s, sf_dir)
+            .filter(F.col("user_id").isNotNull())
+            .select(F.col("user_id").cast("string").alias("user_id"), "ts")
+            .withWatermark("ts", "10 minutes")
+        )
+        return P.sessionize(events, gap_minutes=30, flush_on_timeout=True)
+
     result = P.run_to_completion(
-        sessions, "stream_sessions_flush", "append", shuffle_partitions=32
+        build, "stream_sessions_flush", "append", shuffle_partitions=32,
+        spark=spark,
     )
     return result.select(
         "user_id",
@@ -258,8 +267,9 @@ def q_streaming_sessionize_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoize=False,
 )
 def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+  def build(s: SparkSession) -> DataFrame:
     purchases = (
-        _event_stream(spark, sf_dir)
+        _event_stream(s, sf_dir)
         .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -269,7 +279,7 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         .withWatermark("p_ts", "10 minutes")
     )
     clicks = (
-        _event_stream(spark, sf_dir)
+        _event_stream(s, sf_dir)
         .filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
         .select(
             F.col("event_id").alias("click_id"),
@@ -278,7 +288,7 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .withWatermark("c_ts", "10 minutes")
     )
-    joined = purchases.join(
+    return purchases.join(
         clicks,
         F.expr(
             """
@@ -288,10 +298,12 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
             """
         ),
     )
-    result = P.run_to_completion(
-        joined, "stream_click_purchase", "append", shuffle_partitions=4
-    )
-    return result.select(
+
+  result = P.run_to_completion(
+      build, "stream_click_purchase", "append", shuffle_partitions=4,
+      spark=spark,
+  )
+  return result.select(
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),
@@ -326,24 +338,27 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     memoize=False,
 )
 def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _event_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    rev_fixed = F.round(
-        F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1000000)
-    ).cast("long")
-    enriched = (
-        events.withWatermark("ts", "10 minutes")
-        .join(F.broadcast(cust), events["user_id"] == cust["c_custkey"])
-        .groupBy(F.window("ts", "1 day").alias("w"), F.col("segment"))
-        .agg(
-            F.count(F.lit(1)).alias("events"),
-            F.sum(rev_fixed).alias("rev_f"),
+    def build(s: SparkSession) -> DataFrame:
+        events = _event_stream(s, sf_dir).filter(F.col("user_id").isNotNull())
+        cust = s.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
         )
-    )
+        rev_fixed = F.round(
+            F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1000000)
+        ).cast("long")
+        return (
+            events.withWatermark("ts", "10 minutes")
+            .join(F.broadcast(cust), events["user_id"] == cust["c_custkey"])
+            .groupBy(F.window("ts", "1 day").alias("w"), F.col("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("events"),
+                F.sum(rev_fixed).alias("rev_f"),
+            )
+        )
+
     result = P.run_to_completion(
-        enriched, "stream_enriched_counts", "complete", shuffle_partitions=4
+        build, "stream_enriched_counts", "complete", shuffle_partitions=4,
+        spark=spark,
     )
     return result.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -403,8 +418,9 @@ def _doubled_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoize=False,
 )
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+  def build(s: SparkSession) -> DataFrame:
     events = (
-        _doubled_event_stream(spark, sf_dir)
+        _doubled_event_stream(s, sf_dir)
         # the full file replays in a later batch: allow the duplicate's
         # event time to be arbitrarily 'late' relative to the watermark
         # already advanced by batch 1 — a huge delay keeps every replayed
@@ -412,13 +428,15 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "365 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    counts = events.groupBy("event_type").agg(
+    return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    result = P.run_to_completion(
-        counts, "stream_dedup_counts", "complete", shuffle_partitions=4
-    )
-    return result.orderBy("event_type")
+
+  result = P.run_to_completion(
+      build, "stream_dedup_counts", "complete", shuffle_partitions=4,
+      spark=spark,
+  )
+  return result.orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -446,24 +464,28 @@ from data_engineering_etl_demo_spark.plans.timeseries import SQL_VALUE_EMA
     memoize=False,
 )
 def q_streaming_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
-        )
-    )
     from pathlib import Path
+
+    def build(s: SparkSession) -> DataFrame:
+        ev = (
+            _event_stream(s, sf_dir)
+            .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+            )
+        )
+        return P.value_ema(ev)
 
     # deterministic per-sf name (str hash is PYTHONHASHSEED-salted and
     # collision-prone mod a small space)
     out = P.run_to_completion(
-        P.value_ema(ev),
+        build,
         query_name=f"ema_{Path(sf_dir).name.replace('.', '_')}",
         shuffle_partitions=32,
+        spark=spark,
     )
     return (
         out.groupBy("user_id")
@@ -513,7 +535,14 @@ def _ooo_staged_dir(spark: SparkSession, sf_dir: str) -> str:
     done = stage / "_built"
     if done.exists():
         return str(stage)
-    stage.mkdir(parents=True, exist_ok=True)
+    # Build into a UNIQUE scratch dir and atomically rename it into the
+    # fingerprinted path: two processes staging the same sf_dir can no
+    # longer interleave half-built slice files (ADVICE r5); whichever
+    # rename lands first wins and the loser discards its build.
+    import uuid
+
+    build = stage.parent / f".build-{stage.name}-{uuid.uuid4().hex}"
+    build.mkdir(parents=True, exist_ok=True)
     ev = load(spark, sf_dir, "events")
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
@@ -530,16 +559,23 @@ def _ooo_staged_dir(spark: SparkSession, sf_dir: str) -> str:
     fidx = base + (in_window & pick).cast("int")
     tagged = ev.withColumn("_f", fidx)
     for k in range(3):
-        tmp = stage / f"_tmp{k}"
+        tmp = build / f"_tmp{k}"
         tagged.filter(F.col("_f") == k).drop("_f").coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(tmp))
         part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
-        dst = stage / f"f{k}.parquet"
+        dst = build / f"f{k}.parquet"
         os.replace(part, dst)
         os.utime(dst, (k, k))  # file source replays in mtime order
         shutil.rmtree(tmp, ignore_errors=True)
-    done.touch()
+    (build / "_built").touch()
+    try:
+        os.rename(build, stage)  # atomic publish (rename preserves mtimes)
+    except OSError:
+        # another builder won the rename race; its fully-built dir stands
+        shutil.rmtree(build, ignore_errors=True)
+        if not done.exists():
+            raise
     return str(stage)
 
 
@@ -591,27 +627,34 @@ def q_streaming_value_ema_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     stage = _ooo_staged_dir(spark, sf_dir)
-    raw = (
-        spark.readStream.schema(_schema_with_ts(T.TimestampType()))
-        # one slice per micro-batch: the delayed rows genuinely arrive in
-        # a later batch than newer rows, exercising the state buffer
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
-    ev = (
-        raw.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = (
+            s.readStream.schema(_schema_with_ts(T.TimestampType()))
+            # one slice per micro-batch: the delayed rows genuinely arrive
+            # in a later batch than newer rows, exercising the state buffer
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
         )
-        .withWatermark("ts", "6 hours")
-    )
+        ev = (
+            raw.filter(
+                F.col("user_id").isNotNull() & F.col("value").isNotNull()
+            )
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+            )
+            .withWatermark("ts", "6 hours")
+        )
+        return P.value_ema_ooo(ev)
+
     out = P.run_to_completion(
-        P.value_ema_ooo(ev),
+        build,
         query_name=f"ema_ooo_{Path(sf_dir).name.replace('.', '_')}",
         shuffle_partitions=32,
+        spark=spark,
     )
     return (
         out.groupBy("user_id")

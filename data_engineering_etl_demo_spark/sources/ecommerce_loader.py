@@ -433,11 +433,15 @@ def run_loader(spark, csv_dir: str, out_dir: str) -> dict:
     def norm_name(f: str) -> str:
         return re.sub(r"[^a-z0-9.]+", "_", f.lower())
 
-    # kaggle_amazon_sales_loader.py:17-22
-    targets = {
-        norm_name("Amazon Sale Report.csv"): "amazon",
-        norm_name("International sale Report.csv"): "intl",
+    # kaggle_amazon_sales_loader.py:17-22.  canonical keeps the reference's
+    # TARGET_FILES spelling so a missing target is reported under the name
+    # the reference would record, not the normalized lookup key (ADVICE r5).
+    target_files = {
+        "Amazon Sale Report.csv": "amazon",
+        "International sale Report.csv": "intl",
     }
+    targets = {norm_name(f): kind for f, kind in target_files.items()}
+    canonical = {norm_name(f): f for f in target_files}
     report: dict = {"files": {}, "outputs": {}}
     events_parts = []
     intl_parts = []
@@ -460,7 +464,7 @@ def run_loader(spark, csv_dir: str, out_dir: str) -> dict:
             stats = amazon_loader_stats(df).collect()[0].asDict()
         report["files"][fname] = stats
     for t in set(targets) - seen_targets:
-        report["files"][t] = {"missing": True}
+        report["files"][canonical[t]] = {"missing": True}
 
     def _union(parts):
         out = parts[0]

@@ -302,16 +302,41 @@ def sessionize(
     )
 
 
+# Session-local SQL confs a drain clone must inherit from its parent: they
+# are runtime-set (tune_session / _event_stream), so SparkSession.newSession
+# — which re-derives its SQLConf from the SHARED SparkContext conf — would
+# silently lose them (UTC wall-clock casts, Arrow batching for the pandas
+# state kernels).
+_CLONE_INHERITED_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong",
+)
+
+
 def run_to_completion(
-    stream_df: DataFrame,
+    stream,
     query_name: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = None,
+    spark: "SparkSession | None" = None,
 ) -> DataFrame:
     """Drain a bounded stream (availableNow) into a memory sink and return
     the materialized result as a static DataFrame.  Aggregations should pass
     output_mode='complete' so windows still open at the final watermark are
     emitted too.
+
+    ``stream`` is either a ready DataFrame or a BUILDER callable
+    ``SparkSession -> streaming DataFrame`` (pass ``spark`` too in that
+    case).  The builder form is required to use ``shuffle_partitions``:
+    the override is applied to a per-drain SESSION CLONE
+    (``spark.newSession()`` + the runtime confs above copied over), so the
+    shared session's batch parallelism is never mutated — a batch query
+    planned concurrently in another thread can no longer observe the
+    stream's setting (ADVICE r5).  A DataFrame is already bound to its
+    session, whose conf we refuse to mutate — so DataFrame +
+    ``shuffle_partitions`` raises.
 
     The checkpoint goes to a fresh per-run dir on tmpfs when available
     (/dev/shm): the state store fsyncs its delta files at every micro-batch
@@ -320,24 +345,44 @@ def run_to_completion(
     storage (HDFS/S3) — the checkpoint is the recovery contract there.
 
     ``shuffle_partitions`` pins the stream's state-store partitioning
-    independently of the session's batch setting (StreamExecution clones
-    the session conf at start, so the restore below cannot race the
-    running stream).  Each stateful operator keeps one state store PER
-    shuffle partition and every store commits+fsyncs every micro-batch,
-    so a JVM-stateful query (stream-stream join: FOUR stores/partition)
-    wants few wide partitions, while an applyInPandasWithState kernel
-    wants enough partitions to spread its Python workers across cores.
-    The results are partition-count-invariant; only latency moves."""
+    independently of the session's batch setting.  Each stateful operator
+    keeps one state store PER shuffle partition and every store
+    commits+fsyncs every micro-batch, so a JVM-stateful query
+    (stream-stream join: FOUR stores/partition) wants few wide partitions,
+    while an applyInPandasWithState kernel wants enough partitions to
+    spread its Python workers across cores.  The results are
+    partition-count-invariant; only latency moves."""
     import shutil
     import tempfile
     import uuid
 
+    if callable(stream):
+        if spark is None:
+            raise ValueError("builder form requires the parent session")
+        if shuffle_partitions is not None:
+            session = spark.newSession()
+            for k in _CLONE_INHERITED_CONFS:
+                try:
+                    session.conf.set(k, spark.conf.get(k))
+                except Exception:
+                    pass  # unset in parent / fixed by the runtime
+            session.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        else:
+            session = spark
+        stream_df = stream(session)
+    else:
+        if shuffle_partitions is not None:
+            raise ValueError(
+                "shuffle_partitions needs the builder form: a prebuilt "
+                "DataFrame would require mutating its shared session conf"
+            )
+        stream_df = stream
+        session = stream_df.sparkSession
+
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     ckpt = os.path.join(base, f"spark_graft_ckpt-{query_name}-{uuid.uuid4().hex}")
-    spark = stream_df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -349,10 +394,8 @@ def run_to_completion(
         )
         q.awaitTermination()
     finally:
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(query_name)
+    return session.table(query_name)
 
 
 # ---------------------------------------------------------------------------
@@ -483,10 +526,24 @@ def ema_ooo_step(carried, new_rows, wm_ms: int):
     The composition property pinned by tests/test_ema_ooo_kernel.py: for
     ANY split of a row set into batches and ANY nondecreasing watermark
     sequence, chaining steps yields the same (ema, n) as one ordered fold
-    with the final-watermark cutoff — the stream == batch contract."""
+    with the final-watermark cutoff — the stream == batch contract.
+
+    Exact duplicates raise: an at-least-once redelivery of a
+    buffered-but-unfolded (ts_us, event_id) row would otherwise fold twice
+    silently — the same contract violation the in-order ``value_ema``
+    fails loudly on (ADVICE r5).  (ts_us, event_id) is the row identity,
+    so equal pairs in the merged buffer can only be redelivery."""
     ema, n, rows = carried if carried is not None else (0, 0, [])
     rows = rows + list(new_rows)
     rows.sort()
+    for prev, cur in zip(rows, rows[1:]):
+        if prev[:2] == cur[:2]:
+            raise ValueError(
+                "value_ema_ooo got a duplicate delivery of row "
+                f"(ts_us={cur[0]}, event_id={cur[1]}): at-least-once "
+                "redelivery would fold twice; dedupe upstream "
+                "(dedup_within_watermark) for at-least-once sources"
+            )
     cutoff_us = wm_ms * 1_000
     folded = 0
     for ts_us, _, v in rows:

@@ -179,8 +179,10 @@ def test_run_loader_skips_non_target_csvs(spark, tmp_path):
     assert report["files"]["May-2022.csv"] == {
         "skipped_not_event_grain": True
     }
-    # the intl target is absent from this folder -> recorded as missing
-    assert report["files"]["international_sale_report.csv"] == {
+    # the intl target is absent from this folder -> recorded as missing,
+    # under the reference's TARGET_FILES spelling (ADVICE r5), not the
+    # normalized lookup key
+    assert report["files"]["International sale Report.csv"] == {
         "missing": True
     }
     # and the canonical events output holds ONLY the whitelisted file's rows

@@ -91,3 +91,19 @@ def test_step_folds_late_row_in_event_time_position():
     s3, folded = ema_ooo_step(s2, [], wm_ms=20 * 60_000)
     ema, n, rest = s3
     assert (ema, n, rest, folded) == (156, 3, [], 3)
+
+
+def test_step_rejects_duplicate_delivery():
+    """An at-least-once redelivery of a buffered-but-unfolded row must
+    fail loudly (ADVICE r5), matching the in-order kernel's contract —
+    whether the duplicate arrives within one batch or rides the carried
+    buffer into a later one."""
+    m = 60_000_000
+    with pytest.raises(ValueError, match="duplicate delivery"):
+        ema_ooo_step(None, [(1 * m, 10, 100), (1 * m, 10, 100)], wm_ms=0)
+    s1, _ = ema_ooo_step(None, [(5 * m, 42, 100)], wm_ms=0)  # stays buffered
+    with pytest.raises(ValueError, match="duplicate delivery"):
+        ema_ooo_step(s1, [(5 * m, 42, 100)], wm_ms=0)
+    # same ts with distinct event_ids is legitimate, not a duplicate
+    s2, _ = ema_ooo_step(None, [(5 * m, 1, 100), (5 * m, 2, 200)], wm_ms=0)
+    assert len(s2[2]) == 2

@@ -436,16 +436,33 @@ def test_ooo_staging_cache_invalidates_on_source_change(spark, tmp_path):
     assert stage2 != stage1, "stale staged slices would be replayed"
 
 
-def test_run_to_completion_restores_shuffle_partitions_on_failure(spark):
-    """The per-stream shuffle_partitions override must be restored even
-    when the drain raises (a failed stream must not poison the session's
-    batch parallelism)."""
+def test_run_to_completion_shuffle_override_never_touches_session(spark):
+    """The per-stream shuffle_partitions override is scoped to a session
+    clone (ADVICE r5): the shared session's batch parallelism must stay
+    untouched while the drain runs AND after it fails — and the prebuilt-
+    DataFrame form must refuse the override outright rather than mutate
+    the DataFrame's shared session."""
     import pytest as _pytest
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    bogus = spark.readStream.format("rate").load()  # unbounded, wrong sink
+    seen = {}
+
+    def build(s):
+        # the clone carries the override; the parent conf is unchanged at
+        # plan-build time (i.e. while a concurrent batch query would plan)
+        seen["clone"] = s.conf.get("spark.sql.shuffle.partitions")
+        seen["parent_during"] = spark.conf.get("spark.sql.shuffle.partitions")
+        return s.readStream.format("rate").load()  # wrong sink mode below
+
     with _pytest.raises(Exception):
         # memory sink + complete mode on a non-agg stream -> analysis error
-        P.run_to_completion(bogus, "t_conf_restore", "complete",
-                            shuffle_partitions=3)
+        P.run_to_completion(build, "t_conf_scope", "complete",
+                            shuffle_partitions=3, spark=spark)
+    assert seen["clone"] == "3"
+    assert seen["parent_during"] == saved
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+
+    bogus = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="builder form"):
+        P.run_to_completion(bogus, "t_conf_refuse", "complete",
+                            shuffle_partitions=3)
