@@ -1954,38 +1954,79 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Shared WITH-clause block of the IVF-PQ oracle: cell assignment (cent/
-# at0/ag/ass), PQ codes (cb/sub/dist/codes), the query-side probe cell +
-# ADC lookup tables (qcell/qdist), and the in-cell ADC candidate scores
-# (adc).  embedding_ivf_pq_topk ranks `adc` directly; embedding_ivf_pq_
-# rerank re-scores its top candidates by exact distance.
-_SQL_IVF_PQ_CTES = f"""
-    cent AS (
-        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+def _ivf_train_sql(n_iters: int) -> str:
+    """CTE chain re-deriving similarity.train_centroids in SQL, so the
+    oracle trains the SAME k-means centroids from the same seed: cent0 =
+    seed component rows (first IVF_CELLS vectors); per Lloyd step t,
+    at{t}/ag{t}/ass{t} assign every vector by the identical fixed-point
+    cosine (lowest-cell tiebreak, _nearest_cells' algebra op-for-op) and
+    cent{t+1} takes each cell's fixed-point mean
+    CAST(Σ floor(v_d·1e9) AS DOUBLE) / (n·1e9) — the one double division
+    train_centroids performs, so components are bit-identical — with an
+    empty cell keeping its previous centroid (the LEFT JOIN + COALESCE).
+    The FINAL step's relations are named ``ag``/``ass`` so downstream
+    CTEs are iteration-count-agnostic."""
+    parts = [
+        f"""cent0 AS (
+        SELECT vec_id AS cell, g.i, CAST(embedding[g.i] AS DOUBLE) AS cv
+        FROM embeddings, generate_series(1, 64) AS g(i)
         WHERE vec_id < {S.IVF_CELLS}
-    ),
-    at0 AS (
+    )"""
+    ]
+    for t in range(n_iters + 1):
+        last = t == n_iters
+        ag = "ag" if last else f"ag{t}"
+        ass = "ass" if last else f"ass{t}"
+        parts.append(
+            f"""at{t} AS (
         SELECT e.vec_id, c.cell,
-               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
-               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
-               CAST(floor(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
-        FROM embeddings e, cent c, generate_series(1, 64) AS g(i)
+               CAST(floor(CAST(e.embedding[c.i] AS DOUBLE) * c.cv * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(e.embedding[c.i] AS DOUBLE) * CAST(e.embedding[c.i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(c.cv * c.cv * 1e12) AS BIGINT) AS cc
+        FROM embeddings e, cent{t} c
     ),
-    ag AS (
+    {ag} AS (
         SELECT vec_id, cell,
                floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
                      / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
                         * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
                      * 1e9) / 1e9 AS cos
-        FROM at0 GROUP BY 1, 2
+        FROM at{t} GROUP BY 1, 2
     ),
-    ass AS (
+    {ass} AS (
         SELECT vec_id, cell FROM (
             SELECT vec_id, cell,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
-            FROM ag
+            FROM {ag}
         ) WHERE rn = 1
+    )"""
+        )
+        if not last:
+            parts.append(
+                f"""sum{t + 1} AS (
+        SELECT a.cell, g.i,
+               CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS cv
+        FROM embeddings e, ass{t} a, generate_series(1, 64) AS g(i)
+        WHERE a.vec_id = e.vec_id
+        GROUP BY 1, 2
     ),
+    cent{t + 1} AS (
+        SELECT c.cell, c.i, COALESCE(s.cv, c.cv) AS cv
+        FROM cent{t} c LEFT JOIN sum{t + 1} s ON s.cell = c.cell AND s.i = c.i
+    )"""
+            )
+    return ",\n    ".join(parts)
+
+
+# Shared WITH-clause block of the IVF-PQ oracle: k-means centroid training
+# + final cell assignment (_ivf_train_sql: cent*/at*/ag/ass), PQ codes
+# (cb/sub/dist/codes), the query-side probe cell + ADC lookup tables
+# (qcell/qdist), and the in-cell ADC candidate scores (adc).
+# embedding_ivf_pq_topk ranks `adc` directly; embedding_ivf_pq_rerank
+# re-scores its top candidates by exact distance.
+_SQL_IVF_PQ_CTES = f"""
+    {_ivf_train_sql(S.N_LLOYD_ITERS)},
     cb AS (
         SELECT vec_id AS code, embedding AS cvec FROM embeddings
         WHERE vec_id < 16
@@ -2087,7 +2128,9 @@ def _ivf_pq_adc_scores(
 
     emb = load(spark, sf_dir, "embeddings")
     path = f"{sf_dir}/embeddings.parquet"
-    cents = S.centroids_from_parquet(path)
+    # k-means-trained coarse quantizer (VERDICT r5 item 2) — cached, so
+    # the three IVF-PQ queries share one distributed index build
+    cents = S.train_centroids(emb, path)
     _, cb_mat = S.vectors_from_parquet(path, 0, S.PQ_K)
     q_ids, q_mat = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
     # (n_queries, nprobe) probe cells, (cos DESC, cell) order — for
