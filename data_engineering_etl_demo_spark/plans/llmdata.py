@@ -400,7 +400,7 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dup-cluster oracle: the same MinHash pair set, clustered by transitive
 # closure — a recursive CTE propagating the minimum reachable id (DuckDB's
 # recursive UNION deduplicates per round, so the closure terminates), which
-# is exactly the fixpoint the Spark hash-min label propagation converges to.
+# is exactly the fixpoint the Spark large/small-star rounds converge to.
 _SQL_DUP_CLUSTERS = f"""
     WITH RECURSIVE prs AS (
         SELECT id_a, id_b FROM ({_sql_minhash_near_dup(0.5, order=False)})
@@ -433,7 +433,7 @@ _cc_labels_memo: dict[tuple, DataFrame] = {}
     "docs_dup_clusters",
     _SQL_DUP_CLUSTERS,
     doc="near-dup clustering: MinHash-LSH pairs → connected components "
-    "(hash-min label propagation, operators/graph.py) → one component id "
+    "(large-star/small-star rewiring, operators/graph.py) → one component id "
     "per duplicated document; min-id labels make the clustering "
     "deterministic and engine-comparable.",
     # building the plan RUNS the label-propagation rounds (localCheckpoint
@@ -3126,7 +3126,7 @@ _SQL_SEMDEDUP = f"""
     "embedding_semdedup",
     _SQL_SEMDEDUP,
     doc="SemDeDup-style semantic dedup keep-list: sign-LSH embedding "
-    "near-dup pairs → connected components (hash-min label propagation) "
+    "near-dup pairs → connected components (large/small-star rounds) "
     "→ per-vector verdict, keeping each semantic group's min-id member.  "
     "The embedding-space counterpart of docs_dedup_survivors: text "
     "near-dup catches lexical templates, this catches paraphrases that "
@@ -3134,7 +3134,7 @@ _SQL_SEMDEDUP = f"""
     "(banded LSH candidates, BSP components), so the 100 TB posture is "
     "inherited; the oracle replays the identical collision set plus a "
     "recursive-CTE closure.",
-    memoize=False,  # runs label propagation at plan-build; keep bench honest
+    memoize=False,  # runs star rounds at plan-build; keep bench honest
 )
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_etl_demo_spark.plans import REGISTRY

@@ -975,20 +975,100 @@ SQL_VALUE_EMA = """
     """
 
 
+def ema_sort_merge_fold(e: DataFrame) -> DataFrame:
+    """Bounded-memory per-key EMA fold (VERDICT r5 weakness 1): instead of
+    collect_list-ing each key's FULL history into one row — which turns a
+    single hot key (bot traffic) into one giant array in one task at
+    100x — rows are hash-partitioned by key and SORTED WITHIN the
+    partition (Spark's external sort spills; it never needs the key
+    resident), then an Arrow-batched kernel streams the partition in
+    (user_id, ts, event_id) order carrying just (key, ema, n) across
+    batch boundaries.  Task memory = one Arrow batch
+    (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k rows) +
+    three scalars, independent of any key's event count — the classic
+    secondary-sort fold.
+
+    Input: (user_id, t, e, v) with v the fixed-point value.  The fold is
+    the same integer recurrence as the batch oracle ((2v + 8ema) div 10,
+    seeded at v0), guarded to v >= 0 where Python floor division equals
+    SQL's trunc-toward-zero div."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ema_e6", T.LongType()),
+        ]
+    )
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        cur = None
+        ema = 0
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uids = pdf["user_id"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            change = np.nonzero(uids[1:] != uids[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(uids)]))
+            out_u, out_n, out_e = [], [], []
+            for s0, s1 in zip(starts, ends):
+                uid = int(uids[s0])
+                if uid != cur:
+                    if cur is not None:
+                        out_u.append(cur)
+                        out_n.append(n)
+                        out_e.append(ema)
+                    cur, ema, n = uid, 0, 0
+                for v in vs[s0:s1].tolist():
+                    if v < 0:
+                        raise ValueError(
+                            "ema fold requires v >= 0: floor division "
+                            "diverges from the oracle's trunc-toward-"
+                            f"zero div on negatives (user {uid}, v={v})"
+                        )
+                    ema = v if n == 0 else (2 * v + 8 * ema) // 10
+                    n += 1
+            if out_u:
+                yield pd.DataFrame(
+                    {"user_id": out_u, "n_events": out_n, "ema_e6": out_e}
+                )
+        if cur is not None:
+            yield pd.DataFrame(
+                {"user_id": [cur], "n_events": [n], "ema_e6": [ema]}
+            )
+
+    n_part = e.sparkSession.sparkContext.defaultParallelism
+    return (
+        # explicit N pins the partitioning (AQE never splits a hash
+        # partition here, so a key's rows stay contiguous in one task)
+        e.repartition(n_part, "user_id")
+        .sortWithinPartitions("user_id", "t", "e")
+        .select("user_id", "v")  # sort keys pruned after ordering is fixed
+        .mapInPandas(fold, out_schema)
+    )
+
+
 @register(
     "events_value_ema",
     SQL_VALUE_EMA,
     doc="Per-user exponential moving average (alpha = 0.2) of event "
     "values — an inherently SEQUENTIAL per-key recurrence, which windows "
     "cannot express (each step depends on the previous result, not a "
-    "frame aggregate).  Pattern: collect each key's ordered value array "
-    "in ONE groupBy shuffle, then fold it with the aggregate() "
-    "higher-order function — per-key state lives inside a single row, "
-    "never across rows, so the computation distributes by key with no "
-    "iteration or driver involvement.  Fixed-point BIGINT with integer "
-    "division = engine-exact (inputs are positive, so floor == "
-    "truncation); bounded per-key arrays (events per user), the same "
-    "memory contract as any collect_list session op.",
+    "frame aggregate).  Pattern: one hash shuffle on the key, an "
+    "in-partition external sort on (key, ts, event_id), then a "
+    "streaming Arrow-batched fold that carries (key, ema, n) across "
+    "batches — per-task memory is one Arrow batch regardless of how "
+    "many events any key has (ema_sort_merge_fold), unlike a "
+    "collect_list fold whose hot key becomes one giant in-task array.  "
+    "Fixed-point BIGINT with integer division = engine-exact (inputs "
+    "are positive, so floor == truncation).",
 )
 def q_events_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
@@ -996,27 +1076,12 @@ def q_events_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
         .select(
             "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("t"),
-                F.col("event_id").alias("e"),
-                F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
-            ).alias("s"),
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("e"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
         )
     )
-    return (
-        e.groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
-        .withColumn("vals", F.expr("transform(arr, x -> x.v)"))
-        .select(
-            "user_id",
-            F.size("vals").cast("long").alias("n_events"),
-            F.expr(
-                "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
-                " (acc, x) -> (2*x + 8*acc) div 10)"
-            ).alias("ema_e6"),
-        )
-        .orderBy("user_id")
-    )
+    return ema_sort_merge_fold(e).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

@@ -259,3 +259,24 @@ def test_bounded_hops_matches_python_bfs_on_random_graph(spark):
             for r in bounded_hops(edf, sdf, max_hops=k).collect()
         }
         assert got == bfs(k), f"max_hops={k}"
+
+
+def test_star_cc_rounds_logarithmic_on_path_graph(spark):
+    """The reason large-star/small-star replaced hash-min (VERDICT r5):
+    a path graph — the adversarial chain-of-dups shape — must converge in
+    O(log n) star rounds, not O(n) diameter rounds."""
+    import math
+
+    from data_engineering_etl_demo_spark.operators.graph import (
+        connected_components_with_rounds,
+    )
+
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_with_rounds(df)
+    assert {r["node"]: r["component"] for r in labels.collect()} == {
+        i: 0 for i in range(n)
+    }
+    assert rounds <= math.ceil(math.log2(n)) + 3, rounds

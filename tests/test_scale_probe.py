@@ -347,3 +347,49 @@ def test_bounded_hops_scales_with_disjoint_copies(spark):
     h8 = histogram(8)
     assert sum(h1.values()) > 0
     assert h8 == Counter({hop: 8 * n for hop, n in h1.items()})
+
+
+def test_ema_fold_survives_hot_key_with_bounded_batches(spark):
+    """VERDICT r5 weakness 1: one bot-grade hot key (120k events on a
+    single user) must flow through the EMA fold without ever
+    materializing the key's history in one task.  The probe FORCES the
+    bound to matter by shrinking the Arrow batch to 1k rows — the hot
+    key then spans >=120 kernel batches and is correct ONLY if the
+    carried (key, ema, n) state works — and checks the fold against a
+    local reference recurrence."""
+    from data_engineering_etl_demo_spark.plans.timeseries import (
+        ema_sort_merge_fold,
+    )
+
+    hot_n = 120_000
+    cold_users = 50
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        rows = spark.range(hot_n).select(
+            F.lit(7).alias("user_id"),
+            (F.col("id") * 1000).alias("t"),
+            F.col("id").alias("e"),
+            ((F.col("id") * 37) % 9973).alias("v"),
+        )
+        cold = spark.range(cold_users).select(
+            (F.col("id") + 100).alias("user_id"),
+            F.lit(0).alias("t"),
+            F.col("id").alias("e"),
+            (F.col("id") % 11).alias("v"),
+        )
+        out = {
+            r["user_id"]: (r["n_events"], r["ema_e6"])
+            for r in ema_sort_merge_fold(rows.unionByName(cold)).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+
+    ema = 0
+    for i in range(hot_n):
+        v = (i * 37) % 9973
+        ema = v if i == 0 else (2 * v + 8 * ema) // 10
+    assert out[7] == (hot_n, ema)
+    assert len(out) == 1 + cold_users
+    for i in range(cold_users):
+        assert out[100 + i] == (1, i % 11)
