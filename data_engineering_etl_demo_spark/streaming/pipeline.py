@@ -314,6 +314,32 @@ _CLONE_INHERITED_CONFS = (
     "spark.sql.legacy.parquet.nanosAsLong",
 )
 
+# Drain-session cache: one clone per (parent session, shuffle_partitions),
+# REUSED across drains — a fresh newSession() per drain would pay cold
+# session state (plan/codegen caches, file listings) on every streaming
+# query, which the bench measured at several seconds across the streaming
+# segment.  Bounded by the distinct partition counts in use (2-3 entries).
+_drain_sessions: dict = {}
+
+
+def _drain_session(parent, shuffle_partitions: int):
+    from data_engineering_etl_demo_spark.catalog import session_key
+
+    key = (session_key(parent), shuffle_partitions)
+    session = _drain_sessions.get(key)
+    if session is None:
+        session = parent.newSession()
+        _drain_sessions[key] = session
+    # refresh inherited runtime confs each call: cheap, and keeps a
+    # parent-side tune_session() change (e.g. timezone) visible
+    for k in _CLONE_INHERITED_CONFS:
+        try:
+            session.conf.set(k, parent.conf.get(k))
+        except Exception:
+            pass  # unset in parent / fixed by the runtime
+    session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return session
+
 
 def run_to_completion(
     stream,
@@ -360,15 +386,7 @@ def run_to_completion(
         if spark is None:
             raise ValueError("builder form requires the parent session")
         if shuffle_partitions is not None:
-            session = spark.newSession()
-            for k in _CLONE_INHERITED_CONFS:
-                try:
-                    session.conf.set(k, spark.conf.get(k))
-                except Exception:
-                    pass  # unset in parent / fixed by the runtime
-            session.conf.set(
-                "spark.sql.shuffle.partitions", str(shuffle_partitions)
-            )
+            session = _drain_session(spark, shuffle_partitions)
         else:
             session = spark
         stream_df = stream(session)
