@@ -164,8 +164,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return P.sessionize(events, gap_minutes=30)
 
+    # 16 state partitions for the pandas-state kernels (here and the EMA
+    # drains): measured sweet spot at sf0.1/local[32] — per-store
+    # commit+Arrow overhead x32 outweighs extra Python parallelism at this
+    # key cardinality (32->16 cut the four drains 13.2s -> 9.9s total); a
+    # cluster deployment sizes this to executor cores like any shuffle.
     result = P.run_to_completion(
-        build, "stream_sessions", "append", shuffle_partitions=32,
+        build, "stream_sessions", "append", shuffle_partitions=16,
         spark=spark,
     )
     return result.select(
@@ -231,7 +236,7 @@ def q_streaming_sessionize_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         return P.sessionize(events, gap_minutes=30, flush_on_timeout=True)
 
     result = P.run_to_completion(
-        build, "stream_sessions_flush", "append", shuffle_partitions=32,
+        build, "stream_sessions_flush", "append", shuffle_partitions=16,
         spark=spark,
     )
     return result.select(
@@ -484,7 +489,7 @@ def q_streaming_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = P.run_to_completion(
         build,
         query_name=f"ema_{Path(sf_dir).name.replace('.', '_')}",
-        shuffle_partitions=32,
+        shuffle_partitions=16,
         spark=spark,
     )
     return (
@@ -653,7 +658,7 @@ def q_streaming_value_ema_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = P.run_to_completion(
         build,
         query_name=f"ema_ooo_{Path(sf_dir).name.replace('.', '_')}",
-        shuffle_partitions=32,
+        shuffle_partitions=16,
         spark=spark,
     )
     return (

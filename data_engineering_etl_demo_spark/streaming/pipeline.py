@@ -440,6 +440,36 @@ _EMA_STATE_SCHEMA = T.StructType(
 )
 
 
+def _extract_rows(pdfs, sort: bool = True) -> list:
+    """(ts_us, event_id, v6) triples of one key's micro-batch, NaT rows
+    dropped.  Column-level numpy casts instead of per-row pd.Timestamp
+    iteration — the naive zip over pdf columns materialized a Timestamp
+    object per row and was the EMA kernels' hottest path at sf0.1 (~33k
+    rows/batch); the datetime64 view is two array ops.  ``sort`` orders by
+    (ts_us, event_id) via lexsort (the fold order); the ooo kernel merges
+    with its carried buffer first, so it sorts later."""
+    import numpy as np
+
+    ts_parts, eid_parts, v_parts = [], [], []
+    for pdf in pdfs:
+        t = pdf["ts"].to_numpy(dtype="datetime64[ns]")
+        keep = ~np.isnat(t)  # NaT casts to INT64_MIN, not a timestamp
+        ts_parts.append(t[keep].astype("datetime64[us]").astype(np.int64))
+        eid_parts.append(pdf["event_id"].to_numpy(dtype=np.int64)[keep])
+        v_parts.append(pdf["v6"].to_numpy(dtype=np.int64)[keep])
+    if not ts_parts:
+        return []
+    ts = np.concatenate(ts_parts)
+    if len(ts) == 0:
+        return []
+    eid = np.concatenate(eid_parts)
+    v = np.concatenate(v_parts)
+    if sort:
+        order = np.lexsort((eid, ts))
+        ts, eid, v = ts[order], eid[order], v[order]
+    return list(zip(ts.tolist(), eid.tolist(), v.tolist()))
+
+
 def value_ema(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user exponential moving average
     (alpha = 2/10) carried ACROSS micro-batches via applyInPandasWithState
@@ -478,12 +508,7 @@ def value_ema(events: DataFrame) -> DataFrame:
             ema, n, last_ts, last_eid = state.get
         else:
             ema, n, last_ts, last_eid = 0, 0, -1, -1
-        rows = sorted(
-            (int(ts.value) // 1_000, int(e), int(v))
-            for pdf in pdfs
-            for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
-            if ts is not pd.NaT  # NaT.value is INT64_MIN, not a timestamp
-        )
+        rows = _extract_rows(pdfs)
         if not rows:
             return
         if n > 0 and rows[0][:2] <= (last_ts, last_eid):
@@ -615,12 +640,7 @@ def value_ema_ooo(events: DataFrame) -> DataFrame:
             carried = None
         new_rows = []
         if not state.hasTimedOut:
-            new_rows = [
-                (int(ts.value) // 1_000, int(e), int(v))
-                for pdf in pdfs
-                for ts, e, v in zip(pdf["ts"], pdf["event_id"], pdf["v6"])
-                if ts is not pd.NaT  # NaT.value is INT64_MIN
-            ]
+            new_rows = _extract_rows(pdfs, sort=False)
         (ema, n, rest), folded = ema_ooo_step(carried, new_rows, wm_ms)
         state.update(
             (
