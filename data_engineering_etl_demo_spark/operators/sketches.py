@@ -75,12 +75,23 @@ def kmv_distinct(
         .groupBy(group_col)
         .agg(F.max(hash_col).alias("_hk"), F.count(F.lit(1)).alias("_nh"))
     )
-    est = F.when(F.col("_nh") < k, F.col("_nh").cast("double")).otherwise(
+    return kth.select(
+        group_col,
+        kmv_estimate(F.col("_hk"), F.col("_nh"), k).alias("kmv_users"),
+    )
+
+
+def kmv_estimate(hk: Column, nh: Column, k: int = KMV_K) -> Column:
+    """Closed-form KMV estimate from (k-th minimum, kept count) — exact
+    count below k distinct values, (k-1)·2^60/h_k above.  Shared by the
+    batch kmv_distinct and the streaming kernel's post-drain select so
+    both paths apply the IDENTICAL fixed double-op sequence."""
+    est = F.when(nh < k, nh.cast("double")).otherwise(
         F.floor(
-            F.lit(float(k - 1)) * F.lit(float(2**_HASH_BITS)) / F.col("_hk").cast("double")
+            F.lit(float(k - 1)) * F.lit(float(2**_HASH_BITS)) / hk.cast("double")
         ).cast("double")
     )
-    return kth.select(group_col, est.cast("long").alias("kmv_users"))
+    return est.cast("long")
 
 
 def sql_kmv_distinct(source: str, group_col: str, hash_expr: str, k: int = KMV_K) -> str:

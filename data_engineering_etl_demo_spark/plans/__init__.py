@@ -103,6 +103,12 @@ _CHANGED_THIS_ROUND: set[str] = {
     "sole_late_supplier",
     # duplicate-delivery guard in the ooo kernel (ADVICE r5):
     "streaming_value_ema_ooo",
+    # NEW queries this round (no driver evidence yet):
+    "docs_bigram_surprisal",
+    "docs_corpus_pipeline",
+    "streaming_kmv_distinct",
+    # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
+    "docs_quality",
 }
 
 # Freshest driver-green round per query, from the CORRECTNESS_r01..r05

@@ -59,6 +59,12 @@ SQL_MEAN_WLEN = _sql_ratio(
     f"len({SQL_WORDS})",
 )
 SQL_FINGERPRINT = f"md5(array_to_string({SQL_WORDS}, ' '))"
+# mirrors operators/text.quality_score term-for-term (see docs_quality)
+SQL_QUALITY_SCORE = (
+    "floor((least(length({c}) / 500.0, 1.0)"
+    f" + (1.0 - least(({SQL_PUNCT_RATIO}) * 5, 1.0))"
+    f" + least(({SQL_STOP_RATIO}) * 4, 1.0)) / 3 * 1e6) / 1e6"
+)
 
 
 def _sql_lang_score(markers: tuple[str, ...]) -> str:
@@ -137,9 +143,7 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_fmt(SQL_PUNCT_RATIO)} AS punct_ratio,
            {_fmt(SQL_STOP_RATIO)} AS stopword_ratio,
            {_fmt(SQL_MEAN_WLEN)} AS mean_word_len,
-           floor((least(length(text) / 500.0, 1.0)
-                  + (1.0 - least(({_fmt(SQL_PUNCT_RATIO)}) * 5, 1.0))
-                  + least(({_fmt(SQL_STOP_RATIO)}) * 4, 1.0)) / 3 * 1e6) / 1e6 AS quality_score
+           {_fmt(SQL_QUALITY_SCORE)} AS quality_score
     FROM documents
     ORDER BY doc_id
     """,
@@ -1570,6 +1574,164 @@ def q_docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus materialization: gates → dedup → decon → shards
+# ---------------------------------------------------------------------------
+
+_PIPE_QUALITY_MIN = 0.5  # quality_score gate (keeps ~80% of the corpus)
+_PIPE_LANG = "en"  # lang_id gate
+_PIPE_SHARD_TOKENS = 4096  # tokens per output shard, per source
+
+
+@register(
+    "docs_corpus_pipeline",
+    f"""
+    WITH RECURSIVE prs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({{minhash}})
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(comp) AS component
+             FROM reach GROUP BY 1),
+    fp AS (SELECT doc_id, {_fmt(SQL_FINGERPRINT)} AS fingerprint
+           FROM documents),
+    keepers AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+    verdict AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+                    WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                         THEN 'near_dup'
+                    ELSE 'kept' END AS status
+        FROM fp d
+        JOIN keepers k USING (fingerprint)
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sh AS ({{decon_grams}}),
+    exg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM exg WHERE {{bench_pred}}),
+    seeds AS MATERIALIZED (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, g FROM exg WHERE NOT ({{bench_pred}})) corpus
+        JOIN bench USING (g)
+    ),
+    gate AS (
+        SELECT doc_id, source,
+               CAST({_fmt(SQL_TOKEN_COUNT)} AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE ({_fmt(SQL_QUALITY_SCORE)}) >= {_PIPE_QUALITY_MIN}
+          AND ({{lang_id}}) = '{_PIPE_LANG}'
+          AND NOT ({{bench_pred}})
+    ),
+    kept AS (
+        SELECT g.doc_id, g.source, g.n_tokens
+        FROM gate g
+        JOIN verdict v USING (doc_id)
+        WHERE v.status = 'kept'
+          AND g.doc_id NOT IN (SELECT doc_id FROM seeds)
+    ),
+    p AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM kept
+    )
+    SELECT source, CAST(prefix // {_PIPE_SHARD_TOKENS} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """.format(
+        minhash=_sql_minhash_near_dup(0.5, order=False),
+        decon_grams=_SQL_DECON_GRAMS,
+        bench_pred=_DECON_BENCH,
+        lang_id=_fmt(sql_lang_id()),
+    ),
+    doc="THE pipeline: the single composed plan a training run "
+    "materializes its corpus from — quality gate (score ≥ "
+    f"{_PIPE_QUALITY_MIN}) ∧ language gate (lang_id = '{_PIPE_LANG}') ∧ "
+    "benchmark holdout excluded, then exact+near dedup survivors only "
+    "(docs_dedup_survivors' verdict reused, CC labels shared via the "
+    "session memo), then decontamination (anti-join against the direct "
+    f"n-gram overlap seeds), then {_PIPE_SHARD_TOKENS}-token shard "
+    "packing per source (prefix-sum window partitioned by source — "
+    "never a global window).  Every stage is a column predicate, a "
+    "keyed join against an already-registered relation, or a "
+    "per-source window: composing the pipeline adds NO new shuffle "
+    "shape beyond its parts, which is the property that lets the same "
+    "plan run at 100 TB.  Output is the shard manifest (doc counts, "
+    "token sums, id ranges) a downstream trainer consumes.",
+    memoize=False,  # composes the unmemoized clustering (runs jobs)
+)
+def q_docs_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    t, w = F.col("text"), F.col("w")
+    gate = (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "source", "text", X.words(t).alias("w"))
+        .filter(
+            (X.quality_score(t, w) >= F.lit(_PIPE_QUALITY_MIN))
+            & (X.lang_id(t, w) == F.lit(_PIPE_LANG))
+            & (F.col("doc_id") % 100 != 0)
+        )
+        .select(
+            "doc_id",
+            "source",
+            X.token_count(t, w).cast("long").alias("n_tokens"),
+        )
+    )
+    kept_ids = (
+        REGISTRY["docs_dedup_survivors"]
+        .spark_fn(spark, sf_dir)
+        .filter(F.col("status") == "kept")
+        .select("doc_id")
+    )
+    seeds = (
+        REGISTRY["docs_decontaminate"].spark_fn(spark, sf_dir).select("doc_id")
+    )
+    kept = gate.join(kept_ids, on="doc_id").join(
+        seeds, on="doc_id", how="left_anti"
+    )
+    w_win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = kept.withColumn(
+        "prefix", F.coalesce(F.sum("n_tokens").over(w_win), F.lit(0))
+    )
+    return (
+        p.groupBy(
+            "source",
+            (F.col("prefix") / F.lit(_PIPE_SHARD_TOKENS))
+            .cast("long")
+            .alias("shard_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-means Lloyd step (assign to nearest centroid → recompute centroids)
 # ---------------------------------------------------------------------------
 
@@ -1763,6 +1925,93 @@ def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "sum_bits",
             F.expr("(sum_bits * 1000000) DIV n_tokens").alias("mean_bits_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (conditional-probability perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bigram_surprisal",
+    f"""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest(w[1:len(w)-1]) AS w1,
+               unnest(w[2:len(w)]) AS w2
+        FROM (SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents)
+        WHERE len(w) >= 2
+    ),
+    big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM ex GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY 1)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(length(bin(c1 // c2))) AS BIGINT) AS sum_bits,
+           CAST((CAST(SUM(length(bin(c1 // c2))) AS BIGINT) * 1000000)
+                // COUNT(*) AS BIGINT) AS mean_bits_e6
+    FROM ex JOIN big USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+    """,
+    doc="Bigram-LM surprisal: mean per-position conditional surprisal "
+    "-log2 p(w2|w1) under the corpus's own bigram counts — the "
+    "next-token-predictability quality signal one rung above the "
+    "unigram proxy (a doc of common words in an ODD order now scores "
+    "high).  Engine-exact by the unigram query's trick: surprisal is "
+    "the integer bit length of floor(c(w1·)/c(w1,w2)) (no libm log), "
+    "and the per-doc mean is LONG cross-multiplication.  Plan: the "
+    "exploded bigram relation is persisted once and consumed twice; "
+    "c(w1,w2) is a (w1,w2)-keyed count whose partials combine "
+    "map-side, c(w1·) is a second-level rollup of those counts (never "
+    "a second pass over positions), and the join-back co-partitions "
+    "on the bigram key.  Vocabulary² scales with the corpus, so "
+    "neither count relation is broadcast.",
+)
+def q_docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", X.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    ex = persist_latest(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, size(ws) - 1)"),
+                    F.expr("slice(ws, 2, size(ws) - 1)"),
+                )
+            ).alias("pr"),
+        ).select(
+            "doc_id",
+            F.col("pr").getField("0").alias("w1"),
+            F.col("pr").getField("1").alias("w2"),
+        ),
+        "llmdata.bigram_toks",
+    )
+    big = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = big.groupBy(F.col("w1").alias("u_w1")).agg(
+        F.sum("c2").cast("long").alias("c1")
+    )
+    bits = F.length(F.bin(F.expr("c1 DIV c2")))
+    return (
+        ex.join(big, on=["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("u_w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bits",
+            F.expr("(sum_bits * 1000000) DIV n_bigrams").alias("mean_bits_e6"),
         )
         .orderBy("doc_id")
     )

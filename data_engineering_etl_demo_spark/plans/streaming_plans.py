@@ -669,3 +669,72 @@ def q_streaming_value_ema_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch: order-insensitive mergeable state
+# ---------------------------------------------------------------------------
+
+
+from data_engineering_etl_demo_spark.operators import sketches as K
+
+_KMV_SRC = (
+    "(SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL)"
+)
+
+
+@register(
+    "streaming_kmv_distinct",
+    f"""
+    SELECT event_type, kmv_users
+    FROM ({K.sql_kmv_distinct(_KMV_SRC, "event_type", K.sql_hash60("user_id"))})
+    ORDER BY 1
+    """,
+    doc="Distinct-user KMV sketch computed AS A STREAM: per event_type, "
+    "applyInPandasWithState carries the k=64 smallest distinct md5-60 "
+    "hashes across micro-batches (streaming/pipeline.kmv_sketch) — "
+    "bounded mergeable state, the streaming-sketch contract: O(k) LONGs "
+    "per key forever, an estimate after every batch, and an answer "
+    "that is invariant to arrival order, so the feed is deliberately "
+    "the OUT-OF-ORDER 3-slice staging the EMA-ooo query needs watermark "
+    "machinery for — a min-set monoid needs none.  The oracle is the "
+    "batch KMV SQL (operators/sketches.sql_kmv_distinct) and the final "
+    "estimate is applied by the SAME shared Catalyst expression "
+    "(sketches.kmv_estimate), so stream == batch bit-for-bit.  At "
+    "100 TB this is how distinct-cardinality dashboards actually run: "
+    "per-partition partial sketches merged per key, never a "
+    "countDistinct re-scan.",
+    memoize=False,
+)
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    stage = _ooo_staged_dir(spark, sf_dir)
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = (
+            s.readStream.schema(_schema_with_ts(T.TimestampType()))
+            # one slice per micro-batch: the sketch state genuinely merges
+            # across three batches (and absorbs the staged disorder)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        hashed = raw.filter(F.col("user_id").isNotNull()).select(
+            "event_type", K.hash60(F.col("user_id")).alias("h")
+        )
+        return P.kmv_sketch(hashed)
+
+    out = P.run_to_completion(
+        build,
+        query_name=f"kmv_{Path(sf_dir).name.replace('.', '_')}",
+        shuffle_partitions=4,
+        spark=spark,
+    )
+    last = out.groupBy("event_type").agg(
+        F.max_by("kth_hash", "n_seen").alias("_hk"),
+        F.max_by("n_mins", "n_seen").alias("_nh"),
+    )
+    return last.select(
+        "event_type",
+        K.kmv_estimate(F.col("_hk"), F.col("_nh")).alias("kmv_users"),
+    ).orderBy("event_type")

@@ -667,3 +667,87 @@ def value_ema_ooo(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch: mergeable bounded state per group
+# ---------------------------------------------------------------------------
+
+KMV_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("n_mins", T.LongType()),
+    ]
+)
+_KMV_STATE_SCHEMA = T.StructType(
+    [
+        # the ≤k smallest DISTINCT 60-bit hashes seen so far, ascending
+        T.StructField("mins", T.ArrayType(T.LongType())),
+        # rows processed (monotone) — the caller's recency marker
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV distinct sketch per event_type: state is the k
+    smallest distinct hash values (operators/sketches.py semantics), a
+    MERGEABLE bounded summary — which is the whole point of sketching a
+    stream: state per key is O(k) LONGs forever, the estimate is
+    available after every micro-batch, and arrival order (or disorder)
+    cannot change the answer, because min-sets are a commutative
+    idempotent monoid.  Contrast with the EMA kernels above, whose fold
+    is order-SENSITIVE and needs the watermark machinery.
+
+    ``hashed`` carries (event_type, h) with h precomputed Spark-side by
+    sketches.hash60 (md5-derived), so the kernel never hashes — the
+    exact bit pattern the DuckDB oracle replays.  Emits per batch the
+    cumulative (n_seen, kth_hash = max of kept mins, n_mins); the caller
+    keeps each key's row with the highest n_seen and applies the
+    closed-form estimate with the SAME Catalyst expression the batch
+    kmv_distinct uses, so stream == batch bit-for-bit.
+
+    Pruning to the k smallest within the kernel is lossless: the final
+    k smallest of the whole stream can only contain values that were,
+    at every prefix, among that prefix's k smallest."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            mins, n_seen = state.get
+            cur = set(mins)
+        else:
+            cur, n_seen = set(), 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            hs = pdf["h"].to_numpy(dtype=np.int64)
+            n_seen += len(hs)
+            cur.update(hs.tolist())
+            if len(cur) > 8 * k:  # bound in-loop growth between prunes
+                cur = set(sorted(cur)[:k])
+        kept = sorted(cur)[:k]
+        state.update((kept, n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "kth_hash": [kept[-1] if kept else 0],
+                "n_mins": [len(kept)],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=KMV_STREAM_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

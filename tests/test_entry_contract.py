@@ -44,58 +44,32 @@ def test_every_query_is_callable_and_oracle_keys_subset():
 
 def test_verify_order_puts_stale_evidence_first():
     """The driver walks queries() in dict order and stops near its cap, so
-    the ordering must be an evidence-staleness sort: every query whose
-    implementation changed this round sorts before every unchanged one,
-    and every unchanged query with only round-2 evidence sorts before
-    every round-3-green one.  Relative-order property only — no hardcoded
-    cap index, so adding queries or a driver cap change can't break it."""
+    the ordering must be an evidence-staleness sort (round-6 design,
+    plans/__init__._verify_priority): every query changed this round or
+    never driver-checked sorts before every unchanged query with driver
+    evidence, and among the unchanged ones the round of each query's
+    freshest green is NONDECREASING in dict order.  Relative-order
+    property only — no hardcoded cap index, so adding queries or a
+    driver cap change can't break it."""
     from data_engineering_etl_demo_spark.plans import (
         _CHANGED_THIS_ROUND,
-        _IMPL_CHANGED_THIS_ROUND,
-        _ROUND2_GREEN,
-        _ROUND3_GREEN,
-        all_specs,
+        _LATEST_GREEN,
     )
 
     names = list(E.queries())
+    front = [
+        n for n in names
+        if n in _CHANGED_THIS_ROUND or n not in _LATEST_GREEN
+    ]
+    rest = [n for n in names if n not in front]
+    assert front and rest
     pos = {n: i for i, n in enumerate(names)}
-    specs = all_specs()
-    front = _CHANGED_THIS_ROUND | _IMPL_CHANGED_THIS_ROUND
-
-    def is_streaming_tail(n: str) -> bool:
-        # a CHANGED/new streaming query has no fresh evidence and belongs
-        # in the changed bucket, not the deprioritized streaming tail
-        return specs[n].module == "streaming_plans" and n not in front
-
-    never_green = [n for n in names if n in _CHANGED_THIS_ROUND]
-    impl_changed = [
-        n
-        for n in names
-        if n in _IMPL_CHANGED_THIS_ROUND and n not in _CHANGED_THIS_ROUND
-    ]
-    r2 = [
-        n for n in names
-        if n in _ROUND2_GREEN and n not in front and not is_streaming_tail(n)
-    ]
-    r3 = [
-        n for n in names
-        if n in _ROUND3_GREEN and n not in front and not is_streaming_tail(n)
-    ]
-    r4 = [
-        n
-        for n in names
-        if n not in _ROUND2_GREEN
-        and n not in _ROUND3_GREEN
-        and n not in front
-        and not is_streaming_tail(n)
-    ]
-    streaming = [n for n in names if is_streaming_tail(n)]
-    assert never_green and impl_changed and r2 and r3 and r4 and streaming
-    assert max(pos[n] for n in never_green) < min(pos[n] for n in impl_changed)
-    assert max(pos[n] for n in impl_changed) < min(pos[n] for n in r2)
-    assert max(pos[n] for n in r2) < min(pos[n] for n in r3)
-    assert max(pos[n] for n in r3) < min(pos[n] for n in r4)
-    assert max(pos[n] for n in r4) < min(pos[n] for n in streaming)
+    assert max(pos[n] for n in front) < min(pos[n] for n in rest)
+    rounds = [_LATEST_GREEN[n] for n in rest]
+    assert rounds == sorted(rounds)
+    # the staleness map covers several distinct evidence rounds, or the
+    # sort would be vacuous
+    assert len(set(rounds)) >= 3
 
 
 def test_plan_caches_keyed_by_application_id(spark, monkeypatch):

@@ -1,0 +1,97 @@
+"""Cross-query invariants for the round-6 additions, independent of the
+DuckDB oracles (which tests/test_oracle_parity.py already enforces):
+the corpus-pipeline manifest's packing contract, stream==batch for the
+KMV sketch within Spark, and bigram/unigram consistency."""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_demo_spark.plans import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPECS = all_specs()
+
+
+def test_corpus_pipeline_manifest_contract(spark):
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _PIPE_SHARD_TOKENS,
+    )
+
+    rows = (
+        SPECS["docs_corpus_pipeline"].spark_fn(spark, SF_DIR).collect()
+    )
+    assert rows, "pipeline kept zero documents at sf0.001"
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    for source, shards in by_source.items():
+        shards.sort(key=lambda r: r.shard_id)
+        # shard ids are contiguous from 0 (prefix-sum packing can't skip)
+        assert [s.shard_id for s in shards] == list(range(len(shards)))
+        for s in shards:
+            assert s.n_docs >= 1
+            assert s.first_doc <= s.last_doc
+        # doc-id ranges of consecutive shards are disjoint and ordered
+        for a, b in zip(shards, shards[1:]):
+            assert a.last_doc < b.first_doc
+        # every shard except the last was CLOSED by overflow: the first
+        # doc of shard s+1 has token-prefix ≥ (s+1)·budget, and that
+        # prefix equals the cumulative tokens of shards 0..s
+        total = 0
+        for s in shards[:-1]:
+            total += s.shard_tokens
+            assert total >= _PIPE_SHARD_TOKENS * (s.shard_id + 1)
+
+
+def test_corpus_pipeline_is_subset_of_survivors(spark):
+    """Total kept docs can never exceed the dedup survivors' kept count —
+    the pipeline only subtracts (quality/lang/holdout gates, decon)."""
+    kept_total = (
+        SPECS["docs_corpus_pipeline"]
+        .spark_fn(spark, SF_DIR)
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    survivors = (
+        SPECS["docs_dedup_survivors"]
+        .spark_fn(spark, SF_DIR)
+        .filter(F.col("status") == "kept")
+        .count()
+    )
+    assert 0 < kept_total <= survivors
+
+
+def test_streaming_kmv_matches_batch_sketch(spark):
+    """The streamed KMV estimate equals the batch KMV column of
+    events_sketch_distinct per event_type — the mergeable-state contract,
+    checked entirely within Spark (no oracle in the loop)."""
+    stream = {
+        r.event_type: r.kmv_users
+        for r in SPECS["streaming_kmv_distinct"].spark_fn(spark, SF_DIR).collect()
+    }
+    batch = {
+        r.event_type: r.kmv_users
+        for r in SPECS["events_sketch_distinct"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert stream == {k: batch[k] for k in stream}
+    assert set(stream) == set(batch)
+
+
+def test_bigram_counts_consistent_with_tokens(spark):
+    """n_bigrams == n_tokens - 1 for every doc with ≥2 tokens, and docs
+    with <2 tokens are absent from the bigram output."""
+    tokens = {
+        r.doc_id: r.n_tokens
+        for r in SPECS["docs_token_stats"].spark_fn(spark, SF_DIR).collect()
+    }
+    bigrams = {
+        r.doc_id: r.n_bigrams
+        for r in SPECS["docs_bigram_surprisal"].spark_fn(spark, SF_DIR).collect()
+    }
+    for doc_id, n_tok in tokens.items():
+        if n_tok >= 2:
+            assert bigrams[doc_id] == n_tok - 1
+        else:
+            assert doc_id not in bigrams
