@@ -68,6 +68,26 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def sign_word(vec: Column | str, start: int, n: int) -> Column:
+    """Binary (1-bit) quantization: pack the sign bits of ``n`` consecutive
+    dimensions starting at 0-based ``start`` into one non-negative BIGINT
+    (bit j = 1 iff vec[start+j] >= 0).  n ≤ 63 keeps the word positive —
+    a 64-dim embedding packs into TWO 32-bit words, dodging BIGINT's sign
+    bit, and Hamming distance is bit_count(w0⊕w0') + bit_count(w1⊕w1').
+    Pure codegen expressions (shift/IF/aggregate), identical in DuckDB."""
+    if not 0 < n <= 63:
+        raise ValueError(f"sign_word packs 1..63 bits per word, got {n}")
+    name = vec if isinstance(vec, str) else None
+    if name is None:
+        raise TypeError("sign_word needs the column NAME (SQL-expr build)")
+    return F.expr(
+        f"aggregate(zip_with(slice({name}, {start + 1}, {n}), "
+        f"sequence(0, {n - 1}), "
+        "(v, i) -> IF(v >= cast(0 as float), shiftleft(1L, i), 0L)), "
+        "0L, (a, b) -> a + b)"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

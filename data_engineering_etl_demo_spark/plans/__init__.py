@@ -106,6 +106,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     # NEW queries this round (no driver evidence yet):
     "docs_bigram_surprisal",
     "docs_corpus_pipeline",
+    "embedding_hamming_topk",
     "streaming_kmv_distinct",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",

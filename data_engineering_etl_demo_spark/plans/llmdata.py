@@ -669,6 +669,152 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=_TOPK_K)
 
 
+_HAM_QUERIES = 8  # query vectors (vec_id < 8), as in embedding_topk
+_HAM_R = 50  # Hamming-coarse candidates kept per query (10x k oversample)
+_HAM_K = 5  # final exact-reranked neighbors
+
+
+def _sql_sign_word(lo: int, n: int) -> str:
+    """DuckDB mirror of similarity.sign_word (1-based list indexing)."""
+    return (
+        f"CAST(list_sum(list_transform(range({lo + 1}, {lo + n + 1}), "
+        f"i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - {lo + 1})) "
+        "ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+@register(
+    "embedding_hamming_topk",
+    f"""
+    WITH w AS (
+        SELECT vec_id,
+               {_sql_sign_word(0, 32)} AS w0,
+               {_sql_sign_word(32, 32)} AS w1
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1 FROM w
+          WHERE vec_id < {_HAM_QUERIES}),
+    h AS (
+        SELECT query_id, c.vec_id AS cand_id,
+               CAST(bit_count(xor(qw0, c.w0))
+                    + bit_count(xor(qw1, c.w1)) AS BIGINT) AS hamming
+        FROM q, w c WHERE c.vec_id <> query_id
+    ),
+    r AS (
+        SELECT query_id, cand_id, hamming
+        FROM (SELECT query_id, cand_id, hamming,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hamming, cand_id) AS hrank
+              FROM h)
+        WHERE hrank <= {_HAM_R}
+    ),
+    terms AS (
+        SELECT r.query_id, r.cand_id, r.hamming,
+               CAST(floor(CAST(qe.embedding[i] AS DOUBLE)
+                          * CAST(ce.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(qe.embedding[i] AS DOUBLE)
+                          * CAST(qe.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(ce.embedding[i] AS DOUBLE)
+                          * CAST(ce.embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM r
+        JOIN embeddings qe ON qe.vec_id = r.query_id
+        JOIN embeddings ce ON ce.vec_id = r.cand_id,
+             generate_series(1, 64) AS g(i)
+    ),
+    agg AS (
+        SELECT query_id, cand_id, hamming,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, hamming, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, cand_id)
+                    AS INT) AS rank
+        FROM agg
+    )
+    SELECT query_id, cand_id, hamming, cosine_sim, rank
+    FROM ranked WHERE rank <= {_HAM_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Binary-quantization ANN: each 64-float vector compresses to TWO "
+    "64-bit sign words (32x smaller — 256 bytes → 16), the coarse pass "
+    f"ranks candidates by Hamming distance (bit_count(xor) — pure "
+    "codegen bitwise ops, no per-dimension explode, unlike the exact "
+    f"baseline's 64-term expansion), and only the top {_HAM_R} "
+    "candidates per query are re-scored by exact fixed-point cosine "
+    f"for the final top {_HAM_K}.  This is the missing third "
+    "quantization tier next to scalar (embedding_quantize) and product "
+    "(embedding_pq_*): at 100 TB the sign words are the only thing the "
+    "coarse scan reads (a 3 TB word table for a 100 TB float corpus), "
+    "queries broadcast, and the exact re-rank touches R rows per "
+    "query, never the corpus.  Sign bits and both rank stages are "
+    "deterministic, so the oracle replays the identical candidate "
+    "set.",
+)
+def q_embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    words = emb.select(
+        "vec_id",
+        S.sign_word("embedding", 0, 32).alias("w0"),
+        S.sign_word("embedding", 32, 32).alias("w1"),
+    )
+    q = words.filter(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    h = (
+        words.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                F.bit_count(F.expr("qw0 ^ w0"))
+                + F.bit_count(F.expr("qw1 ^ w1"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    r = (
+        h.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= _HAM_R)
+        .drop("hrank")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        r.join(F.broadcast(qe), on="query_id")
+        .join(ce, on="cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "hamming",
+            S.cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _HAM_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "embedding_label_stats",
     """

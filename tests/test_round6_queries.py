@@ -95,3 +95,30 @@ def test_bigram_counts_consistent_with_tokens(spark):
             assert bigrams[doc_id] == n_tok - 1
         else:
             assert doc_id not in bigrams
+
+
+def test_hamming_topk_recall_and_contract(spark):
+    """Binary-quantization ANN: per-query result is exactly K rows with
+    ranks 1..K, and recall against the exact brute-force top-k stays
+    above the floor the 10x-k oversample buys on this (worst-case,
+    cluster-free) synthetic corpus."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _HAM_K,
+        _HAM_QUERIES,
+    )
+
+    ham = SPECS["embedding_hamming_topk"].spark_fn(spark, SF_DIR).collect()
+    per_q = defaultdict(list)
+    for r in ham:
+        per_q[r.query_id].append(r)
+    assert len(per_q) == _HAM_QUERIES
+    for rows in per_q.values():
+        assert sorted(r.rank for r in rows) == list(range(1, _HAM_K + 1))
+        # rank order is exactly (cosine desc, cand_id)
+        ordered = sorted(rows, key=lambda r: (-r.cosine_sim, r.cand_id))
+        assert [r.rank for r in ordered] == list(range(1, _HAM_K + 1))
+    exact = SPECS["embedding_topk"].spark_fn(spark, SF_DIR).collect()
+    h = {(r.query_id, r.cand_id) for r in ham}
+    e = {(r.query_id, r.cand_id) for r in exact}
+    recall = len(h & e) / len(e)
+    assert recall >= 0.5, f"hamming recall {recall} below floor"
