@@ -107,6 +107,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_bigram_surprisal",
     "docs_corpus_pipeline",
     "embedding_hamming_topk",
+    "multimodal_phash_dedup",
     "streaming_kmv_distinct",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",

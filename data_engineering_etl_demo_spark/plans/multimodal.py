@@ -206,3 +206,107 @@ _SQL_PATCHES = f"""
 def q_multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(load(spark, sf_dir, "documents"))
     return M.patch_grid(media).orderBy("doc_id", "patch_row", "patch_col")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash over the patch grid)
+# ---------------------------------------------------------------------------
+
+_G2 = M.PATCH_GRID * M.PATCH_GRID
+
+_SQL_PHASH = f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               lower(hex(encode(text))) AS hx
+        FROM documents
+        WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+    ),
+    p AS (
+        SELECT doc_id, hx,
+               CAST(g AS INT) AS patch,
+               (g * n) // {_G2} AS lo,
+               ((g + 1) * n) // {_G2} AS hi
+        FROM m, generate_series(0, {_G2 - 1}) AS t(g)
+    ),
+    s AS (
+        SELECT doc_id, patch,
+               CAST(hi - lo AS BIGINT) AS pn,
+               CAST(coalesce(list_sum(list_transform(range(lo, hi),
+                   i -> CAST((instr('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+                             + instr('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1
+                        AS BIGINT))), 0) AS BIGINT) AS ps
+        FROM p
+    ),
+    img AS (
+        SELECT doc_id, CAST(SUM(ps) AS BIGINT) AS tot,
+               CAST(SUM(pn) AS BIGINT) AS nb
+        FROM s GROUP BY 1
+    ),
+    ph AS (
+        SELECT s.doc_id,
+               CAST(SUM(CASE WHEN pn > 0
+                             AND (ps * 1000000) // pn >= (tot * 1000000) // nb
+                             THEN (1::BIGINT << patch) ELSE 0::BIGINT END)
+                    AS BIGINT) AS phash
+        FROM s JOIN img USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images, MIN(doc_id) AS keep_id
+    FROM ph GROUP BY 1 ORDER BY phash
+"""
+
+
+@register(
+    "multimodal_phash_dedup",
+    _SQL_PHASH,
+    doc="Perceptual-hash (aHash) image dedup: each image's 16 patch means "
+    "threshold against the image mean into a 16-bit hash (bit p = patch "
+    "p at-or-above average brightness), and images bucket by hash — the "
+    "modality-side near-dup operator that connects the multimodal stack "
+    "to the dedup stack (visually-identical payloads collide even when "
+    "bytes differ in the below-average regions).  Means are compared in "
+    "exact integer fixed-point (sum·1e6 div count — no float division), "
+    "so both engines set identical bits.  Plan: the patch relation from "
+    "the Arrow pass aggregates per image twice (totals, then bits with "
+    "the totals joined back — co-partitioned on doc_id), then a tiny "
+    "hash-keyed census.  At 100 TB the census input is one 16-bit-ish "
+    "row per image; the heavy bytes never shuffle.",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(
+        load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    s = M.patch_grid(media).select(
+        "doc_id",
+        (F.col("patch_row") * M.PATCH_GRID + F.col("patch_col")).alias(
+            "patch"
+        ),
+        F.col("patch_n_bytes").alias("pn"),
+        F.col("patch_sum").alias("ps"),
+    )
+    img = s.groupBy(F.col("doc_id").alias("i_doc")).agg(
+        F.sum("ps").cast("long").alias("tot"),
+        F.sum("pn").cast("long").alias("nb"),
+    )
+    bit = F.when(
+        (F.col("pn") > 0)
+        & (
+            F.expr("(ps * 1000000) DIV pn")
+            >= F.expr("(tot * 1000000) DIV nb")
+        ),
+        F.expr("shiftleft(1L, patch)"),
+    ).otherwise(F.lit(0).cast("long"))
+    ph = (
+        s.join(img, s["doc_id"] == F.col("i_doc"))
+        .groupBy("doc_id")
+        .agg(F.sum(bit).cast("long").alias("phash"))
+    )
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("phash")
+    )

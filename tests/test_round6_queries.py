@@ -122,3 +122,35 @@ def test_hamming_topk_recall_and_contract(spark):
     e = {(r.query_id, r.cand_id) for r in exact}
     recall = len(h & e) / len(e)
     assert recall >= 0.5, f"hamming recall {recall} below floor"
+
+
+def test_phash_planted_duplicates(spark, tmp_path):
+    """Byte-identical image payloads MUST share a phash bucket (keep_id =
+    min doc id), distinct payloads normally don't, and empty payloads are
+    excluded — pinned on a planted corpus written to a scratch sf_dir."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 3, 6, 9, 12],
+            "text": [
+                "the quick brown fox jumps over the lazy dog " * 4,
+                "the quick brown fox jumps over the lazy dog " * 4,
+                "a completely different document body with other words",
+                "x",
+                "",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = (
+        SPECS["multimodal_phash_dedup"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert sum(r.n_images for r in rows) == 4  # empty payload excluded
+    dup = [r for r in rows if r.n_images > 1]
+    assert len(dup) == 1 and dup[0].n_images == 2 and dup[0].keep_id == 0
