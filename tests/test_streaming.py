@@ -466,3 +466,68 @@ def test_run_to_completion_shuffle_override_never_touches_session(spark):
     with _pytest.raises(ValueError, match="builder form"):
         P.run_to_completion(bogus, "t_conf_refuse", "complete",
                             shuffle_partitions=3)
+
+
+def test_value_ema_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Crash-recovery contract: a NEW query instance pointed at the SAME
+    checkpoint resumes the state store and the source offsets — the
+    second drain processes only the new file, folds ON TOP of the
+    recovered (ema, n), and never re-reads batch 1 (the in-order kernel
+    would raise loudly on the duplicate delivery if it did).  This is
+    the restart semantics a production stream relies on; the memory
+    sink is ephemeral by design, so drain 2's table contains only the
+    post-restart emissions."""
+    from datetime import datetime, timedelta as _td
+
+    src = tmp_path / "ema_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ema_restart_ckpt")
+    schema = "user_id long, ts timestamp, event_id long, v6 long"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    out_dir = str(tmp_path / "ema_restart_out")
+
+    def drain(qname):
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery (it cannot replay committed batches); the parquet sink
+        # is the exactly-once recovery path a real job uses
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            P.value_ema(stream)
+            .writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    t = datetime(2026, 1, 1)
+    m = _td(minutes=1)
+    write("b1", [(1, t, 10, 100), (1, t + m, 11, 200), (2, t, 20, 50)])
+    r1 = drain("t_ema_restart1").collect()
+    assert sorted((r.user_id, r.n_events, r.ema_e6) for r in r1) == [
+        (1, 2, 120),
+        (2, 1, 50),
+    ]
+    # restart: new data lands while the query is down
+    write("b2", [(1, t + 2 * m, 12, 300), (3, t, 30, 70)])
+    r2 = drain("t_ema_restart2").collect()
+    # the file sink accumulates: drain-1 rows plus the post-restart
+    # emissions.  user 1 reaching n=3/ema=156 proves the recovered
+    # (120, 2) was folded on ((2*300 + 8*120) // 10 == 156; state loss
+    # would emit n=1/ema=300, a b1 re-read would raise in the kernel);
+    # user 2 gains nothing; user 3 is fresh.
+    assert sorted((r.user_id, r.n_events, r.ema_e6) for r in r2) == [
+        (1, 2, 120),
+        (1, 3, 156),
+        (2, 1, 50),
+        (3, 1, 70),
+    ]
