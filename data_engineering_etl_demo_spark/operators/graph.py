@@ -6,6 +6,12 @@ exact-key only, pipeline/transform.py:72-75); this generalizes its
 "keep one representative per duplicate group" semantics to transitive
 near-dup groups, per the north-star LLM-data operator set.
 
+Strategy is data-dependent, like a broadcast-join threshold: edge sets at
+or under ``driver_threshold`` (default 100k edges ≈ 1.6 MB — metadata-
+sized) are solved by one driver-side union-find pass instead of paying
+3 exchanges + a checkpoint per distributed round; larger graphs run the
+distributed algorithm below.
+
 Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewiring (Kiveris et
 al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
 algorithm).  Each round, large-star rewires every node's
@@ -96,11 +102,55 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every vertex that appears in `edges`;
     component = minimum node id reachable through the undirected graph.
     Deterministic (min over ids), so the result is engine-comparable."""
-    return connected_components_with_rounds(edges, src, dst, max_iter)[0]
+    return connected_components_with_rounds(
+        edges, src, dst, max_iter, driver_threshold
+    )[0]
+
+
+def _driver_union_find(nodes: DataFrame, cur: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find on the driver over an edge set
+    already known (counted) to be under the caller's threshold.
+
+    Rationale — the same data-dependent strategy choice as a broadcast
+    join: after LSH banding, a near-dup pair graph is typically a few
+    thousand edges even when the corpus is 100 TB, and every distributed
+    star round on such a graph is pure fixed overhead (3 exchanges + a
+    checkpoint + an observe job ≈ 0.3-0.5 s each on an idle cluster, ×4-6
+    rounds).  Collecting ≤ threshold edges (two longs each — 100k edges
+    ≈ 1.6 MB) is metadata-sized by construction; the result relabels in
+    one pass and ships back as a createDataFrame.  Graphs above the
+    threshold never reach this path."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in cur.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root ⇒ min-id label
+    node_list = [r[0] for r in nodes.collect()]
+    labels = [(n, find(n)) for n in node_list]
+    f = nodes.schema.fields[0]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", f.dataType, f.nullable),
+            StructField("component", f.dataType, f.nullable),
+        ]
+    )
+    return nodes.sparkSession.createDataFrame(labels, schema)
 
 
 def connected_components_with_rounds(
@@ -108,10 +158,14 @@ def connected_components_with_rounds(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> tuple[DataFrame, int]:
     """connected_components plus the number of star rounds it took —
     exposed so the O(log n) convergence bound is testable (the path-graph
-    probe pins rounds ≤ ⌈log2 n⌉ + c)."""
+    probe pins rounds ≤ ⌈log2 n⌉ + c).  Edge sets at or under
+    ``driver_threshold`` take the driver union-find fast path (rounds
+    reported as 0); pass ``driver_threshold=0`` to force the distributed
+    star rounds regardless of size."""
     # Materialize the incoming edge plan once: it is referenced by both the
     # node universe and the canonical edge set, and the upstream plan may
     # be expensive (e.g. the full MinHash pair pipeline).
@@ -133,12 +187,14 @@ def connected_components_with_rounds(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = cur.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(nodes, cur), 0
+
     from pyspark.sql import Observation
 
-    prev_n = None  # |cur|, carried from the previous round's observation
+    prev_n = n_edges  # |cur|, carried from the previous round's observation
     for rounds in range(1, max_iter + 1):
-        if prev_n is None:
-            prev_n = cur.count()
         # Convergence detection rides the SAME job that materializes the
         # round (fixpoint ⇔ no edge of nxt is new AND |nxt| == |cur|): a
         # left join against the previous edge set tags new edges, and an

@@ -44,9 +44,26 @@ def test_edge_direction_irrelevant(spark):
 
 
 def test_max_iter_guard(spark):
+    # driver_threshold=0 forces the distributed star rounds — the guard
+    # only exists on that path (the driver fast path cannot half-converge)
     df = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_threshold=0)
+
+
+def test_driver_fast_path_matches_star_rounds(spark):
+    # the small-graph union-find fast path must produce EXACTLY the labels
+    # the distributed star rounds produce — same min-reachable-id contract
+    edges = [(1, 2), (2, 3), (10, 11), (7, 7), (20, 3), (11, 30)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist == {
+        1: 1, 2: 1, 3: 1, 20: 1, 10: 10, 11: 10, 30: 10, 7: 7,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +292,7 @@ def test_star_cc_rounds_logarithmic_on_path_graph(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    labels, rounds = connected_components_with_rounds(df)
+    labels, rounds = connected_components_with_rounds(df, driver_threshold=0)
     assert {r["node"]: r["component"] for r in labels.collect()} == {
         i: 0 for i in range(n)
     }
