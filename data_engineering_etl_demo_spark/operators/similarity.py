@@ -1094,6 +1094,72 @@ def exact_l2_rerank(
     return joined.mapInPandas(kernel, out_schema)
 
 
+def brute_force_l2_topk(
+    corpus: DataFrame,
+    query_ids,
+    query_mat,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cand_id, exact_fixed, rank): exact squared-L2 top-k of
+    each query over the WHOLE corpus — the ground-truth side of an ANN
+    recall evaluation (the metric an index's quality is graded by).
+
+    Scale shape: one corpus pass; query vectors ride in the kernel
+    closure (fitted-model-scale constants).  Each Arrow batch pre-reduces
+    to its own top-k per query — monotone, so the global top-k is
+    preserved — and only those ≤ |Q|·k survivor rows per batch reach the
+    final window, never the |corpus|·|Q| score relation.  Arithmetic
+    mirrors exact_l2_rerank element-for-element (float64 widen, subtract,
+    square, ·1e12, floor, int64 sum), ties broken by cand_id, so the
+    DuckDB oracle replays it bit-for-bit."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qids = np.asarray([int(q) for q in query_ids], dtype=np.int64)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("exact_fixed", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for qi, qid in enumerate(qids):
+                keep = ids != qid  # self-match excluded
+                if not keep.any():
+                    continue
+                diff = qmat[qi] - mat[keep]
+                fx = np.floor(diff * diff * PROD_SCALE).astype(np.int64).sum(axis=1)
+                cids = ids[keep]
+                order = np.lexsort((cids, fx))[:k]  # (exact_fixed, cand_id)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid, dtype=np.int64),
+                        "cand_id": cids[order],
+                        "exact_fixed": fx[order],
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("exact_fixed"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def pq_adc_lut(
     query_ids,
     query_mat,

@@ -109,6 +109,9 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_hamming_topk",
     "multimodal_phash_dedup",
     "streaming_kmv_distinct",
+    "embedding_ann_recall",
+    "events_incremental_rollup",
+    "events_histogram_quantiles",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -2582,12 +2582,19 @@ def _ivf_pq_adc_scores(
 
 _RERANK_R = 32  # ADC candidates re-scored by exact distance per query
 
+# DuckDB replay of the exact fixed-point squared-L2 between two embedding
+# rows q/c — same op order as similarity.exact_l2_rerank's kernel.
+_SQL_EXACT_L2 = """CAST(list_sum(list_transform(range(1, 65), i ->
+                   CAST(floor(
+                       (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE))
+                     * (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE))
+                     * 1e12) AS BIGINT))) AS BIGINT)"""
 
-@register(
-    "embedding_ivf_pq_rerank",
-    f"""
-    WITH {_SQL_IVF_PQ_CTES},
-    cand AS (
+# Re-rank stages shared by embedding_ivf_pq_rerank and the recall report:
+# ADC-survivor selection + exact re-scoring against the true vectors.
+_SQL_RERANK_CTES = f"""cand AS (
         SELECT query_id, cand_id FROM (
             SELECT query_id, cand_id,
                    ROW_NUMBER() OVER (
@@ -2597,18 +2604,18 @@ _RERANK_R = 32  # ADC candidates re-scored by exact distance per query
         ) WHERE arank <= {_RERANK_R}
     ),
     exact AS (
-        SELECT t.query_id, t.cand_id,
-               CAST(list_sum(list_transform(range(1, 65), i ->
-                   CAST(floor(
-                       (CAST(q.embedding[i] AS DOUBLE)
-                        - CAST(c.embedding[i] AS DOUBLE))
-                     * (CAST(q.embedding[i] AS DOUBLE)
-                        - CAST(c.embedding[i] AS DOUBLE))
-                     * 1e12) AS BIGINT))) AS BIGINT) AS exact_fixed
+        SELECT t.query_id, t.cand_id, {_SQL_EXACT_L2} AS exact_fixed
         FROM cand t
         JOIN embeddings q ON q.vec_id = t.query_id
         JOIN embeddings c ON c.vec_id = t.cand_id
-    )
+    )"""
+
+
+@register(
+    "embedding_ivf_pq_rerank",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES},
+    {_SQL_RERANK_CTES}
     SELECT query_id, cand_id, exact_fixed, rank FROM (
         SELECT query_id, cand_id, exact_fixed,
                ROW_NUMBER() OVER (
@@ -2655,6 +2662,82 @@ def q_embedding_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
+    )
+
+
+_RECALL_K = 5
+_N_IVF_Q = _IVF_QHI - _IVF_QLO
+
+
+@register(
+    "embedding_ann_recall",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES},
+    {_SQL_RERANK_CTES},
+    ivtop AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY exact_fixed, cand_id) AS rank
+            FROM exact
+        ) WHERE rank <= {_RECALL_K}
+    ),
+    bf AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_SQL_EXACT_L2} AS exact_fixed
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id >= {_IVF_QLO} AND q.vec_id < {_IVF_QHI}
+          AND c.vec_id <> q.vec_id
+    ),
+    bftop AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY exact_fixed, cand_id) AS rank
+            FROM bf
+        ) WHERE rank <= {_RECALL_K}
+    )
+    SELECT CAST({_N_IVF_Q} AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) * 1000000 // {_RECALL_K * _N_IVF_Q} AS BIGINT)
+               AS recall_ppm
+    FROM ivtop JOIN bftop USING (query_id, cand_id)
+    """,
+    doc="ANN recall@k report — the evaluation harness an index ships "
+    "with: the IVF-PQ+rerank search's top-5 per query, intersected with "
+    "the exact L2 ground truth (brute_force_l2_topk: ONE corpus pass, "
+    "per-Arrow-batch top-k pre-reduction so only |Q|·k survivors per "
+    "batch reach the shuffle), reported as an integer-ppm micro-recall. "
+    "Both top-k sets and the fixed-point distances are engine-exact, so "
+    "even this quality METRIC hash-matches the oracle.  At 100 TB the "
+    "ground-truth side is the expensive one by design — it runs on the "
+    "evaluation query sample, never in the serving path.",
+)
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    iv = (
+        REGISTRY["embedding_ivf_pq_rerank"]
+        .spark_fn(spark, sf_dir)
+        .select("query_id", "cand_id")
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    q_ids, q_mat = S.vectors_from_parquet(path, _IVF_QLO, _IVF_QHI)
+    bf = S.brute_force_l2_topk(
+        load(spark, sf_dir, "embeddings"), q_ids, q_mat, k=_RECALL_K
+    ).select("query_id", "cand_id")
+    return (
+        iv.join(bf, ["query_id", "cand_id"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(_N_IVF_Q).cast("long").alias("n_queries"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"n_hits * 1000000 DIV {_RECALL_K * _N_IVF_Q}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
     )
 
 

@@ -1153,3 +1153,203 @@ def q_events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope", "event_type", "day_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: merge partial agg states
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_incremental_rollup",
+    f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(ROUND(COALESCE(value, 0) * 1000000) AS BIGINT) AS v_f
+        FROM events
+    ),
+    mx AS (SELECT MAX(day) AS last_day FROM e),
+    mv AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_f) AS BIGINT) AS s_f
+        FROM e, mx WHERE day < last_day GROUP BY 1
+    ),
+    delta AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_f) AS BIGINT) AS s_f
+        FROM e, mx WHERE day = last_day GROUP BY 1
+    ),
+    merged AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(s_f) AS BIGINT) AS s_f
+        FROM (SELECT * FROM mv UNION ALL SELECT * FROM delta)
+        GROUP BY 1
+    )
+    SELECT m.event_type,
+           COALESCE(mv.n, 0) AS mv_events,
+           COALESCE(delta.n, 0) AS delta_events,
+           m.n_events,
+           ROUND(m.s_f / 1000000.0, 2) AS revenue
+    FROM merged m
+    LEFT JOIN mv ON mv.event_type = m.event_type
+    LEFT JOIN delta ON delta.event_type = m.event_type
+    ORDER BY 1
+    """,
+    doc="incremental materialized-view maintenance — the continuous-"
+    "aggregate refresh shape (TimescaleDB hypertable rollups, Delta MV "
+    "refresh): the standing per-type aggregate over all CLOSED days is "
+    "the materialized partial state (count + fixed-point LONG sum — "
+    "associative, so partials merge exactly), the newest day is the "
+    "delta, and the published rollup is a MERGE of the two states, never "
+    "a rescan of history.  The oracle recomputes from scratch and must "
+    "hash-match — the algebraic identity that makes incremental refresh "
+    "safe at 100 TB, where rescanning closed partitions is the cost "
+    "that kills.  Money stays in LONG fixed-point until one final round.",
+)
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)
+        .cast("long")
+        .alias("v_f"),
+    )
+    mx = e.agg(F.max("day").alias("last_day"))
+    ed = e.crossJoin(F.broadcast(mx))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v_f").cast("long").alias("s_f")
+        )
+
+    mv = partial(ed.filter(F.col("day") < F.col("last_day")))
+    delta = partial(ed.filter(F.col("day") == F.col("last_day")))
+    merged = (
+        mv.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s_f").cast("long").alias("s_f"),
+        )
+    )
+    return (
+        merged.join(mv.select("event_type", F.col("n").alias("mv_n")), "event_type", "left")
+        .join(delta.select("event_type", F.col("n").alias("d_n")), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("mv_n", F.lit(0)).cast("long").alias("mv_events"),
+            F.coalesce("d_n", F.lit(0)).cast("long").alias("delta_events"),
+            "n_events",
+            F.round(F.col("s_f") / F.lit(1_000_000.0), 2).alias("revenue"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram sketch -> deterministic quantile estimates
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 256
+
+
+@register(
+    "events_histogram_quantiles",
+    f"""
+    WITH v AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS v_f
+        FROM events WHERE value IS NOT NULL
+    ),
+    st AS (
+        SELECT CAST(MIN(v_f) AS BIGINT) AS mn, CAST(MAX(v_f) AS BIGINT) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v
+    ),
+    h AS (
+        SELECT (v_f - mn) // ((mx - mn) // {_HIST_BUCKETS} + 1) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM v, st GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+        FROM h
+    ),
+    p AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS pct),
+    sel AS (
+        SELECT p.pct, CAST(MIN(c.bucket) AS BIGINT) AS bucket
+        FROM p, st, c
+        WHERE c.cum >= (st.n * p.pct + 99) // 100
+        GROUP BY 1
+    )
+    SELECT sel.pct, st.n AS n_values, sel.bucket,
+           CAST(mn + sel.bucket * ((mx - mn) // {_HIST_BUCKETS} + 1) AS DOUBLE)
+               / 100.0 AS est_value
+    FROM sel, st
+    ORDER BY 1
+    """,
+    doc="mergeable equi-width histogram sketch → deterministic p50/p90/p99 "
+    "estimates: values quantize to integer cents (floor is IEEE-exact on "
+    f"positive doubles), one {_HIST_BUCKETS}-bucket histogram is built in "
+    "a single map-side-combinable shuffle, and each quantile reads the "
+    "first bucket whose running count crosses ceil(p·n) — the estimate "
+    "is the bucket's lower edge, integer arithmetic throughout, so even "
+    "the APPROXIMATE answers hash-match the oracle (the same reason the "
+    "KMV/HLL sketches avoid libm).  Per-partition histograms are "
+    "mergeable partials (bucket counts add), which is what a 100 TB "
+    "quantile computation needs instead of a global sort; the cumsum "
+    "window touches only the ≤{_HIST_BUCKETS}-row histogram, never data.",
+)
+def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.floor(F.col("value") * 100).cast("long").alias("v_f"))
+    )
+    st = v.agg(
+        F.min("v_f").alias("mn"), F.max("v_f").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        v.crossJoin(F.broadcast(st))
+        .select(
+            F.expr(
+                f"(v_f - mn) DIV ((mx - mn) DIV {_HIST_BUCKETS} + 1)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    pcts = st.select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct"),
+        "mn", "mx", "n",
+    )
+    sel = (
+        pcts.join(
+            cum, F.col("cum") >= F.expr("(n * pct + 99) DIV 100"), "inner"
+        )
+        .groupBy("pct", "mn", "mx", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return sel.select(
+        F.col("pct").cast("int").alias("pct"),
+        F.col("n").alias("n_values"),
+        "bucket",
+        (
+            F.expr(
+                f"CAST(mn + bucket * ((mx - mn) DIV {_HIST_BUCKETS} + 1) AS DOUBLE)"
+            )
+            / F.lit(100.0)
+        ).alias("est_value"),
+    ).orderBy("pct")

@@ -154,3 +154,83 @@ def test_phash_planted_duplicates(spark, tmp_path):
     assert sum(r.n_images for r in rows) == 4  # empty payload excluded
     dup = [r for r in rows if r.n_images > 1]
     assert len(dup) == 1 and dup[0].n_images == 2 and dup[0].keep_id == 0
+
+
+def test_incremental_rollup_merges_exactly(spark):
+    """The merged MV+delta state must equal a from-scratch recompute
+    (checked inside Spark, independent of the oracle), and the partial
+    counts must add up row by row."""
+    rows = SPECS["events_incremental_rollup"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mv_events + r.delta_events == r.n_events
+    from data_engineering_etl_demo_spark.catalog import load
+
+    ev = load(spark, SF_DIR, "events")
+    direct = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.event_type: r.n_events for r in rows} == direct
+    last_day = ev.agg(F.max(F.col("ts").cast("date"))).first()[0]
+    n_last = ev.filter(F.col("ts").cast("date") == last_day).count()
+    assert sum(r.delta_events for r in rows) == n_last
+
+
+def test_histogram_quantiles_contract(spark):
+    """Estimates are monotone in pct, land inside the observed value
+    range, and the reported n equals the non-null row count; the p-th
+    estimate's bucket can never undershoot the true rank position."""
+    from data_engineering_etl_demo_spark.catalog import load
+    from data_engineering_etl_demo_spark.plans.timeseries import _HIST_BUCKETS
+
+    rows = sorted(
+        SPECS["events_histogram_quantiles"].spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == [50, 90, 99]
+    ev = load(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    n = ev.count()
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    for a, b in zip(rows, rows[1:]):
+        assert a.est_value <= b.est_value
+    for r in rows:
+        assert r.n_values == n
+        assert 0 <= r.bucket < _HIST_BUCKETS
+        # lower-edge estimate: never above the true max, not below min's floor
+        assert (vmin * 100) // 1 / 100.0 <= r.est_value <= vmax
+    # p50 estimate's bucket holds the true median: at least ceil(n/2)
+    # values are <= the NEXT bucket's lower edge
+    import math
+
+    est50 = rows[0].est_value
+    n_le = ev.filter(F.col("value") < est50).count()
+    assert n_le <= math.ceil(n * 0.5)  # lower edge can't overshoot the rank
+
+
+def test_ann_recall_report_consistent(spark):
+    """The recall report must equal a direct Spark-side intersection of
+    the rerank result with the exact ground truth — and ground truth is
+    genuinely the exact L2 top-k (spot-checked against brute force)."""
+    row = SPECS["embedding_ann_recall"].spark_fn(spark, SF_DIR).first()
+    iv = {
+        (r.query_id, r.cand_id)
+        for r in SPECS["embedding_ivf_pq_rerank"].spark_fn(spark, SF_DIR).collect()
+    }
+    from data_engineering_etl_demo_spark.catalog import load
+    from data_engineering_etl_demo_spark.operators import similarity as S
+    from data_engineering_etl_demo_spark.plans.llmdata import _IVF_QHI, _IVF_QLO
+
+    q_ids, q_mat = S.vectors_from_parquet(
+        f"{SF_DIR}/embeddings.parquet", _IVF_QLO, _IVF_QHI
+    )
+    bf = {
+        (r.query_id, r.cand_id)
+        for r in S.brute_force_l2_topk(
+            load(spark, SF_DIR, "embeddings"), q_ids, q_mat, k=5
+        ).collect()
+    }
+    assert row.n_queries == _IVF_QHI - _IVF_QLO
+    assert row.n_hits == len(iv & bf)
+    assert row.recall_ppm == row.n_hits * 1_000_000 // (5 * row.n_queries)
+    assert 0 < row.n_hits <= 5 * row.n_queries
