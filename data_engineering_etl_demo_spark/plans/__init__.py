@@ -112,6 +112,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_ann_recall",
     "events_incremental_rollup",
     "events_histogram_quantiles",
+    "streaming_left_outer_join",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -317,6 +317,102 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "streaming_left_outer_join",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL),
+    -- final global watermark: per-side max event time FLOORS to ms, the
+    -- join takes the min of both sides, delay 10 min (ms domain)
+    wm AS (SELECT LEAST((SELECT epoch_us(MAX(ts)) // 1000 FROM p),
+                        (SELECT epoch_us(MAX(ts)) // 1000 FROM c))
+                  - 600000 AS wm_ms),
+    m AS (
+        SELECT p.purchase_id, c.click_id, p.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+    ),
+    um AS (
+        -- null emission on state expiry: the purchase's event time,
+        -- CEILED to ms, must be strictly below the final watermark
+        -- (pinned by tests/test_streaming.py on ±1µs boundary rows)
+        SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+               CAST(NULL AS BIGINT) AS gap_us
+        FROM p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+          AND (epoch_us(p.ts) + 999) // 1000 < wm.wm_ms
+    )
+    SELECT * FROM m
+    UNION ALL SELECT * FROM um
+    ORDER BY purchase_id, click_id
+    """,
+    doc="watermarked stream-stream LEFT OUTER interval join: matched "
+    "purchase-click pairs emit immediately (same plan as the inner "
+    "join), and a purchase with NO click in its preceding 30 minutes "
+    "emits one null-extended row — but only once the global watermark "
+    "(min of both sides' event-time maxima, minus the 10-minute delay) "
+    "passes its state-expiry point, the guarantee that no future click "
+    "can still match.  That expiry boundary is the part no batch engine "
+    "has to think about: the oracle models Spark's exact ms-domain "
+    "semantics — per-side max FLOORS to ms, the purchase's event time "
+    "CEILS to ms, strict < — pinned by a ±1µs boundary fixture in "
+    "tests/test_streaming.py.  Purchases younger than the final "
+    "watermark stay in state (a real deployment would emit them as the "
+    "stream advances); bounded state is what makes outer stream joins "
+    "production-feasible.",
+    memoize=False,
+)
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+  def build(s: SparkSession) -> DataFrame:
+    purchases = (
+        _event_stream(s, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _event_stream(s, sf_dir)
+        .filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            c_user = p_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+        "leftOuter",
+    )
+
+  result = P.run_to_completion(
+      build, "stream_left_outer", "append", shuffle_partitions=4,
+      spark=spark,
+  )
+  return result.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    ).orderBy("purchase_id", "click_id")
+
+
+@register(
     "streaming_enriched_counts",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 day', e.ts)) AS window_start_us,

@@ -531,3 +531,88 @@ def test_value_ema_checkpoint_restart_resumes_state(spark, tmp_path):
         (2, 1, 50),
         (3, 1, 70),
     ]
+
+
+def test_left_outer_join_null_emission_boundary(spark, tmp_path):
+    """Pins the oracle's ms-domain watermark model for the stream-stream
+    LEFT OUTER join (streaming_left_outer_join): per-side max event time
+    FLOORS to ms, a left row's expiry point CEILS its event time to ms,
+    and null emission needs strict <.  Probed on ±1ms / ±1µs rows around
+    the exact cutoff: cutoff−1ms emits, cutoff−1µs (same ms after ceil)
+    and cutoff itself do not."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    anchor = base + dt.timedelta(minutes=60, microseconds=500)
+    cutoff = dt.datetime(2024, 1, 1, 12, 50, 0)  # floor_ms(anchor) - 10 min
+    rows = [
+        (1, anchor, 1, "purchase", 1.0, None),
+        (2, anchor, 1, "click", 1.0, None),
+        (10, cutoff - dt.timedelta(milliseconds=1), 99, "purchase", 1.0, None),
+        (11, cutoff - dt.timedelta(microseconds=1), 98, "purchase", 1.0, None),
+        (12, cutoff, 97, "purchase", 1.0, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    stage = tmp_path / "louter_src"
+    stage.mkdir()
+    pdf.to_parquet(
+        stage / "events.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def build(s):
+        raw = s.readStream.schema(schema).parquet(str(stage))
+        purchases = (
+            raw.filter(
+                (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+            )
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        clicks = (
+            raw.filter(
+                (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+            )
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
+        )
+        return purchases.join(
+            clicks,
+            F.expr(
+                "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES "
+                "AND c_ts <= p_ts"
+            ),
+            "leftOuter",
+        )
+
+    res = P.run_to_completion(build, "t_louter_boundary", "append", spark=spark)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in res.select("purchase_id", "click_id").collect()
+    }
+    assert got == {(1, 2), (10, None)}
