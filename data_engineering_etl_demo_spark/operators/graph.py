@@ -491,6 +491,7 @@ def bounded_hops(
     src: str = "id_a",
     dst: str = "id_b",
     max_hops: int = 3,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, hop) — minimum hop distance from any seed through the
     undirected edge list, truncated at ``max_hops`` (nodes farther away
@@ -512,17 +513,49 @@ def bounded_hops(
     ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
+    sd = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Same data-dependent strategy choice as connected_components: a
+    # near-dup taint graph is typically tiny after LSH banding, and each
+    # BSP round is then pure fixed overhead.  Both the edge list AND the
+    # seed set must be under the threshold (seeds scale with the tainted
+    # corpus, and the fast path collects both).
+    if ed.count() <= driver_threshold and sd.count() <= driver_threshold:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        adj: dict = {}
+        for r in ed.collect():
+            a, b = r[0], r[1]
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        hop = {r[0]: 0 for r in sd.collect()}
+        frontier = list(hop)
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in hop:
+                        hop[y] = h
+                        nxt.append(y)
+            frontier = nxt
+        f = sd.schema.fields[0]
+        schema = StructType(
+            [
+                StructField("node", f.dataType, f.nullable),
+                StructField("hop", IntegerType(), True),
+            ]
+        )
+        return seeds.sparkSession.createDataFrame(sorted(hop.items()), schema)
+
     sym = (
         ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        seeds.select(F.col(node_col).alias("node"))
-        .distinct()
-        .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=True)
-    )
+    labels = sd.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
     for _ in range(max_hops):
         msgs = sym.join(
             labels.withColumnRenamed("node", "a"), on="a"

@@ -271,11 +271,16 @@ def test_bounded_hops_matches_python_bfs_on_random_graph(spark):
     edf = spark.createDataFrame(edges, "id_a long, id_b long")
     sdf = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
     for k in (1, 2, 4):
-        got = {
-            r["node"]: r["hop"]
-            for r in bounded_hops(edf, sdf, max_hops=k).collect()
-        }
-        assert got == bfs(k), f"max_hops={k}"
+        # both the driver fast path (default threshold) and the
+        # distributed BSP rounds (threshold 0) must equal the BFS model
+        for thr in (100_000, 0):
+            got = {
+                r["node"]: r["hop"]
+                for r in bounded_hops(
+                    edf, sdf, max_hops=k, driver_threshold=thr
+                ).collect()
+            }
+            assert got == bfs(k), f"max_hops={k} threshold={thr}"
 
 
 def test_star_cc_rounds_logarithmic_on_path_graph(spark):
