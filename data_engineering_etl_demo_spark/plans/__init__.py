@@ -113,6 +113,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_incremental_rollup",
     "events_histogram_quantiles",
     "streaming_left_outer_join",
+    "embedding_hard_negatives",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

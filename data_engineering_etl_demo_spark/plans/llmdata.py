@@ -669,6 +669,102 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=_TOPK_K)
 
 
+_HN_QUERIES = 8  # anchor vectors (vec_id < 8), as in embedding_topk
+_HN_K = 3  # hard negatives mined per anchor
+
+
+@register(
+    "embedding_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+        FROM embeddings WHERE vec_id < {_HN_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cand_id, label AS cand_label, embedding AS cv
+        FROM embeddings
+    ),
+    terms AS (
+        SELECT query_id, query_label, cand_id, cand_label,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS t,
+               CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT) AS qq,
+               CAST(floor(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT) AS cc
+        FROM q, c, generate_series(1, 64) AS g(i)
+        WHERE cand_label <> query_label
+    ),
+    agg AS (
+        SELECT query_id, query_label, cand_id, cand_label,
+               floor(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE)))
+                     * 1e9) / 1e9 AS cosine_sim
+        FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT query_id, query_label, cand_id, cand_label, cosine_sim, rank
+    FROM (
+        SELECT query_id, query_label, cand_id, cand_label, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, cand_id)
+                    AS INT) AS rank
+        FROM agg
+    )
+    WHERE rank <= {_HN_K}
+    ORDER BY query_id, rank
+    """,
+    doc="contrastive hard-negative mining — for each anchor vector, the "
+    f"top-{_HN_K} most-similar candidates carrying a DIFFERENT label: "
+    "the high-cosine cross-label neighbors are exactly the pairs a "
+    "contrastive/embedding trainer needs in its batch to sharpen the "
+    "decision boundary (and the pairs a labeler should re-audit).  "
+    "Candidates stream past the broadcast anchor set in one scan; at "
+    "100 TB the same mining restricts candidates to the anchor's IVF "
+    "probe cells first (the embedding_ivf_pq_* plans), with this exact "
+    "brute-force form as the evaluation oracle over the anchor sample.  "
+    "Fixed-point cosine, ties on cand_id — engine-exact.",
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qvec"),
+        S.scaled_dot(F.col("embedding"), F.col("embedding")).alias("qss"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cvec"),
+        S.scaled_dot(F.col("embedding"), F.col("embedding")).alias("css"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "cand_id",
+            "cand_label",
+            S.trunc9(
+                S.scaled_dot(F.col("qvec"), F.col("cvec")).cast("double")
+                / (
+                    F.sqrt(F.col("qss").cast("double"))
+                    * F.sqrt(F.col("css").cast("double"))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 _HAM_QUERIES = 8  # query vectors (vec_id < 8), as in embedding_topk
 _HAM_R = 50  # Hamming-coarse candidates kept per query (10x k oversample)
 _HAM_K = 5  # final exact-reranked neighbors
