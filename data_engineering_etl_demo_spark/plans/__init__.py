@@ -114,6 +114,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_histogram_quantiles",
     "streaming_left_outer_join",
     "embedding_hard_negatives",
+    "events_multitouch_attribution",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

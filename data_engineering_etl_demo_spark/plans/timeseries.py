@@ -1353,3 +1353,109 @@ def q_events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("est_value"),
     ).orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: exact linear credit split over the click window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_multitouch_attribution",
+    f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+               CAST(ROUND(COALESCE(value, 0) * 1000000) AS BIGINT) AS v_f
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.v_f, c.click_id, c.user_id
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND c.c_ts >= p.p_ts - INTERVAL {_WINDOW_MIN} MINUTE
+                     AND c.c_ts < p.p_ts
+    ),
+    credited AS (
+        SELECT click_id, user_id,
+               purchase_id,
+               v_f // COUNT(*) OVER (PARTITION BY purchase_id) AS credit_f
+        FROM pairs
+    )
+    SELECT click_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(credit_f) AS BIGINT) // 10000 AS DOUBLE) / 100.0
+               AS attributed
+    FROM credited
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    doc="linear multi-touch attribution — each purchase's revenue split "
+    f"equally across the same user's clicks in the preceding "
+    f"{_WINDOW_MIN} minutes (the marketing counterpart of the last-touch "
+    "as-of join in events_click_attribution).  The credit division is "
+    "integer fixed-point (v_f DIV n_touches — truncation owned, exact, "
+    "order-free) and the per-click rollup sums LONGs, so the split "
+    "reconciles deterministically in both engines.  The pair relation "
+    "comes from the SAME bucketed interval join as "
+    "events_purchase_window (operators/rangejoin.py) — one hash shuffle, "
+    "never an inequality theta-join; the per-purchase touch count is a "
+    "window over the purchase key on the (small) matched-pair relation.",
+)
+def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start0"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)
+        .cast("long")
+        .alias("v_f"),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "v_f",
+        (F.col("w_start0") - F.expr(f"INTERVAL {_WINDOW_MIN} MINUTES")).alias(
+            "w_start"
+        ),
+        F.col("w_start0").alias("w_end"),
+    )
+    clicks = events.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    pairs = R.interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        point_ts="c_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=_WINDOW_MIN * 60,
+    )
+    credited = pairs.select(
+        "click_id",
+        "user_id",
+        F.expr(
+            "v_f DIV COUNT(*) OVER (PARTITION BY purchase_id)"
+        ).alias("credit_f"),
+    )
+    return (
+        credited.groupBy("click_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("credit_f").cast("long").alias("sum_f"),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "n_purchases",
+            (F.expr("CAST(sum_f DIV 10000 AS DOUBLE)") / F.lit(100.0)).alias(
+                "attributed"
+            ),
+        )
+        .orderBy("click_id")
+    )
