@@ -3735,3 +3735,133 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule census (rule-level filter diagnostics)
+# ---------------------------------------------------------------------------
+
+# Thresholds in integer parts-per-million so the pass/fail decision is the
+# same BIGINT comparison in both engines (no float ratio ever compared).
+# The rule SET follows the published Gopher / Dolma heuristics (word-count
+# bounds, mean-word-length band, stopword floor, distinct-token floor);
+# thresholds are tuned to bind on this corpus so every rule's fail count is
+# exercised (Gopher's own absolute numbers would pass everything here).
+_GR_MIN_TOK = 25
+_GR_MAX_TOK = 90
+_GR_WLEN_LO = 4_300_000  # mean word length >= 4.3
+_GR_WLEN_HI = 4_800_000  # mean word length <= 4.8
+_GR_STOP_MIN = 20_000  # stopword ratio >= 0.02
+_GR_DIST_MIN = 400_000  # distinct-token ratio >= 0.40
+
+_SQL_GR_METRICS = f"""
+        SELECT lang,
+               len(w) AS n_tok,
+               (coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                * 1000000) // greatest(len(w), 1) AS wlen_e6,
+               (len(list_filter(w, x -> x IN ({_STOPS}))) * 1000000)
+                // greatest(len(w), 1) AS stop_e6,
+               (len(list_distinct(w)) * 1000000)
+                // greatest(len(w), 1) AS dist_e6
+        FROM (SELECT lang, {_fmt(SQL_WORDS)} AS w FROM documents)
+"""
+
+
+@register(
+    "docs_gopher_rules",
+    f"""
+    WITH m AS ({_SQL_GR_METRICS})
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok < {_GR_MIN_TOK} THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_min_tokens,
+           CAST(sum(CASE WHEN n_tok > {_GR_MAX_TOK} THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_max_tokens,
+           CAST(sum(CASE WHEN wlen_e6 < {_GR_WLEN_LO}
+                          OR wlen_e6 > {_GR_WLEN_HI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_word_length,
+           CAST(sum(CASE WHEN stop_e6 < {_GR_STOP_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_stopwords,
+           CAST(sum(CASE WHEN dist_e6 < {_GR_DIST_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_distinct,
+           CAST(sum(CASE WHEN n_tok >= {_GR_MIN_TOK}
+                          AND n_tok <= {_GR_MAX_TOK}
+                          AND wlen_e6 >= {_GR_WLEN_LO}
+                          AND wlen_e6 <= {_GR_WLEN_HI}
+                          AND stop_e6 >= {_GR_STOP_MIN}
+                          AND dist_e6 >= {_GR_DIST_MIN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN n_tok >= {_GR_MIN_TOK}
+                          AND n_tok <= {_GR_MAX_TOK}
+                          AND wlen_e6 >= {_GR_WLEN_LO}
+                          AND wlen_e6 <= {_GR_WLEN_HI}
+                          AND stop_e6 >= {_GR_STOP_MIN}
+                          AND dist_e6 >= {_GR_DIST_MIN}
+                     THEN n_tok ELSE 0 END) AS BIGINT) AS pass_tokens
+    FROM m
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Gopher-rule quality census (Rae et al. 2021 §A1.1; Dolma's "
+    "reimplementation): each document is scored against the published "
+    "heuristic rule set — word-count bounds, mean-word-length band, "
+    "stopword-ratio floor, distinct-token (repetition) floor — and the "
+    "report gives per-language fail counts PER RULE plus the surviving "
+    "doc/token census, i.e. the ablation table a data team reads before "
+    "committing a filter.  Every metric is an integer ppm (LONG "
+    "cross-multiplication, floor division) so the pass/fail comparison "
+    "is engine-exact.  Plan: pure per-row column expressions (no UDF, "
+    "one codegen stage) into a 4-language hash aggregate — the shape "
+    "that filters 100 TB in one map pass with map-side partials.",
+)
+def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stops = ", ".join(f"'{s}'" for s in X.STOPWORDS_EN)
+    m = (
+        _docs_wide(spark, sf_dir)
+        .select("lang", X.words(F.col("text")).alias("w"))
+        .select(
+            "lang",
+            F.size("w").alias("n_tok"),
+            F.expr(
+                "(aggregate(transform(w, x -> CAST(length(x) AS BIGINT)),"
+                " 0L, (a, x) -> a + x) * 1000000)"
+                " DIV greatest(size(w), 1)"
+            ).alias("wlen_e6"),
+            F.expr(
+                f"(size(filter(w, x -> x IN ({stops}))) * 1000000)"
+                " DIV greatest(size(w), 1)"
+            ).alias("stop_e6"),
+            F.expr(
+                "(size(array_distinct(w)) * 1000000)"
+                " DIV greatest(size(w), 1)"
+            ).alias("dist_e6"),
+        )
+    )
+    ok = (
+        (F.col("n_tok") >= _GR_MIN_TOK)
+        & (F.col("n_tok") <= _GR_MAX_TOK)
+        & (F.col("wlen_e6") >= _GR_WLEN_LO)
+        & (F.col("wlen_e6") <= _GR_WLEN_HI)
+        & (F.col("stop_e6") >= _GR_STOP_MIN)
+        & (F.col("dist_e6") >= _GR_DIST_MIN)
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            one(F.col("n_tok") < _GR_MIN_TOK).alias("fail_min_tokens"),
+            one(F.col("n_tok") > _GR_MAX_TOK).alias("fail_max_tokens"),
+            one(
+                (F.col("wlen_e6") < _GR_WLEN_LO)
+                | (F.col("wlen_e6") > _GR_WLEN_HI)
+            ).alias("fail_word_length"),
+            one(F.col("stop_e6") < _GR_STOP_MIN).alias("fail_stopwords"),
+            one(F.col("dist_e6") < _GR_DIST_MIN).alias("fail_distinct"),
+            one(ok).alias("n_pass"),
+            F.sum(F.when(ok, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("pass_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -289,3 +289,40 @@ def test_multitouch_credit_conservation(spark):
     v_total = sum(r.v_f for r in per_purchase)
     n_touch = sum(r.n for r in per_purchase)
     assert 0 <= v_total - got_total_f < n_touch
+
+
+def test_gopher_rules_census_invariants(spark):
+    """Report-level invariants that don't depend on the oracle: pass
+    tokens bounded by the token rules themselves, fail counts bounded by
+    the census, and the union bound between per-rule fails and n_pass."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _GR_MAX_TOK,
+        _GR_MIN_TOK,
+    )
+
+    rows = SPECS["docs_gopher_rules"].spark_fn(spark, SF_DIR).collect()
+    assert rows, "census is empty"
+    rule_cols = [
+        "fail_min_tokens",
+        "fail_max_tokens",
+        "fail_word_length",
+        "fail_stopwords",
+        "fail_distinct",
+    ]
+    bound_rules = set()
+    for r in rows:
+        fails = [r[c] for c in rule_cols]
+        assert all(0 <= f <= r.n_docs for f in fails)
+        assert 0 <= r.n_pass <= r.n_docs
+        # union bound: docs failing >=1 rule can't exceed sum of fails
+        assert r.n_docs - r.n_pass <= sum(fails)
+        # a passing doc's token count is inside the token band, so the
+        # aggregate must be too
+        assert _GR_MIN_TOK * r.n_pass <= r.pass_tokens
+        assert r.pass_tokens <= _GR_MAX_TOK * r.n_pass
+        for c, f in zip(rule_cols, fails):
+            if f > 0:
+                bound_rules.add(c)
+    # thresholds were tuned to bind on this corpus — a silent all-pass
+    # rule means the tuning regressed
+    assert len(bound_rules) >= 3, f"only {bound_rules} ever fail"
