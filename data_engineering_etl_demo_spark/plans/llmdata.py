@@ -2177,9 +2177,9 @@ def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "docs_bigram_surprisal",
-    f"""
+# Per-doc bigram surprisal as a reusable CTE chain: docs_bigram_surprisal
+# publishes it directly; docs_perplexity_buckets builds CCNet terciles on it.
+_SQL_BIGRAM_DOC = f"""
     WITH ex AS (
         SELECT doc_id,
                unnest(w[1:len(w)-1]) AS w1,
@@ -2190,7 +2190,8 @@ def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     big AS (
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM ex GROUP BY 1, 2
     ),
-    uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY 1)
+    uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    perdoc AS (
     SELECT ex.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(length(bin(c1 // c2))) AS BIGINT) AS sum_bits,
@@ -2198,7 +2199,17 @@ def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // COUNT(*) AS BIGINT) AS mean_bits_e6
     FROM ex JOIN big USING (w1, w2) JOIN uni USING (w1)
     GROUP BY ex.doc_id
-    ORDER BY ex.doc_id
+    )
+"""
+
+
+@register(
+    "docs_bigram_surprisal",
+    f"""
+    {_SQL_BIGRAM_DOC}
+    SELECT doc_id, n_bigrams, sum_bits, mean_bits_e6
+    FROM perdoc
+    ORDER BY doc_id
     """,
     doc="Bigram-LM surprisal: mean per-position conditional surprisal "
     "-log2 p(w2|w1) under the corpus's own bigram counts — the "
@@ -3864,4 +3875,84 @@ def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pass_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail terciles per language)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_perplexity_buckets",
+    f"""
+    {_SQL_BIGRAM_DOC}
+    , scored AS (
+        SELECT d.lang, p.doc_id, p.n_bigrams, p.mean_bits_e6,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY p.mean_bits_e6, p.doc_id) AS t
+        FROM perdoc p JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(min(mean_bits_e6) AS BIGINT) AS min_bits_e6,
+           CAST(max(mean_bits_e6) AS BIGINT) AS max_bits_e6
+    FROM scored
+    GROUP BY lang, t
+    ORDER BY lang, min(t)
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): within "
+    "each language, documents are ranked by their bigram-LM surprisal "
+    "(docs_bigram_surprisal's integer mean_bits_e6 — the engine-exact "
+    "perplexity proxy) and cut into head/middle/tail terciles; the "
+    "report is each bucket's doc/bigram census and surprisal range — "
+    "the table CCNet publishes to pick which tercile feeds training.  "
+    "ntile(3) over (mean_bits_e6, doc_id) is deterministic (unique "
+    "tiebreak) and both engines implement the SQL-standard remainder "
+    "rule, so bucket boundaries match exactly.  Plan: the per-doc "
+    "surprisal relation (already a shared, persisted build) joins lang "
+    "on doc_id, then a per-language window ranks ~n/|lang| rows.  "
+    "SCALE CAVEAT, owned: partitionBy(lang) sorts each language in one "
+    "task; at 100 TB the tercile CUTOFFS would come from a mergeable "
+    "histogram sketch (events_histogram_quantiles' shape) and bucket "
+    "assignment becomes a threshold compare — exact ntile is chosen "
+    "here because the oracle contract is bit-exactness, and the "
+    "fallback plan is documented next to the sketch it would reuse.",
+)
+def q_docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    perdoc = REGISTRY["docs_bigram_surprisal"].spark_fn(spark, sf_dir)
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("mean_bits_e6", "doc_id")
+    scored = perdoc.join(langs, "doc_id").withColumn(
+        "t", F.ntile(3).over(w)
+    )
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("mean_bits_e6").cast("long").alias("min_bits_e6"),
+            F.max("mean_bits_e6").cast("long").alias("max_bits_e6"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "n_bigrams",
+            "min_bits_e6",
+            "max_bits_e6",
+        )
+        .orderBy("lang", "t")
     )

@@ -326,3 +326,22 @@ def test_gopher_rules_census_invariants(spark):
     # thresholds were tuned to bind on this corpus — a silent all-pass
     # rule means the tuning regressed
     assert len(bound_rules) >= 3, f"only {bound_rules} ever fail"
+
+
+def test_perplexity_buckets_are_balanced_and_ordered(spark):
+    """Tercile invariants: within each language the three buckets differ
+    in size by at most one doc, and surprisal ranges are monotone
+    head <= middle <= tail (ties may touch at the boundary, never
+    cross)."""
+    rows = SPECS["docs_perplexity_buckets"].spark_fn(spark, SF_DIR).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert b["head"].max_bits_e6 <= b["middle"].min_bits_e6
+        assert b["middle"].max_bits_e6 <= b["tail"].min_bits_e6
+        for k in b.values():
+            assert k.min_bits_e6 <= k.max_bits_e6
