@@ -3956,3 +3956,104 @@ def q_docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage audit (cross-split n-gram overlap pairs)
+# ---------------------------------------------------------------------------
+
+_LEAK_N = 8  # words per gram
+_LEAK_DF_CAP = 16  # grams in more docs than this are stop-grams (excluded)
+_LEAK_MIN_SHARED = 2  # pairs sharing fewer grams are coincidence
+
+
+@register(
+    "docs_split_leakage",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(w) - {_LEAK_N - 1}, 1) + 1),
+            i -> array_to_string(w[i:i+{_LEAK_N - 1}], ' '))) AS g
+        FROM (SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents)
+    ),
+    sp AS (
+        SELECT doc_id, unnest(g) AS g, {_SPLIT_CASE} AS split FROM sh
+    ),
+    rare AS (
+        SELECT g FROM sp GROUP BY g HAVING count(*) <= {_LEAK_DF_CAP}
+    ),
+    pairs AS (
+        SELECT t.doc_id AS test_doc, r.doc_id AS train_doc,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM (SELECT doc_id, g FROM sp WHERE split = 'test') t
+        JOIN (SELECT doc_id, g FROM sp WHERE split = 'train') r USING (g)
+        JOIN rare USING (g)
+        GROUP BY 1, 2
+    )
+    SELECT test_doc, train_doc, n_shared
+    FROM pairs WHERE n_shared >= {_LEAK_MIN_SHARED}
+    ORDER BY test_doc, train_doc
+    """,
+    doc=f"Train/test leakage audit: after the deterministic split "
+    "(docs_train_split's salted hash), every (test doc, train doc) pair "
+    f"sharing >= {_LEAK_MIN_SHARED} distinct word {_LEAK_N}-grams is "
+    "reported with its overlap count — the doc-PAIR complement of "
+    "docs_decontaminate's doc-level benchmark check, i.e. the audit "
+    "that tells you WHICH training document leaked into WHICH eval "
+    f"document.  Grams present in more than {_LEAK_DF_CAP} documents "
+    "are stop-grams and excluded BEFORE the join — that cap bounds the "
+    "per-gram join fan-out at DF_CAP² rows, the guard that keeps a "
+    "boilerplate gram from exploding the shuffle at 100 TB (same "
+    "posture as the MinHash mega-bucket guard; recall caveat owned: a "
+    "pair sharing only ubiquitous grams is not reported, by design).  "
+    "Grams are distinct per doc, so every count is a plain count(*), "
+    "never count(distinct).  Plan: one exploded gram relation consumed "
+    "twice (frequency filter, split join), gram-keyed shuffles "
+    "throughout, report grouped on the pair key.",
+)
+def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = persist_latest(
+        _docs_wide(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(X.word_shingles(F.col("text"), _LEAK_N))
+            ).alias("g"),
+        )
+        .withColumn("split", split),
+        "llmdata.leak_grams",
+    )
+    rare = sp.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _LEAK_DF_CAP
+    )
+    t = sp.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "g"
+    )
+    r = sp.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    return (
+        t.join(r, "g")
+        .join(rare.select("g"), "g")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _LEAK_MIN_SHARED)
+        .orderBy("test_doc", "train_doc")
+    )

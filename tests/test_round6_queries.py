@@ -345,3 +345,61 @@ def test_perplexity_buckets_are_balanced_and_ordered(spark):
         assert b["middle"].max_bits_e6 <= b["tail"].min_bits_e6
         for k in b.values():
             assert k.min_bits_e6 <= k.max_bits_e6
+
+
+def test_split_leakage_matches_python_model(spark):
+    """Independent model: recompute the leakage pairs with plain Python
+    over the parquet file (same tokenizer regex, same salted split hash,
+    same stop-gram cap) and require the exact pair set."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _LEAK_DF_CAP,
+        _LEAK_MIN_SHARED,
+        _LEAK_N,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+
+    def words(text):
+        return [w for w in re.split(r"[^a-z0-9]+", text.strip().lower()) if w]
+
+    def split_of(doc_id):
+        h = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8], 16) % 100
+        return "train" if h < 80 else ("val" if h < 90 else "test")
+
+    grams = {}
+    for doc_id, text in docs:
+        ws = words(text)
+        gs = {
+            " ".join(ws[i : i + _LEAK_N])
+            for i in range(max(len(ws) - _LEAK_N + 1, 0))
+        }
+        grams[doc_id] = gs
+    df = Counter(g for gs in grams.values() for g in gs)
+    pairs = Counter()
+    by_split = {"test": [], "train": []}
+    for doc_id in grams:
+        s = split_of(doc_id)
+        if s in by_split:
+            by_split[s].append(doc_id)
+    for td in by_split["test"]:
+        for rd in by_split["train"]:
+            shared = sum(
+                1
+                for g in grams[td] & grams[rd]
+                if df[g] <= _LEAK_DF_CAP
+            )
+            if shared >= _LEAK_MIN_SHARED:
+                pairs[(td, rd)] = shared
+    got = {
+        (r.test_doc, r.train_doc): r.n_shared
+        for r in SPECS["docs_split_leakage"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == dict(pairs)
+    assert got, "no leakage pairs at sf0.001 — fixture regressed"
