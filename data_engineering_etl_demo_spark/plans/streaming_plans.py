@@ -834,3 +834,88 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         K.kmv_estimate(F.col("_hk"), F.col("_nh")).alias("kmv_users"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact top-k by value: bounded selection state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_topk_values",
+    f"""
+    SELECT event_type, rank, event_id, v6
+    FROM (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS v6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(ROUND(value * 1000000) AS BIGINT) DESC,
+                            event_id
+               ) AS rank
+        FROM events WHERE value IS NOT NULL
+    )
+    WHERE rank <= {P.TOPK_K}
+    ORDER BY event_type, rank
+    """,
+    doc="EXACT top-k-by-value leaderboard computed AS A STREAM: per "
+    "event_type, applyInPandasWithState carries the 5 best (v6, "
+    "event_id) pairs across micro-batches (streaming/pipeline."
+    "topk_values) — the third streaming-state shape in the suite: "
+    "selection under a total order is a commutative idempotent monoid "
+    "like KMV's min-set (order-invariant, no watermark needed — the "
+    "feed is deliberately the out-of-order staged slices), but EXACT "
+    "like the EMA rather than an estimate.  v6 is the same "
+    "ROUND(value*1e6) LONG every batch query uses and ties break on "
+    "event_id, so the DuckDB oracle is a plain window top-k over "
+    "identical integers — stream == batch bit-for-bit.  State: 2k+1 "
+    "LONGs per key forever.  At 100 TB this is the always-on "
+    "leaderboard pattern: per-partition candidate top-k merges into "
+    "per-key state, the full event history is never rescanned.",
+    memoize=False,
+)
+def q_streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    stage = _ooo_staged_dir(spark, sf_dir)
+
+    def build(s: SparkSession) -> DataFrame:
+        raw = (
+            s.readStream.schema(_schema_with_ts(T.TimestampType()))
+            # one slice per micro-batch: the selection state genuinely
+            # merges across three batches (and absorbs the disorder)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        scored = raw.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+            "event_id",
+        )
+        return P.topk_values(scored)
+
+    out = P.run_to_completion(
+        build,
+        query_name=f"topk_{Path(sf_dir).name.replace('.', '_')}",
+        shuffle_partitions=4,
+        spark=spark,
+    )
+    last = out.groupBy("event_type").agg(
+        F.max_by("top_v6", "n_seen").alias("_vs"),
+        F.max_by("top_ids", "n_seen").alias("_ids"),
+    )
+    return (
+        last.select(
+            "event_type",
+            F.posexplode(F.arrays_zip(F.col("_vs"), F.col("_ids"))).alias(
+                "pos", "pair"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("pair").getField("_ids").alias("event_id"),
+            F.col("pair").getField("_vs").alias("v6"),
+        )
+        .orderBy("event_type", "rank")
+    )

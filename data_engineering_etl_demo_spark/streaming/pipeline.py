@@ -751,3 +751,90 @@ def kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact top-k by value: a bounded selection monoid per key
+# ---------------------------------------------------------------------------
+
+TOPK_K = 5
+
+TOPK_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        # cumulative top-k so far, best-first (parallel arrays)
+        T.StructField("top_v6", T.ArrayType(T.LongType())),
+        T.StructField("top_ids", T.ArrayType(T.LongType())),
+    ]
+)
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("top_v6", T.ArrayType(T.LongType())),
+        T.StructField("top_ids", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def topk_values(scored: DataFrame, k: int = TOPK_K) -> DataFrame:
+    """Streaming EXACT top-k per event_type: state is the k best
+    (v6, event_id) pairs seen so far — the third streaming-state shape
+    next to the KMV sketch (set monoid) and the EMA (order-sensitive
+    fold).  Selection by a total order is a commutative idempotent
+    monoid, so like KMV — and unlike the EMA — the answer is invariant
+    to arrival order and needs no watermark: the feed is deliberately
+    the out-of-order staged slices.
+
+    ``scored`` carries (event_type, v6, event_id) with v6 the SAME
+    Spark-side ROUND(value·1e6) LONG the batch queries use, so the
+    DuckDB oracle is a plain window top-k over identical integers.
+    Order is (v6 DESC, event_id ASC) — the unique tiebreak every other
+    top-k in the repo pins.  Pruning to k inside the kernel is lossless
+    for the same prefix argument as KMV's min-set.  State: 2k+1 LONGs
+    per key, forever; emits the cumulative top-k after every batch and
+    the caller keeps each key's most-seen row."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vs, ids, n_seen = state.get
+            pairs = list(zip(vs, ids))
+        else:
+            pairs, n_seen = [], 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_seen += len(pdf)
+            pairs.extend(
+                zip(pdf["v6"].astype("int64"), pdf["event_id"].astype("int64"))
+            )
+            # bound in-loop growth between prunes (lossless: the stream's
+            # final top-k is in every prefix's top-k)
+            if len(pairs) > 64 * k:
+                pairs.sort(key=lambda p: (-p[0], p[1]))
+                del pairs[k:]
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        del pairs[k:]
+        vs = [int(v) for v, _ in pairs]
+        ids = [int(i) for _, i in pairs]
+        state.update((vs, ids, n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "top_v6": [vs],
+                "top_ids": [ids],
+            }
+        )
+
+    return scored.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_STREAM_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -403,3 +403,39 @@ def test_split_leakage_matches_python_model(spark):
     }
     assert got == dict(pairs)
     assert got, "no leakage pairs at sf0.001 — fixture regressed"
+
+
+def test_streaming_topk_matches_batch_window(spark):
+    """The streamed top-k leaderboard equals a batch window top-k
+    computed entirely within Spark (no oracle in the loop) — the
+    selection-monoid contract under the deliberately out-of-order feed."""
+    from pyspark.sql import Window
+
+    from data_engineering_etl_demo_spark.catalog import load
+    from data_engineering_etl_demo_spark.streaming.pipeline import TOPK_K
+
+    stream = [
+        (r.event_type, r.rank, r.event_id, r.v6)
+        for r in SPECS["streaming_topk_values"].spark_fn(spark, SF_DIR).collect()
+    ]
+    ev = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v6").desc(), F.col("event_id")
+    )
+    batch = [
+        (r.event_type, r.rank, r.event_id, r.v6)
+        for r in ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .orderBy("event_type", "rank")
+        .collect()
+    ]
+    assert stream == batch
+    assert len(stream) > 0
