@@ -1245,3 +1245,63 @@ def ivf_pq_encode(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def cell_assignments(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, cos_e9): every corpus vector's Voronoi cell under
+    ``centroids`` plus its fixed-point cosine to that centroid as an
+    INTEGER (floor(cos·1e9) — computed on the int64 partial dots BEFORE
+    any float division leaves the kernel, the same algebra as
+    ``_nearest_cells`` so assignment and score agree bit-for-bit with
+    the Lloyd/IVF kernels and with the SQL oracle's ``ag``/``ass``
+    CTEs).  One corpus streaming pass, no shuffle; the downstream
+    balance report aggregates on the ≤n_cells key."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell", LongType()),
+            StructField("cos_e9", LongType()),
+        ]
+    )
+    cells, cmat, sqrt_css = centroids
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ss = np.floor((mat * mat) * PROD_SCALE).astype(np.int64).sum(axis=1)
+            sqrt_ss = np.sqrt(ss.astype(np.float64))
+            best_e9 = np.full(len(mat), np.iinfo(np.int64).min, dtype=np.int64)
+            best_cell = np.zeros(len(mat), dtype=np.int64)
+            for ci in range(len(cells)):
+                dots = (
+                    np.floor(mat * cmat[ci] * PROD_SCALE)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                cos_e9 = np.floor(
+                    dots.astype(np.float64) / (sqrt_ss * sqrt_css[ci]) * 1e9
+                ).astype(np.int64)
+                upd = cos_e9 > best_e9
+                best_e9[upd] = cos_e9[upd]
+                best_cell[upd] = cells[ci]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": best_cell,
+                    "cos_e9": best_e9,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)

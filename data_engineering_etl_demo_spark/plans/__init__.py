@@ -115,6 +115,11 @@ _CHANGED_THIS_ROUND: set[str] = {
     "streaming_left_outer_join",
     "embedding_hard_negatives",
     "events_multitouch_attribution",
+    "docs_gopher_rules",
+    "docs_perplexity_buckets",
+    "docs_split_leakage",
+    "streaming_topk_values",
+    "embedding_cell_balance",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -3194,9 +3194,15 @@ def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from data_engineering_etl_demo_spark.catalog import session_key
     from data_engineering_etl_demo_spark.plans import REGISTRY
 
-    comp = REGISTRY["docs_dup_clusters"].spark_fn(spark, sf_dir)
+    # Same reuse contract as docs_dedup_survivors: if this session already
+    # ran the clustering, its labels are localCheckpoint-backed — rank over
+    # them instead of re-running the propagation rounds.
+    comp = _cc_labels_memo.get((session_key(spark), sf_dir))
+    if comp is None:
+        comp = REGISTRY["docs_dup_clusters"].spark_fn(spark, sf_dir)
     q = REGISTRY["docs_quality"].spark_fn(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
@@ -4056,4 +4062,54 @@ def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _LEAK_MIN_SHARED)
         .orderBy("test_doc", "train_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: per-cell balance of the trained coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cell_balance",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES}
+    SELECT a.cell,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(round(g.cos * 1e9) AS BIGINT)) AS BIGINT)
+               AS sum_cos_e9,
+           CAST(MIN(CAST(round(g.cos * 1e9) AS BIGINT)) AS BIGINT)
+               AS min_cos_e9
+    FROM ass a JOIN ag g ON g.vec_id = a.vec_id AND g.cell = a.cell
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="IVF index-health report: every corpus vector's Voronoi cell "
+    "under the k-means-TRAINED coarse quantizer (the same "
+    "train_centroids build the three IVF-PQ queries share), with "
+    "per-cell mass and fixed-point cosine-to-centroid stats — the "
+    "balance table that tells you whether cell-restricted ANN recall "
+    "will survive a real corpus (a mega-cell means every probe scans "
+    "it; a starved cell means its queries find nothing).  cos_e9 is "
+    "floored to an integer ON the int64 partial dots inside the kernel "
+    "(operators/similarity.cell_assignments), so the sum/min stats "
+    "are order-independent LONGs and the oracle re-derives them from "
+    "the same trained-centroid CTE chain bit-for-bit.  Plan: one "
+    "corpus streaming pass (mapInPandas, no shuffle) into a ≤16-key "
+    "aggregate; the index build itself is the cached distributed "
+    "Lloyd loop.",
+)
+def q_embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = S.train_centroids(emb, path)
+    return (
+        S.cell_assignments(emb, cents)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("cos_e9").cast("long").alias("sum_cos_e9"),
+            F.min("cos_e9").cast("long").alias("min_cos_e9"),
+        )
+        .orderBy("cell")
     )

@@ -439,3 +439,19 @@ def test_streaming_topk_matches_batch_window(spark):
     ]
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_cell_balance_covers_corpus(spark):
+    """Assignment is total: cell masses sum to the corpus size, cells are
+    the trained quantizer's ids, and the fixed-point cosine stats are
+    internally consistent (min*n <= sum <= 1e9*n)."""
+    from data_engineering_etl_demo_spark.catalog import load
+    from data_engineering_etl_demo_spark.operators import similarity as S
+
+    rows = SPECS["embedding_cell_balance"].spark_fn(spark, SF_DIR).collect()
+    n_corpus = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_assigned for r in rows) == n_corpus
+    assert all(0 <= r.cell < S.IVF_CELLS for r in rows)
+    for r in rows:
+        assert r.min_cos_e9 * r.n_assigned <= r.sum_cos_e9
+        assert r.sum_cos_e9 <= 1_000_000_000 * r.n_assigned
