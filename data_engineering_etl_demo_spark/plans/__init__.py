@@ -120,6 +120,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_split_leakage",
     "streaming_topk_values",
     "embedding_cell_balance",
+    "docs_minhash_recall_sample",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

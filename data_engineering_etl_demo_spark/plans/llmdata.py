@@ -276,6 +276,33 @@ from data_engineering_etl_demo_spark.functions.hashing import (  # noqa: E402
 )
 
 
+def _sql_shingle_ctes() -> str:
+    """The ws→wh→ex CTE chain shared by every shingle-based oracle:
+    words, per-word md5 hashes mod p, distinct rolling-hash shingles
+    (dedup.explode_shingles replayed term-for-term)."""
+    fold = (
+        f"list_reduce(whs[i:i+{D.SHINGLE_N - 1}], "
+        f"(a, x) -> (a * {D.SHINGLE_BASE} + x) % {D.MINHASH_P})"
+    )
+    return f"""ws AS (
+        SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents
+    ),
+    wh AS (
+        SELECT doc_id,
+               list_transform(w, x -> {_sql_hexbig('x', 1, 8)} % {D.MINHASH_P}) AS whs
+        FROM ws
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(list_distinct(CASE
+                   WHEN len(whs) = 0 THEN [CAST(0 AS BIGINT)]
+                   ELSE list_transform(range(1, greatest(len(whs) - {D.SHINGLE_N - 1}, 1) + 1),
+                                       i -> {fold})
+               END)) AS h
+        FROM wh
+    )"""
+
+
 def _sql_minhash_near_dup(
     threshold: float,
     order: bool = True,
@@ -304,10 +331,6 @@ def _sql_minhash_near_dup(
         )
         for b in range(D.LSH_BANDS)
     )
-    fold = (
-        f"list_reduce(whs[i:i+{D.SHINGLE_N - 1}], "
-        f"(a, x) -> (a * {D.SHINGLE_BASE} + x) % {D.MINHASH_P})"
-    )
     if metric == "jaccard":
         expr = (
             "floor(COALESCE(i.n_inter, 0) / CAST(na.n + nb.n"
@@ -321,23 +344,7 @@ def _sql_minhash_near_dup(
     else:
         raise ValueError(metric)
     return f"""
-    WITH ws AS (
-        SELECT doc_id, {_fmt(SQL_WORDS)} AS w FROM documents
-    ),
-    wh AS (
-        SELECT doc_id,
-               list_transform(w, x -> {_sql_hexbig('x', 1, 8)} % {D.MINHASH_P}) AS whs
-        FROM ws
-    ),
-    ex AS (
-        SELECT doc_id,
-               unnest(list_distinct(CASE
-                   WHEN len(whs) = 0 THEN [CAST(0 AS BIGINT)]
-                   ELSE list_transform(range(1, greatest(len(whs) - {D.SHINGLE_N - 1}, 1) + 1),
-                                       i -> {fold})
-               END)) AS h
-        FROM wh
-    ),
+    WITH {_sql_shingle_ctes()},
     sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
     bk AS (
 {band_selects}
@@ -4112,4 +4119,124 @@ def q_embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cos_e9").cast("long").alias("min_cos_e9"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall audit on a deterministic sample (dedup quality gate)
+# ---------------------------------------------------------------------------
+
+_RECALL_MOD = 5  # 1-in-5 deterministic doc sample
+_RECALL_T = 0.5  # audited threshold == docs_minhash_near_dup's
+
+
+@register(
+    "docs_minhash_recall_sample",
+    f"""
+    WITH {_sql_shingle_ctes()},
+    dsh AS (SELECT doc_id, h AS shingle FROM ex),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    samp AS (
+        SELECT doc_id FROM documents
+        WHERE {_sql_hexbig("'recall:' || CAST(doc_id AS VARCHAR)", 1, 8)}
+              % {_RECALL_MOD} = 0
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                        greatest(a.doc_id, b.doc_id) AS id_b
+        FROM dsh a
+        JOIN samp s ON s.doc_id = a.doc_id
+        JOIN dsh b ON b.shingle = a.shingle AND b.doc_id <> a.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE floor(i.n_inter
+                    / CAST(na.n + nb.n - i.n_inter AS DOUBLE) * 1e6) / 1e6
+              >= {_RECALL_T}
+    ),
+    lsh AS (
+        SELECT id_a, id_b
+        FROM ({_sql_minhash_near_dup(_RECALL_T, order=False)})
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t
+        JOIN lsh l ON l.id_a = t.id_a AND l.id_b = t.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+                ELSE ((SELECT count(*) FROM hit) * 1000000)
+                     // (SELECT count(*) FROM truth) END AS BIGINT)
+               AS recall_ppm
+    """,
+    doc="LSH recall audit, the dedup counterpart of embedding_ann_recall: "
+    "a deterministic 1-in-5 doc sample gets EXACT ground truth (its "
+    "shingles joined back through the shingle inverted index — sample × "
+    "corpus, linear in the corpus, never all-pairs) and the banded "
+    "MinHash pipeline's verified pairs are scored against it; the "
+    "report is (n_truth, n_hit, recall_ppm), the number a production "
+    "dedup pipeline watches to catch band/row mis-tuning before a "
+    "silent recall collapse at 100 TB.  The exact side reuses the SAME "
+    "persisted shingle relation the LSH pipeline builds (no second "
+    "shingle pass), and the integer ppm is LONG cross-multiplication.  "
+    "Fan-out note, owned: ground truth has no stop-shingle cap (it "
+    "must not miss pairs), so a boilerplate shingle costs "
+    "|sample ∩ bucket|·|bucket| — the audit is priced by sampling, "
+    "which is exactly how the full-corpus version is run in "
+    "production.",
+    memoize=False,  # composes the pair pipeline; keep the bench honest
+)
+def q_docs_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from data_engineering_etl_demo_spark.plans import REGISTRY
+
+    docs = _docs_wide(spark, sf_dir)
+    shingled = persist_latest(
+        D.explode_shingles(docs, "doc_id", "text"),
+        "dedup.shingles.b",  # the slot minhash_near_dup already shares
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    samp = docs.select("doc_id").filter(
+        md5_stream("recall:", F.col("doc_id")) % _RECALL_MOD == 0
+    )
+    sa = shingled.join(samp, "doc_id")
+    cand = (
+        sa.select(F.col("doc_id").alias("sd"), "shingle")
+        .join(
+            shingled.select(F.col("doc_id").alias("od"), "shingle"),
+            on="shingle",
+        )
+        .filter(F.col("sd") != F.col("od"))
+        .select(
+            F.least("sd", "od").alias("id_a"),
+            F.greatest("sd", "od").alias("id_b"),
+        )
+        .distinct()
+    )
+    truth = D.jaccard_pairs(shingled, cand, "doc_id", _RECALL_T).select(
+        "id_a", "id_b"
+    )
+    lsh = REGISTRY["docs_minhash_near_dup"].spark_fn(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    hits = truth.join(lsh, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return nt.crossJoin(nh).select(
+        "n_truth",
+        "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1_000_000).cast("long"))
+        .otherwise(F.expr("(n_hit * 1000000) DIV n_truth"))
+        .alias("recall_ppm"),
     )

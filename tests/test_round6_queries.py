@@ -455,3 +455,15 @@ def test_cell_balance_covers_corpus(spark):
     for r in rows:
         assert r.min_cos_e9 * r.n_assigned <= r.sum_cos_e9
         assert r.sum_cos_e9 <= 1_000_000_000 * r.n_assigned
+
+
+def test_minhash_recall_sample_bounds(spark):
+    """The audit's internal consistency: hits are a subset of truth, and
+    banded recall at threshold 0.5 (20 bands x 2 rows => ~99.7% collision
+    probability at j=0.5) stays above a 0.8 floor on the planted corpus."""
+    r = SPECS["docs_minhash_recall_sample"].spark_fn(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert 0 <= row.n_hit <= row.n_truth
+    assert row.n_truth > 0, "sample found no true near-dup pairs — fixture regressed"
+    assert row.recall_ppm >= 800_000, row
