@@ -3980,6 +3980,63 @@ _LEAK_DF_CAP = 16  # grams in more docs than this are stop-grams (excluded)
 _LEAK_MIN_SHARED = 2  # pairs sharing fewer grams are coincidence
 
 
+def split_leakage_pairs(
+    docs: DataFrame,
+    n: int = _LEAK_N,
+    df_cap: int = _LEAK_DF_CAP,
+    min_shared: int = _LEAK_MIN_SHARED,
+    persist_slot: str = "llmdata.leak_grams",
+) -> DataFrame:
+    """The leakage-pair pipeline on any (doc_id, text) relation —
+    factored out so the scale probe can aim it at planted corpora
+    (tests/test_scale_probe.py: the df_cap guard under a boilerplate
+    gram).  See q_docs_split_leakage for semantics."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = persist_latest(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(X.word_shingles(F.col("text"), n))
+            ).alias("g"),
+        ).withColumn("split", split),
+        persist_slot,
+    )
+    rare = sp.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    t = sp.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "g"
+    )
+    r = sp.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    return (
+        t.join(r, "g")
+        .join(rare.select("g"), "g")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("test_doc", "train_doc")
+    )
+
+
+
 @register(
     "docs_split_leakage",
     f"""
@@ -4025,51 +4082,7 @@ _LEAK_MIN_SHARED = 2  # pairs sharing fewer grams are coincidence
     "throughout, report grouped on the pair key.",
 )
 def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(h < 80, F.lit("train"))
-        .when(h < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    sp = persist_latest(
-        _docs_wide(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(X.word_shingles(F.col("text"), _LEAK_N))
-            ).alias("g"),
-        )
-        .withColumn("split", split),
-        "llmdata.leak_grams",
-    )
-    rare = sp.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _LEAK_DF_CAP
-    )
-    t = sp.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc"), "g"
-    )
-    r = sp.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "g"
-    )
-    return (
-        t.join(r, "g")
-        .join(rare.select("g"), "g")
-        .groupBy("test_doc", "train_doc")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= _LEAK_MIN_SHARED)
-        .orderBy("test_doc", "train_doc")
-    )
+    return split_leakage_pairs(_docs_wide(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -393,3 +393,52 @@ def test_ema_fold_survives_hot_key_with_bounded_batches(spark):
     assert len(out) == 1 + cold_users
     for i in range(cold_users):
         assert out[100 + i] == (1, i % 11)
+
+
+def test_split_leakage_stop_gram_guard_bounds_fanout(spark):
+    """Plant ONE boilerplate 8-gram into hundreds of docs across both
+    splits: with the df cap the planted gram is excluded from the join
+    (pairs unchanged vs the unplanted corpus); with the cap lifted the
+    same corpus explodes into thousands of cross-split pairs — the blow-up
+    the guard exists to prevent at 100 TB."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        split_leakage_pairs,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    boiler = " ".join(f"boilerplate{i}" for i in range(8))
+    # a doc-UNIQUE separator word between the original text and the
+    # boilerplate keeps every junction gram df=1, so the ONLY new shared
+    # grams are the boilerplate's own — the guard's exact target
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" sep"),
+                F.col("doc_id").cast("string"),
+                F.lit(" " + boiler),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    base = split_leakage_pairs(docs, persist_slot="probe.leak.base").count()
+    capped = split_leakage_pairs(
+        planted, persist_slot="probe.leak.capped"
+    ).count()
+    uncapped = split_leakage_pairs(
+        planted,
+        df_cap=10**9,
+        min_shared=1,
+        persist_slot="probe.leak.uncapped",
+    ).count()
+
+    # the planted gram is in ~250 docs >> df_cap, so the capped pipeline
+    # must not see a single extra pair...
+    assert capped == base
+    # ...while without the cap the same corpus fans out quadratically
+    # (~0.8*250 train x 0.1*250 test sharing the gram)
+    assert uncapped > 50 * max(capped, 1)
