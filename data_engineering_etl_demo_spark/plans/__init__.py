@@ -121,6 +121,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "streaming_topk_values",
     "embedding_cell_balance",
     "docs_minhash_recall_sample",
+    "events_kmv_intersect",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

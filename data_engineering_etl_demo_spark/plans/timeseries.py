@@ -1459,3 +1459,102 @@ def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: intersection estimate by inclusion-exclusion on sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_kmv_intersect",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               (CAST(ts AS DATE) - DATE '1970-01-01') % 2 AS par,
+               {K.sql_hash60("user_id")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+        SELECT event_type, par, h FROM (
+            SELECT event_type, par, h,
+                   row_number() OVER (PARTITION BY event_type, par
+                                      ORDER BY h) AS rn
+            FROM (SELECT DISTINCT event_type, par, h FROM b)
+        ) WHERE rn <= {K.KMV_K}
+    ),
+    a AS ({K.sql_kmv_distinct(
+        "(SELECT event_type, h FROM b WHERE par = 0)", "event_type", "h")}),
+    bb AS ({K.sql_kmv_distinct(
+        "(SELECT event_type, h FROM b WHERE par = 1)", "event_type", "h")}),
+    u AS ({K.sql_kmv_distinct(
+        "(SELECT event_type, h FROM sk)", "event_type", "h")})
+    SELECT a.event_type,
+           a.kmv_users AS kmv_even,
+           bb.kmv_users AS kmv_odd,
+           u.kmv_users AS kmv_union,
+           greatest(a.kmv_users + bb.kmv_users - u.kmv_users, 0)
+               AS kmv_inter
+    FROM a
+    JOIN bb ON bb.event_type = a.event_type
+    JOIN u ON u.event_type = a.event_type
+    ORDER BY a.event_type
+    """,
+    doc="KMV set ALGEBRA: distinct users active on both even and odd "
+    "epoch days, estimated per event_type by inclusion-exclusion "
+    "|A∩B| ≈ est(A) + est(B) − est(A∪B) — the union estimate comes from "
+    "MERGING the two cohorts' k-min sketches (k smallest of the union "
+    "of per-cohort k-minima; never a raw rescan), so the whole audience-"
+    "overlap dashboard runs on days×k-row sketch partials at 100 TB.  "
+    "The subtraction is LONG arithmetic on the already-integer "
+    "estimates, clamped at 0 (inclusion-exclusion on estimates can go "
+    "negative for disjoint cohorts) — every op identical in both "
+    "engines.",
+)
+def q_events_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+                % 2
+            ).alias("par"),
+            K.hash60(F.col("user_id")).alias("h"),
+        )
+    )
+    sk = (
+        base.distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "par").orderBy(F.col("h"))
+            ),
+        )
+        .filter(F.col("_rn") <= K.KMV_K)
+        .select("event_type", "h")
+    )
+    a = K.kmv_distinct(base.filter(F.col("par") == 0), "event_type", "h")
+    b = K.kmv_distinct(base.filter(F.col("par") == 1), "event_type", "h")
+    u = K.kmv_distinct(sk, "event_type", "h")
+    return (
+        a.withColumnRenamed("kmv_users", "kmv_even")
+        .join(
+            b.withColumnRenamed("kmv_users", "kmv_odd"), on="event_type"
+        )
+        .join(
+            u.withColumnRenamed("kmv_users", "kmv_union"), on="event_type"
+        )
+        .select(
+            "event_type",
+            "kmv_even",
+            "kmv_odd",
+            "kmv_union",
+            F.greatest(
+                F.col("kmv_even") + F.col("kmv_odd") - F.col("kmv_union"),
+                F.lit(0),
+            ).alias("kmv_inter"),
+        )
+        .orderBy("event_type")
+    )

@@ -467,3 +467,15 @@ def test_minhash_recall_sample_bounds(spark):
     assert 0 <= row.n_hit <= row.n_truth
     assert row.n_truth > 0, "sample found no true near-dup pairs — fixture regressed"
     assert row.recall_ppm >= 800_000, row
+
+
+def test_kmv_intersect_algebra(spark):
+    """Sketch set-algebra invariants (theorems of the k-min merge, not
+    estimate accuracy): union >= each cohort, union <= sum, intersection
+    <= min cohort, all non-negative."""
+    rows = SPECS["events_kmv_intersect"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.kmv_union >= max(r.kmv_even, r.kmv_odd)
+        assert r.kmv_union <= r.kmv_even + r.kmv_odd
+        assert 0 <= r.kmv_inter <= min(r.kmv_even, r.kmv_odd)
