@@ -122,6 +122,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_cell_balance",
     "docs_minhash_recall_sample",
     "events_kmv_intersect",
+    "customers_k_anonymity",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -1109,3 +1109,72 @@ def q_warehouse_constraint_report(
         C.unique(lineitem, "lineitem", ["l_orderkey", "l_linenumber"]),
     ]
     return C.constraint_report(rules)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity census over quasi-identifiers (privacy gate for releases)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # groups smaller than this are re-identification risks
+
+
+@register(
+    "customers_k_anonymity",
+    f"""
+    WITH qi AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    g AS (
+        SELECT c_mktsegment, c_nationkey, bal_band,
+               CAST(count(*) AS BIGINT) AS k
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_groups,
+           CAST(sum(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM g
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="k-anonymity census — the privacy gate a dataset passes before "
+    "release: customers grouped by the quasi-identifier triple "
+    "(market segment, nation, account-balance thousand-band); any group "
+    "with fewer than k=5 members is a re-identification risk (Sweeney "
+    "2002).  The report gives per-segment group counts, at-risk groups "
+    "and rows, and the segment's worst k — the table that decides "
+    "whether bal_band needs coarsening before publishing.  Integer "
+    "bands via IEEE floor(x/1000), identical in both engines.  Plan: "
+    "two stacked hash aggregates (QI census, then per-segment rollup), "
+    "both with map-side partials — one scan of three columns, no joins, "
+    "the same shape at any scale.",
+)
+def q_customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    g = qi.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        g.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("k") < _KANON_K, 1).otherwise(0))
+            .cast("long")
+            .alias("small_groups"),
+            F.sum(F.when(F.col("k") < _KANON_K, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("k").cast("long").alias("min_k"),
+        )
+        .orderBy("c_mktsegment")
+    )

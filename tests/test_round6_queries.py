@@ -479,3 +479,22 @@ def test_kmv_intersect_algebra(spark):
         assert r.kmv_union >= max(r.kmv_even, r.kmv_odd)
         assert r.kmv_union <= r.kmv_even + r.kmv_odd
         assert 0 <= r.kmv_inter <= min(r.kmv_even, r.kmv_odd)
+
+
+def test_k_anonymity_census_consistency(spark):
+    """small_groups/rows_at_risk are consistent: each at-risk group has
+    1..k-1 rows, so small_groups <= rows_at_risk < K*small_groups; min_k
+    of a segment with zero small groups is >= K."""
+    from data_engineering_etl_demo_spark.plans.scale_patterns import _KANON_K
+
+    rows = SPECS["customers_k_anonymity"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.small_groups <= r.n_groups
+        if r.small_groups:
+            assert r.small_groups <= r.rows_at_risk
+            assert r.rows_at_risk < _KANON_K * r.small_groups
+            assert r.min_k < _KANON_K
+        else:
+            assert r.rows_at_risk == 0
+            assert r.min_k >= _KANON_K
