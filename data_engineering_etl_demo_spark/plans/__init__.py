@@ -123,6 +123,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_minhash_recall_sample",
     "events_kmv_intersect",
     "customers_k_anonymity",
+    "embedding_kmeans_inertia",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -4253,3 +4253,55 @@ def q_docs_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(n_hit * 1000000) DIV n_truth"))
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means training objective: seed vs trained assignment score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans_inertia",
+    f"""
+    WITH {_SQL_IVF_PQ_CTES}
+    SELECT stage, n_vectors, sum_cos_e9 FROM (
+        SELECT 'a_seed' AS stage,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(round(g.cos * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sum_cos_e9
+        FROM ass0 a JOIN ag0 g ON g.vec_id = a.vec_id AND g.cell = a.cell
+        UNION ALL
+        SELECT 'b_trained' AS stage,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(round(g.cos * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sum_cos_e9
+        FROM ass a JOIN ag g ON g.vec_id = a.vec_id AND g.cell = a.cell
+    )
+    ORDER BY stage
+    """,
+    doc="The k-means training objective, before vs after: total "
+    "fixed-point cosine of every vector to its assigned centroid under "
+    "the SEED quantizer (first-K corpus vectors) and under the TRAINED "
+    "one (2 distributed Lloyd steps) — the one-line proof the index "
+    "build actually improved the geometry cell_balance reports on.  "
+    "Spark runs the same cell_assignments kernel twice (one corpus "
+    "pass per stage, integer cos_e9 summed — order-independent); the "
+    "oracle reads the corresponding iteration-0 and final relations of "
+    "the shared training CTE chain.  The improvement itself is pinned "
+    "as a test invariant, not assumed.",
+)
+def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    path = f"{sf_dir}/embeddings.parquet"
+    seed = S.centroids_from_parquet(path)
+    trained = S.train_centroids(emb, path)
+    out = []
+    for stage, cents in (("a_seed", seed), ("b_trained", trained)):
+        out.append(
+            S.cell_assignments(emb, cents).agg(
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum("cos_e9").cast("long").alias("sum_cos_e9"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("stage")

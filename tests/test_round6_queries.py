@@ -498,3 +498,15 @@ def test_k_anonymity_census_consistency(spark):
         else:
             assert r.rows_at_risk == 0
             assert r.min_k >= _KANON_K
+
+
+def test_kmeans_training_improves_objective(spark):
+    """Two Lloyd steps must raise the total assignment cosine over the
+    seed quantizer (pinned, not assumed; ~30% on this corpus)."""
+    rows = {
+        r.stage: r
+        for r in SPECS["embedding_kmeans_inertia"].spark_fn(spark, SF_DIR).collect()
+    }
+    seed, trained = rows["a_seed"], rows["b_trained"]
+    assert seed.n_vectors == trained.n_vectors > 0
+    assert trained.sum_cos_e9 > seed.sum_cos_e9
