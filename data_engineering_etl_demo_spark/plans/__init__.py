@@ -124,6 +124,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_kmv_intersect",
     "customers_k_anonymity",
     "embedding_kmeans_inertia",
+    "embedding_dedup_curve",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -4305,3 +4305,75 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup tuning curve: pair/vector counts across a threshold sweep
+# ---------------------------------------------------------------------------
+
+_CURVE_TS = (0.40, 0.45, 0.50)  # sweep floor == one LSH pipeline run
+
+
+@register(
+    "embedding_dedup_curve",
+    f"""
+    WITH base AS ({_sql_lsh_near_dup(min(_CURVE_TS))}),
+    e AS (
+        SELECT t.t, u.v
+        FROM (SELECT cosine_sim, unnest([id_a, id_b]) AS v FROM base) u,
+             (SELECT unnest([{", ".join(repr(t) for t in _CURVE_TS)}]) AS t) t
+        WHERE u.cosine_sim >= t.t
+    )
+    SELECT CAST(round(t * 100) AS BIGINT) AS threshold_e2,
+           CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_vectors
+    FROM e
+    GROUP BY t
+    ORDER BY threshold_e2
+    """,
+    doc="Semantic-dedup TUNING CURVE: how many near-dup pairs (and how "
+    "many distinct vectors they touch) survive at each cosine "
+    "threshold of the sweep — the table that picks the semdedup radius "
+    "before committing a corpus-wide delete.  ONE run of the banded "
+    "sign-LSH pipeline at the sweep's floor feeds every tier: each "
+    "verified pair is exploded across the thresholds it clears "
+    "(pairs × |sweep| rows, trivially small), so the curve costs one "
+    "index pass no matter how many tiers are audited.  Counts are "
+    "n_pairs = half the exploded endpoint rows and n_vectors = "
+    "distinct endpoints, both LONGs.",
+    memoize=False,  # the LSH pipeline runs bucket kernels at build
+)
+def q_embedding_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = persist_latest(
+        S.embedding_near_dup(
+            load(spark, sf_dir, "embeddings"), threshold=min(_CURVE_TS)
+        ),
+        "llmdata.dedup_curve_pairs",
+    )
+    ex = (
+        pairs.select(
+            "cosine_sim",
+            F.explode(F.array("id_a", "id_b")).alias("v"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(t,) for t in _CURVE_TS], "t double"
+                )
+            )
+        )
+        .filter(F.col("cosine_sim") >= F.col("t"))
+    )
+    return (
+        ex.groupBy("t")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("v").cast("long").alias("n_vectors"),
+        )
+        .select(
+            F.round(F.col("t") * 100).cast("long").alias("threshold_e2"),
+            "n_pairs",
+            "n_vectors",
+        )
+        .orderBy("threshold_e2")
+    )

@@ -510,3 +510,18 @@ def test_kmeans_training_improves_objective(spark):
     seed, trained = rows["a_seed"], rows["b_trained"]
     assert seed.n_vectors == trained.n_vectors > 0
     assert trained.sum_cos_e9 > seed.sum_cos_e9
+
+
+def test_dedup_curve_monotone_and_consistent(spark):
+    """The sweep is monotone non-increasing in both counts, and the 0.45
+    tier equals the standalone embedding_near_dup pair count (same
+    pipeline, same threshold)."""
+    rows = SPECS["embedding_dedup_curve"].spark_fn(spark, SF_DIR).collect()
+    assert rows and rows[0].threshold_e2 == 40
+    for a, b in zip(rows, rows[1:]):
+        assert a.threshold_e2 < b.threshold_e2
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_vectors >= b.n_vectors
+    t45 = {r.threshold_e2: r.n_pairs for r in rows}.get(45, 0)
+    standalone = SPECS["embedding_near_dup"].spark_fn(spark, SF_DIR).count()
+    assert t45 == standalone
