@@ -484,3 +484,102 @@ class Warehouse:
         for name in DIMS + FACTS:
             if self.exists(name):
                 self.table(name).createOrReplaceTempView(prefix + name)
+
+
+# ---------------------------------------------------------------------------
+# Snapshots: time travel + CDC diff on the swap-write substrate
+# ---------------------------------------------------------------------------
+
+    # NOTE: appended into class Warehouse (kept at class indent).
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_snapshots", name)
+
+    def snapshot_versions(self, name: str) -> list[int]:
+        """Published snapshot generations of ``name``, ascending."""
+        d = Path(self._snap_dir(name))
+        if not d.exists():
+            return []
+        return sorted(
+            int(p.name[1:])
+            for p in d.iterdir()
+            if p.is_dir() and p.name.startswith("v") and p.name[1:].isdigit()
+        )
+
+    def snapshot_table(self, name: str) -> int:
+        """Publish the CURRENT contents of ``name`` as the next immutable
+        snapshot generation and return its version number.
+
+        Parquet part files are immutable once a swap publishes them, so a
+        snapshot is a HARDLINK forest (os.link per file — bytes are never
+        copied; a later swap of the live table replaces the live dir but
+        the links keep the old files alive).  Built in a scratch dir and
+        atomically renamed in, the same crash-recovery contract as
+        _swap_write: a torn snapshot can never be observed under v{N}.
+        This is the plain-parquet core of what a lakehouse MERGE substrate
+        (Delta/Iceberg) calls a table version: time-travel reads and
+        CDC-style diffs without a transaction log dependency."""
+        import uuid
+
+        src = Path(self._path(name))
+        if not src.exists():
+            raise FileNotFoundError(f"table {name} does not exist")
+        versions = self.snapshot_versions(name)
+        nxt = (versions[-1] + 1) if versions else 1
+        snap_root = Path(self._snap_dir(name))
+        snap_root.mkdir(parents=True, exist_ok=True)
+        build = snap_root / f".build-{uuid.uuid4().hex}"
+        for p in src.rglob("*"):
+            rel = p.relative_to(src)
+            dst = build / rel
+            if p.is_dir():
+                dst.mkdir(parents=True, exist_ok=True)
+            else:
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                os.link(p, dst)
+        dst = snap_root / f"v{nxt}"
+        try:
+            os.rename(build, dst)
+        except OSError:
+            # concurrent snapshotter won this version; discard ours
+            shutil.rmtree(build, ignore_errors=True)
+            raise
+        return nxt
+
+    def read_snapshot(self, name: str, version: int) -> DataFrame:
+        """Time-travel read of snapshot ``v{version}`` of ``name``."""
+        p = os.path.join(self._snap_dir(name), f"v{version}")
+        if not os.path.isdir(p):
+            raise FileNotFoundError(f"{name} has no snapshot v{version}")
+        return self.spark.read.parquet(p)
+
+    @staticmethod
+    def snapshot_diff(
+        old: DataFrame, new: DataFrame, key: str
+    ) -> DataFrame:
+        """CDC-style row diff between two table generations:
+        (key, change) with change ∈ {'added','removed','changed'} —
+        unchanged rows are dropped.  One full-outer join on the key;
+        row identity is the deterministic whole-row fingerprint
+        (_row_fingerprint), so 'changed' means any non-key column moved.
+        The shape a downstream incremental consumer reads instead of
+        re-scanning the table."""
+        o = old.select(
+            F.col(key).alias("_k"),
+            Warehouse._row_fingerprint(old, exclude=(key,)).alias("_fo"),
+        )
+        n = new.select(
+            F.col(key).alias("_k"),
+            Warehouse._row_fingerprint(new, exclude=(key,)).alias("_fn"),
+        )
+        j = o.join(n, on="_k", how="full_outer")
+        return (
+            j.select(
+                F.col("_k").alias(key),
+                F.when(F.col("_fo").isNull(), F.lit("added"))
+                .when(F.col("_fn").isNull(), F.lit("removed"))
+                .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+                .alias("change"),
+            )
+            .filter(F.col("change").isNotNull())
+        )

@@ -125,6 +125,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "customers_k_anonymity",
     "embedding_kmeans_inertia",
     "embedding_dedup_curve",
+    "warehouse_snapshot_diff",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -264,3 +264,52 @@ def test_merge_duplicate_keys_within_batch_deterministic(spark, tmp_path):
         )
         winners.add(wh.table("fact_events").collect()[0]["amount"])
     assert len(winners) == 1
+
+
+def test_snapshot_time_travel_and_diff(spark, tmp_path):
+    """Snapshot ledger semantics: v1 is immutable under a later swap
+    (hardlink forest keeps old part files alive), versions are
+    monotonically assigned, and snapshot_diff classifies every row-level
+    change exactly."""
+    wh = Warehouse(spark, str(tmp_path))
+    g1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    wh._swap_write("t", g1)
+    assert wh.snapshot_table("t") == 1
+    assert wh.snapshot_versions("t") == [1]
+
+    # gen2: row 2 changed, row 3 removed, row 4 added
+    g2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "id long, s string, v long"
+    )
+    wh._swap_write("t", g2)
+    assert wh.snapshot_table("t") == 2
+
+    v1 = wh.read_snapshot("t", 1)
+    assert sorted(tuple(r) for r in v1.collect()) == [
+        (1, "a", 10),
+        (2, "b", 20),
+        (3, "c", 30),
+    ], "snapshot v1 mutated by the later swap"
+
+    diff = {
+        r.id: r.change
+        for r in Warehouse.snapshot_diff(v1, wh.table("t"), key="id").collect()
+    }
+    assert diff == {2: "changed", 3: "removed", 4: "added"}
+
+    # diff of identical generations is empty
+    v2 = wh.read_snapshot("t", 2)
+    assert Warehouse.snapshot_diff(v2, wh.table("t"), key="id").count() == 0
+
+
+def test_snapshot_missing_table_and_version_raise(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        wh.snapshot_table("nope")
+    g1 = spark.createDataFrame([(1, 1)], "id long, v long")
+    wh._swap_write("t", g1)
+    wh.snapshot_table("t")
+    with pytest.raises(FileNotFoundError):
+        wh.read_snapshot("t", 7)
