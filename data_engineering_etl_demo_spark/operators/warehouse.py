@@ -518,7 +518,13 @@ class Warehouse:
         _swap_write: a torn snapshot can never be observed under v{N}.
         This is the plain-parquet core of what a lakehouse MERGE substrate
         (Delta/Iceberg) calls a table version: time-travel reads and
-        CDC-style diffs without a transaction log dependency."""
+        CDC-style diffs without a transaction log dependency.
+
+        Compliance caveat (same as Delta's VACUUM contract): snapshots
+        RETAIN rows later removed by erase_users — a GDPR erasure is only
+        complete once the retention window drops every snapshot version
+        that predates it (delete the v{N} dirs; the hardlinks are the only
+        remaining references)."""
         import uuid
 
         src = Path(self._path(name))
