@@ -126,6 +126,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_kmeans_inertia",
     "embedding_dedup_curve",
     "warehouse_snapshot_diff",
+    "streaming_full_outer_join",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

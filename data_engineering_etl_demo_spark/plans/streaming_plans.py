@@ -919,3 +919,104 @@ def q_streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+@register(
+    "streaming_full_outer_join",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL),
+    wm AS (SELECT LEAST((SELECT epoch_us(MAX(ts)) // 1000 FROM p),
+                        (SELECT epoch_us(MAX(ts)) // 1000 FROM c))
+                  - 600000 AS wm_ms),
+    m AS (
+        SELECT p.purchase_id, c.click_id, p.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+    ),
+    um AS (
+        SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+               CAST(NULL AS BIGINT) AS gap_us
+        FROM p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+          AND (epoch_us(p.ts) + 999) // 1000 < wm.wm_ms
+    ),
+    uc AS (
+        -- click-side expiry: its latest matchable purchase is c_ts+30min,
+        -- so the click's CEILED event time must clear wm - 30min, strict
+        -- (probed on ±1ms/±1µs rows: cutoff-1ms emits, cutoff-1µs and
+        -- cutoff do not — tests/test_streaming.py)
+        SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id, c.user_id,
+               CAST(NULL AS BIGINT) AS gap_us
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+          AND (epoch_us(c.ts) + 999) // 1000 < wm.wm_ms - 1800000
+    )
+    SELECT * FROM m
+    UNION ALL SELECT * FROM um
+    UNION ALL SELECT * FROM uc
+    ORDER BY purchase_id, click_id
+    """,
+    doc="watermarked stream-stream FULL OUTER interval join — both "
+    "unmatched sides null-emit on state expiry, each under its OWN "
+    "ms-domain rule: a purchase expires when ceil_ms(p_ts) < wm (no "
+    "earlier-or-equal click can still arrive), a click when "
+    "ceil_ms(c_ts) < wm - 30min (its latest matchable purchase, "
+    "c_ts+30min, is now below the watermark) — the second boundary "
+    "probed and pinned the same way the LEFT OUTER's was "
+    "(tests/test_streaming.py ±1ms/±1µs fixture).  Matched pairs emit "
+    "immediately; rows younger than their expiry stay in state exactly "
+    "as a live deployment would hold them.  Per-side interval-bounded "
+    "state is what makes full outer joins production-feasible on "
+    "unbounded streams.",
+    memoize=False,
+)
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+  def build(s: SparkSession) -> DataFrame:
+    purchases = (
+        _event_stream(s, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _event_stream(s, sf_dir)
+        .filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            c_user = p_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+        "fullOuter",
+    )
+
+  result = P.run_to_completion(
+      build, "stream_full_outer", "append", shuffle_partitions=4,
+      spark=spark,
+  )
+  return result.select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    ).orderBy("purchase_id", "click_id")

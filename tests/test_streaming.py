@@ -616,3 +616,99 @@ def test_left_outer_join_null_emission_boundary(spark, tmp_path):
         for r in res.select("purchase_id", "click_id").collect()
     }
     assert got == {(1, 2), (10, None)}
+
+
+def test_full_outer_join_click_expiry_boundary(spark, tmp_path):
+    """Pins the FULL OUTER oracle's click-side expiry model
+    (streaming_full_outer_join): a click's latest matchable purchase is
+    c_ts + 30min, so it null-emits iff ceil_ms(c_ts) < wm - 30min,
+    STRICT.  Probed on ±1ms / ±1µs rows around that cutoff: cutoff−1ms
+    emits, cutoff−1µs (same ms after ceil), cutoff, and cutoff+1ms do
+    not.  The purchase-side boundary row doubles as a sanity check that
+    the left-outer rule is unchanged under fullOuter."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_engineering_etl_demo_spark.streaming import pipeline as P
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    anchor = base + dt.timedelta(minutes=60, microseconds=500)
+    wm = dt.datetime(2024, 1, 1, 12, 50, 0)  # floor_ms(anchor) - 10 min
+    cut2 = wm - dt.timedelta(minutes=30)  # click cutoff: wm - interval
+    rows = [
+        (1, anchor, 1, "purchase", 1.0, None),
+        (2, anchor, 1, "click", 1.0, None),
+        (10, wm - dt.timedelta(milliseconds=1), 99, "purchase", 1.0, None),
+        (20, cut2 - dt.timedelta(milliseconds=1), 89, "click", 1.0, None),
+        (21, cut2 - dt.timedelta(microseconds=1), 88, "click", 1.0, None),
+        (22, cut2, 87, "click", 1.0, None),
+        (23, cut2 + dt.timedelta(milliseconds=1), 86, "click", 1.0, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    stage = tmp_path / "fouter_src"
+    stage.mkdir()
+    pdf.to_parquet(
+        stage / "events.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def build(s):
+        raw = s.readStream.schema(schema).parquet(str(stage))
+        purchases = (
+            raw.filter(
+                (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+            )
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        clicks = (
+            raw.filter(
+                (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+            )
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
+        )
+        return purchases.join(
+            clicks,
+            F.expr(
+                "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+                " AND c_ts <= p_ts"
+            ),
+            "fullOuter",
+        )
+
+    out = P.run_to_completion(
+        build, "fo_boundary", "append", shuffle_partitions=2, spark=spark
+    )
+    got = sorted(
+        [
+            (r.purchase_id, r.click_id)
+            for r in out.select("purchase_id", "click_id").collect()
+        ],
+        key=repr,
+    )
+    assert got == sorted([(1, 2), (10, None), (None, 20)], key=repr)
