@@ -127,6 +127,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_dedup_curve",
     "warehouse_snapshot_diff",
     "streaming_full_outer_join",
+    "events_props_variant",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

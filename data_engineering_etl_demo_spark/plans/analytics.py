@@ -541,3 +541,54 @@ def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_ts").alias("click_ts_us"),
         (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
     ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props via Spark 4 VariantType (the native JSON path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_variant",
+    f"""
+    SELECT {SQL_CANON} AS event,
+           CAST(COUNT(k) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           MIN(k) AS min_k
+    FROM (
+        SELECT event_type,
+               TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Semi-structured extraction through Spark 4's native VARIANT "
+    "path: props parses once into a VariantType value "
+    "(try_parse_json — binary-encoded, shreddable) and the field comes "
+    "out typed via try_variant_get with a JSON path — the modern "
+    "engine-native alternative to props_k_stats' regex-portable form, "
+    "with real JSON semantics (nested paths, type coercion, malformed "
+    "rows → NULL instead of silent mis-parses).  The oracle uses "
+    "DuckDB's json_extract on the same path; both engines agree on "
+    "every typed value this corpus produces.  Plan: pure column "
+    "expressions into the canonical-event aggregate — variant decode "
+    "is JVM-side, no UDF, same one-pass shape as every census here.",
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "long"
+    ).alias("k")
+    return (
+        events_silver(spark, sf_dir)
+        .select("event", k)
+        .groupBy("event")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("event")
+    )

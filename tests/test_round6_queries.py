@@ -525,3 +525,18 @@ def test_dedup_curve_monotone_and_consistent(spark):
     t45 = {r.threshold_e2: r.n_pairs for r in rows}.get(45, 0)
     standalone = SPECS["embedding_near_dup"].spark_fn(spark, SF_DIR).count()
     assert t45 == standalone
+
+
+def test_props_variant_agrees_with_regex_path(spark):
+    """The VARIANT extraction and the regex-portable extraction see the
+    same integers on this corpus: n and sum_k match props_k_stats
+    per canonical event."""
+    var = {
+        r.event: (r.n, r.sum_k)
+        for r in SPECS["events_props_variant"].spark_fn(spark, SF_DIR).collect()
+    }
+    rex = {
+        r.event: (r.n, r.sum_k)
+        for r in SPECS["props_k_stats"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert var == rex
