@@ -128,6 +128,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "warehouse_snapshot_diff",
     "streaming_full_outer_join",
     "events_props_variant",
+    "events_disorder_profile",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -1020,3 +1020,119 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     ).orderBy("purchase_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# Disorder profile of the staged OOO feed: the data that picks the delay
+# ---------------------------------------------------------------------------
+
+from data_engineering_etl_demo_spark.functions.hashing import (  # noqa: E402
+    sql_md5_stream as _sql_md5_stream,
+)
+
+
+@register(
+    "events_disorder_profile",
+    f"""
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    b AS (SELECT min(t) AS lo, max(t) AS hi FROM ev),
+    f AS (
+        SELECT ev.user_id, ev.event_id, ev.t,
+               (CASE WHEN t < lo + (hi - lo) // 3 THEN 0
+                     WHEN t < lo + 2 * (hi - lo) // 3 THEN 1
+                     ELSE 2 END)
+               + (CASE WHEN ((t >= lo + (hi - lo) // 3 - {_OOO_SHIFT_US}
+                              AND t < lo + (hi - lo) // 3)
+                          OR (t >= lo + 2 * (hi - lo) // 3 - {_OOO_SHIFT_US}
+                              AND t < lo + 2 * (hi - lo) // 3))
+                         AND {_sql_md5_stream("'ooo:' || CAST(event_id AS VARCHAR)")}
+                             % 2 = 0
+                     THEN 1 ELSE 0 END) AS fidx
+        FROM ev, b
+    ),
+    seq AS (
+        SELECT user_id, t,
+               max(t) OVER (
+                   PARTITION BY user_id ORDER BY fidx, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS runmax
+        FROM f
+    ),
+    lateness AS (
+        SELECT CASE WHEN runmax IS NULL OR runmax <= t THEN 0
+                    ELSE (runmax - t) // 1000000 END AS late_s
+        FROM seq
+    )
+    SELECT CASE WHEN late_s = 0 THEN -1
+                ELSE CAST(floor(log2(late_s + 1)) AS BIGINT) END AS bucket_pow2,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM lateness
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Event-time DISORDER profile of the staged out-of-order feed — "
+    "the analysis that justifies a watermark delay before deploying "
+    "the streaming jobs: per user, each row's lateness is how far its "
+    "event time sits behind the running max of earlier-ARRIVING rows "
+    "(arrival = slice index, then event_id — exactly the staged "
+    "source's replay order), bucketed into power-of-two seconds "
+    "(-1 = in-order).  Read the top bucket against the delay: the "
+    "planted 3-hour shifts land in buckets ≤ log2(10800), all inside "
+    "streaming_value_ema_ooo's 6-hour watermark — and anything above "
+    "would be what that watermark drops.  The oracle re-derives the "
+    "slice assignment (tercile boundaries + md5 pick) rather than "
+    "reading the staged files, so it independently checks the stager "
+    "too.  Plan: one running-max window on the user key into a "
+    "≤40-bucket census — events_inter_arrival's single-shuffle shape.",
+)
+def q_events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from data_engineering_etl_demo_spark.catalog import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", F.unix_micros("ts").alias("t"))
+    )
+    lo, hi = ev.agg(F.min("t"), F.max("t")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    t = F.col("t")
+    in_window = ((t >= b1 - _OOO_SHIFT_US) & (t < b1)) | (
+        (t >= b2 - _OOO_SHIFT_US) & (t < b2)
+    )
+    pick = md5_stream("ooo:", F.col("event_id")) % 2 == 0
+    base = F.when(t < b1, 0).when(t < b2, 1).otherwise(2)
+    f = ev.withColumn("fidx", base + (in_window & pick).cast("int"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("fidx", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = f.select("t", F.max("t").over(w).alias("runmax"))
+    late = seq.select(
+        F.when(
+            F.col("runmax").isNull() | (F.col("runmax") <= F.col("t")),
+            F.lit(0),
+        )
+        .otherwise(F.expr("(runmax - t) DIV 1000000"))
+        .alias("late_s")
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(F.col("late_s") + 1)))
+        .cast("long")
+    )
+    return (
+        late.groupBy(bucket.alias("bucket_pow2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+        .orderBy("bucket_pow2")
+    )

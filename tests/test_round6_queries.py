@@ -540,3 +540,21 @@ def test_props_variant_agrees_with_regex_path(spark):
         for r in SPECS["props_k_stats"].spark_fn(spark, SF_DIR).collect()
     }
     assert var == rex
+
+
+def test_disorder_profile_within_watermark(spark):
+    """Every planted lateness must sit inside the 6-hour watermark the
+    OOO streaming queries rely on (the profile is the evidence that the
+    delay is sufficient), and in-order rows dominate.  Checked at sf0.01
+    where the staged slices actually produce cross-slice inversions."""
+    rows = (
+        SPECS["events_disorder_profile"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    by_bucket = {r.bucket_pow2: r for r in rows}
+    assert -1 in by_bucket
+    total = sum(r.n_events for r in rows)
+    assert by_bucket[-1].n_events > 0.9 * total
+    for r in rows:
+        assert r.max_late_s < 6 * 3600, r
