@@ -129,6 +129,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "streaming_full_outer_join",
     "events_props_variant",
     "events_disorder_profile",
+    "lineitem_dpp_prune",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }
