@@ -130,6 +130,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_props_variant",
     "events_disorder_profile",
     "lineitem_dpp_prune",
+    "events_position_attribution",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -1558,3 +1558,147 @@ def q_events_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution: first/last 40%, middle splits 20%
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_position_attribution",
+    f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+               CAST(ROUND(COALESCE(value, 0) * 1000000) AS BIGINT) AS v_f
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.v_f, c.click_id, c.user_id, c.c_ts
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND c.c_ts >= p.p_ts - INTERVAL {_WINDOW_MIN} MINUTE
+                     AND c.c_ts < p.p_ts
+    ),
+    ranked AS (
+        SELECT purchase_id, v_f, click_id, user_id,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY c_ts, click_id) AS rn,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n
+        FROM pairs
+    ),
+    credited AS (
+        SELECT click_id, user_id,
+               CASE WHEN n = 1 THEN v_f
+                    WHEN n = 2 THEN v_f // 2
+                    WHEN rn = 1 OR rn = n THEN (v_f * 4) // 10
+                    ELSE (v_f * 2) // (10 * (n - 2)) END AS credit_f,
+               CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_first,
+               CASE WHEN rn = n THEN 1 ELSE 0 END AS is_last
+        FROM ranked
+    )
+    SELECT click_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(is_first) AS BIGINT) AS n_first,
+           CAST(SUM(is_last) AS BIGINT) AS n_last,
+           CAST(CAST(SUM(credit_f) AS BIGINT) // 10000 AS DOUBLE) / 100.0
+               AS attributed
+    FROM credited
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    doc="position-based (U-shaped) attribution, completing the family "
+    "next to last-touch (events_click_attribution) and linear "
+    "(events_multitouch_attribution): per purchase, the FIRST and LAST "
+    "click in the window earn 40% each and the middle splits the "
+    "remaining 20% evenly (n=1 → 100%, n=2 → 50/50 — the standard "
+    "convention).  All weights are integer fixed-point on v_f "
+    "(truncation owned, order-free) and positions are a row_number "
+    "with the (c_ts, click_id) tiebreak, so the split reconciles "
+    "deterministically in both engines.  Same bucketed interval join "
+    "as the linear variant — the only additions are the rank window "
+    "and a CASE ladder over it.",
+)
+def q_events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start0"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)
+        .cast("long")
+        .alias("v_f"),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "v_f",
+        (F.col("w_start0") - F.expr(f"INTERVAL {_WINDOW_MIN} MINUTES")).alias(
+            "w_start"
+        ),
+        F.col("w_start0").alias("w_end"),
+    )
+    clicks = events.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    pairs = R.interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        point_ts="c_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=_WINDOW_MIN * 60,
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "click_id",
+        "user_id",
+        "v_f",
+        F.row_number()
+        .over(wp.orderBy("c_ts", "click_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.col("v_f"))
+        .when(F.col("n") == 2, F.expr("v_f DIV 2"))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("n")),
+            F.expr("(v_f * 4) DIV 10"),
+        )
+        .otherwise(F.expr("(v_f * 2) DIV (10 * (n - 2))"))
+    )
+    credited = ranked.select(
+        "click_id",
+        "user_id",
+        credit.alias("credit_f"),
+        F.when(F.col("rn") == 1, 1).otherwise(0).alias("is_first"),
+        F.when(F.col("rn") == F.col("n"), 1).otherwise(0).alias("is_last"),
+    )
+    return (
+        credited.groupBy("click_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("is_first").cast("long").alias("n_first"),
+            F.sum("is_last").cast("long").alias("n_last"),
+            F.sum("credit_f").cast("long").alias("sum_f"),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "n_purchases",
+            "n_first",
+            "n_last",
+            (F.expr("CAST(sum_f DIV 10000 AS DOUBLE)") / F.lit(100.0)).alias(
+                "attributed"
+            ),
+        )
+        .orderBy("click_id")
+    )

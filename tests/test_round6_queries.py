@@ -589,3 +589,66 @@ def test_dpp_prunes_fact_partitions(spark):
     m = re.search(r"partitions read: (\d+)", final)
     if m:  # plan-string detail present in this Spark build
         assert int(m.group(1)) == len(rows), final[:1500]
+
+
+def test_position_attribution_conservation(spark):
+    """U-shape conservation: per purchase the credited total differs from
+    v_f only by integer-division truncation (< 1 microunit per touch),
+    and exactly one first and one last exist per purchase.  Checked on a
+    synthetic journey set covering n=1,2,3,5 touches."""
+    import datetime as dt
+
+    from data_engineering_etl_demo_spark.operators import rangejoin as R  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # four journeys: 1, 2, 3, 5 clicks then a purchase of 10.007 units
+    for u, n in [(1, 1), (2, 2), (3, 3), (4, 5)]:
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i), u, "click", 0.0, None)
+            )
+        eid += 1
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(minutes=n + 1),
+                u,
+                "purchase",
+                10.007,
+                None,
+            )
+        )
+    import tempfile
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(
+            f"{d}/events.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        out = (
+            SPECS["events_position_attribution"].spark_fn(spark, d).collect()
+        )
+    v_f = round(10.007 * 1_000_000)
+    by_user = defaultdict(list)
+    for r in out:
+        by_user[r.user_id].append(r)
+    assert set(by_user) == {1, 2, 3, 4}
+    for u, n in [(1, 1), (2, 2), (3, 3), (4, 5)]:
+        touches = by_user[u]
+        assert len(touches) == n
+        assert sum(t.n_first for t in touches) == 1
+        assert sum(t.n_last for t in touches) == 1
+        total_f = round(sum(t.attributed for t in touches) * 1_000_000)
+        # two owned truncations: the split (< 1 µunit per touch) and the
+        # cent-truncated report column (< 10000 µunits per touch)
+        assert v_f - n * 10_001 <= total_f <= v_f
