@@ -131,6 +131,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_disorder_profile",
     "lineitem_dpp_prune",
     "events_position_attribution",
+    "docs_tokenizer_fertility",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

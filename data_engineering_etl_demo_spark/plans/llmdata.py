@@ -4377,3 +4377,54 @@ def q_embedding_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_e2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: BPE-proxy tokens per word, per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_tokenizer_fertility",
+    f"""
+    SELECT lang,
+           CAST(SUM({_fmt(SQL_TOKEN_COUNT)}) AS BIGINT) AS n_words,
+           CAST(SUM({_fmt(SQL_BPE)}) AS BIGINT) AS n_bpe_tokens,
+           CAST((SUM({_fmt(SQL_BPE)}) * 1000000)
+                // greatest(SUM({_fmt(SQL_TOKEN_COUNT)}), 1) AS BIGINT)
+               AS fertility_ppm
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Tokenizer FERTILITY per language — BPE-proxy tokens emitted per "
+    "word, the standard multilingual-tokenizer equity metric (a "
+    "language with 2x fertility pays 2x the context budget for the "
+    "same text; the number that drives vocab-allocation decisions).  "
+    "Uses the same ceil(len/4) BPE proxy as docs_token_stats, so the "
+    "ratio is consistent with every token budget in the repo; integer "
+    "ppm via LONG cross-multiplication.  One scan, 5-key aggregate "
+    "with map-side partials.",
+)
+def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).select(
+        "lang",
+        X.token_count(F.col("text")).alias("nw"),
+        X.bpe_token_estimate(F.col("text")).alias("nb"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr(
+                "(n_bpe_tokens * 1000000) DIV greatest(n_words, 1)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -652,3 +652,26 @@ def test_position_attribution_conservation(spark):
         # two owned truncations: the split (< 1 µunit per touch) and the
         # cent-truncated report column (< 10000 µunits per touch)
         assert v_f - n * 10_001 <= total_f <= v_f
+
+
+def test_tokenizer_fertility_consistent_with_token_stats(spark):
+    """Per-lang word/BPE totals must reconcile with the per-doc
+    docs_token_stats sums, and fertility is their exact integer ratio."""
+    stats = SPECS["docs_token_stats"].spark_fn(spark, SF_DIR).collect()
+    # fertility groups on the table's own lang column — read it directly
+    from data_engineering_etl_demo_spark.catalog import load
+
+    table_lang = {
+        r.doc_id: r.lang
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "lang").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in stats:
+        a = agg[table_lang[r.doc_id]]
+        a[0] += r.n_tokens
+        a[1] += r.n_bpe_tokens
+    got = SPECS["docs_tokenizer_fertility"].spark_fn(spark, SF_DIR).collect()
+    for r in got:
+        nw, nb = agg[r.lang]
+        assert (r.n_words, r.n_bpe_tokens) == (nw, nb)
+        assert r.fertility_ppm == (nb * 1_000_000) // max(nw, 1)
