@@ -132,6 +132,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "lineitem_dpp_prune",
     "events_position_attribution",
     "docs_tokenizer_fertility",
+    "events_markov_attribution",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -1702,3 +1702,255 @@ def q_events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (data-driven channel credit)
+# ---------------------------------------------------------------------------
+
+_MK_GAP_US = 30 * 60 * 1_000_000  # session gap, µs
+_MK_CHANNELS = ("click", "error", "signup", "view")  # non-purchase types
+_MK_ITERS = 12  # value-iteration steps (geometric convergence)
+
+
+def _sql_markov() -> str:
+    """Unrolled fixed-point value iteration over the journey chain —
+    the same generator pattern as the IVF training CTEs."""
+    variants = ", ".join(f"'{c}'" for c in ("full",) + _MK_CHANNELS)
+    steps = []
+    for t in range(1, _MK_ITERS + 1):
+        steps.append(f"""v{t} AS (
+        SELECT tr.variant, tr.src AS state,
+               CAST((COALESCE(SUM(CASE WHEN tr.dst NOT IN ('CONV', 'NULL')
+                                       THEN tr.p_e6 * COALESCE(v.v, 0)
+                                  END), 0)
+                     + COALESCE(SUM(CASE WHEN tr.dst = 'CONV'
+                                         THEN tr.p_e6 * 1000000000
+                                    END), 0)) // 1000000 AS BIGINT) AS v
+        FROM p tr LEFT JOIN v{t - 1} v
+          ON v.variant = tr.variant AND v.state = tr.dst
+        GROUP BY 1, 2
+    )""")
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    seq AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                        OR t - lag(t) OVER w > {_MK_GAP_US} THEN 1 ELSE 0
+                  END AS brk
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    conv AS (
+        SELECT user_id, sid,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM sess GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY t, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, sid) AS k
+        FROM sess WHERE event_type <> 'purchase'
+    ),
+    base_trans AS (
+        SELECT 'START' AS src, event_type AS dst
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT a.event_type, b.event_type
+        FROM ordered a JOIN ordered b
+          ON b.user_id = a.user_id AND b.sid = a.sid AND b.rn = a.rn + 1
+        UNION ALL
+        SELECT o.event_type,
+               CASE WHEN c.converted = 1 THEN 'CONV' ELSE 'NULL' END
+        FROM ordered o JOIN conv c
+          ON c.user_id = o.user_id AND c.sid = o.sid
+        WHERE o.rn = o.k
+        UNION ALL
+        SELECT 'START', 'CONV'
+        FROM conv c
+        WHERE c.converted = 1 AND NOT EXISTS (
+            SELECT 1 FROM ordered o
+            WHERE o.user_id = c.user_id AND o.sid = c.sid)
+    ),
+    variants AS (SELECT unnest([{variants}]) AS rm),
+    vtrans AS (
+        SELECT v.rm AS variant, b.src,
+               CASE WHEN b.dst = v.rm THEN 'NULL' ELSE b.dst END AS dst
+        FROM base_trans b, variants v
+        WHERE b.src <> v.rm
+    ),
+    cnt AS (
+        SELECT variant, src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM vtrans GROUP BY 1, 2, 3
+    ),
+    p AS (
+        SELECT variant, src, dst,
+               (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY variant, src)
+                                     AS BIGINT) AS p_e6
+        FROM cnt
+    ),
+    v0 AS (
+        SELECT DISTINCT variant, src AS state, CAST(0 AS BIGINT) AS v FROM p
+    ),
+    {",".join(steps)}
+    SELECT c.channel,
+           f.v AS pconv_full_e9,
+           r.v AS pconv_removed_e9,
+           f.v - r.v AS removal_effect_e9
+    FROM (SELECT unnest([{", ".join(f"'{c}'" for c in _MK_CHANNELS)}])
+              AS channel) c
+    JOIN v{_MK_ITERS} f ON f.variant = 'full' AND f.state = 'START'
+    JOIN v{_MK_ITERS} r ON r.variant = c.channel AND r.state = 'START'
+    ORDER BY c.channel
+    """
+
+
+@register(
+    "events_markov_attribution",
+    _sql_markov(),
+    doc="MARKOV REMOVAL-EFFECT attribution — the data-driven channel "
+    "credit model (Anderl et al. 2014) above the heuristic trio "
+    "(last-touch / linear / U-shaped): user journeys are 30-min-gap "
+    "sessions; the channel chain (non-purchase events in "
+    "(ts, event_id) order) feeds a first-order Markov chain with "
+    "START/CONV/NULL absorbing states; each channel's credit is the "
+    "drop in P(conversion from START) when that channel's node is "
+    "removed (its inbound edges redirect to NULL — no renormalization, "
+    "the standard removal semantics).  Everything is exact integer "
+    "fixed-point: p_e6 = count·1e6 DIV row-total, and P(conv) comes "
+    "from 12 unrolled value-iteration steps of "
+    "v' = Σ p_e6·v DIV 1e6 with CONV pinned at 1e9 — identical "
+    "arithmetic in Spark, Python and the unrolled SQL CTEs.  "
+    "Distribution split, owned: journey/transition counting is the "
+    "data-sized distributed work (two session windows + one grouped "
+    "count, same shape as events_session_window); the ≤5-variant × "
+    "≤7-state transition table is then a fitted-model constant on the "
+    "driver (the train_centroids pattern) where the 12 iterations run "
+    "as plain integer math.",
+    memoize=False,  # driver-side iteration on collected model constants
+)
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("t"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sess = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | ((F.col("t") - F.lag("t").over(w)) > _MK_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    conv = sess.groupBy("user_id", "sid").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    ordered = (
+        sess.filter(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(ws))
+        .withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("user_id", "sid"))
+        )
+    )
+    first = ordered.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    nxt = ordered.select(
+        "user_id", "sid", "rn", F.col("event_type").alias("src")
+    ).join(
+        ordered.select(
+            "user_id",
+            "sid",
+            (F.col("rn") - 1).alias("rn"),
+            F.col("event_type").alias("dst"),
+        ),
+        on=["user_id", "sid", "rn"],
+    ).select("src", "dst")
+    last = (
+        ordered.filter(F.col("rn") == F.col("k"))
+        .join(conv, on=["user_id", "sid"])
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("converted") == 1, "CONV")
+            .otherwise("NULL")
+            .alias("dst"),
+        )
+    )
+    empty_conv = (
+        conv.filter(F.col("converted") == 1)
+        .join(
+            ordered.select("user_id", "sid").distinct(),
+            on=["user_id", "sid"],
+            how="left_anti",
+        )
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    base = first.unionByName(nxt).unionByName(last).unionByName(empty_conv)
+    counts = base.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # ≤ 7×7 fitted-model constants — the train_centroids collect pattern
+    rows = [(r.src, r.dst, r.n) for r in counts.collect()]
+
+    def pconv(removed: str | None) -> int:
+        from collections import defaultdict as dd
+
+        cnt: dict = dd(int)
+        for src, dst, n in rows:
+            if removed is not None and src == removed:
+                continue
+            d = "NULL" if (removed is not None and dst == removed) else dst
+            cnt[(src, d)] += n
+        tot: dict = dd(int)
+        for (src, _d), n in cnt.items():
+            tot[src] += n
+        p = {
+            (src, d): (n * 1_000_000) // tot[src]
+            for (src, d), n in cnt.items()
+        }
+        states = sorted(tot)
+        v = {s: 0 for s in states}
+        for _ in range(_MK_ITERS):
+            nv = {}
+            for s in states:
+                acc = 0
+                for (src, d), pe6 in p.items():
+                    if src != s:
+                        continue
+                    if d == "CONV":
+                        acc += pe6 * 1_000_000_000
+                    elif d != "NULL":
+                        acc += pe6 * v.get(d, 0)
+                nv[s] = acc // 1_000_000
+            v = nv
+        return v.get("START", 0)
+
+    full = pconv(None)
+    out = [
+        (c, full, pconv(c), full - pconv(c)) for c in _MK_CHANNELS
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, pconv_full_e9 long, pconv_removed_e9 long,"
+        " removal_effect_e9 long",
+    ).orderBy("channel")

@@ -675,3 +675,22 @@ def test_tokenizer_fertility_consistent_with_token_stats(spark):
         nw, nb = agg[r.lang]
         assert (r.n_words, r.n_bpe_tokens) == (nw, nb)
         assert r.fertility_ppm == (nb * 1_000_000) // max(nw, 1)
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal monotonicity: any path to CONV in the removed chain
+    exists unchanged in the full chain, so pconv_removed <= pconv_full
+    and every effect is non-negative; P(conv) lives in [0, 1e9]; and
+    every configured channel reports."""
+    from data_engineering_etl_demo_spark.plans.timeseries import _MK_CHANNELS
+
+    rows = SPECS["events_markov_attribution"].spark_fn(spark, SF_DIR).collect()
+    assert sorted(r.channel for r in rows) == sorted(_MK_CHANNELS)
+    full = {r.pconv_full_e9 for r in rows}
+    assert len(full) == 1
+    f = full.pop()
+    assert 0 < f <= 1_000_000_000
+    for r in rows:
+        assert 0 <= r.pconv_removed_e9 <= f
+        assert r.removal_effect_e9 == f - r.pconv_removed_e9
+        assert r.removal_effect_e9 >= 0
