@@ -133,6 +133,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_position_attribution",
     "docs_tokenizer_fertility",
     "events_markov_attribution",
+    "events_dp_release",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -1428,3 +1428,97 @@ def q_lineitem_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release: seeded two-sided geometric mechanism
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5  # per-cell privacy budget
+_DP_BOUND = 16  # noise truncation (bounded-noise DP variant, documented)
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """(threshold_u32, noise) CASE ladder for the two-sided geometric
+    mechanism: P(Z=k) ∝ alpha^|k| with alpha = e^-eps, truncated at
+    ±_DP_BOUND.  Thresholds are plain Python floats floored onto the
+    32-bit uniform domain at module import — LITERALS by the time either
+    engine sees them, so both walk the identical ladder."""
+    import math
+
+    a = math.exp(-_DP_EPS)
+    ks = list(range(-_DP_BOUND, _DP_BOUND + 1))
+    ws = [a ** abs(k) for k in ks]
+    tot = sum(ws)
+    acc = 0.0
+    out = []
+    for k, w in zip(ks, ws):
+        acc += w / tot
+        out.append((min(int(acc * 2**32), 2**32), k))
+    out[-1] = (2**32, _DP_BOUND)  # float-roundoff guard: ladder is total
+    return out
+
+
+_DP_LADDER = _dp_thresholds()
+
+
+def _sql_dp_noise(u32: str) -> str:
+    whens = " ".join(
+        f"WHEN {u32} < {t} THEN {k}" for t, k in _DP_LADDER
+    )
+    return f"(CASE {whens} END)"
+
+
+@register(
+    "events_dp_release",
+    f"""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(greatest(n + {_sql_dp_noise(
+               _sql_hexbig("'dp:' || event_type", 1, 8)
+           )}, 0) AS BIGINT) AS noisy_count,
+           CAST({int(_DP_EPS * 1_000_000)} AS BIGINT) AS epsilon_e6
+    FROM c
+    ORDER BY event_type
+    """,
+    doc="Differentially-private count release — the two-sided geometric "
+    "mechanism (the discrete Laplace; Ghosh-Roughgarden-Sundararajan "
+    "2009: utility-optimal for counts) at eps=0.5 per cell, noise "
+    f"truncated at ±{_DP_BOUND} (the bounded-noise variant; the "
+    "truncation's privacy cost is the standard delta term, owned "
+    "here).  The inverse-CDF ladder is precomputed once as integer "
+    "thresholds on the 32-bit uniform domain, so drawing noise is a "
+    "CASE walk both engines execute identically.  DEMONSTRATION "
+    "caveat, stated plainly: the uniform is a SEEDED md5 of the cell "
+    "key so the release is reproducible and oracle-checkable — a real "
+    "deployment must swap in fresh randomness per release (a seeded "
+    "release is only private for the FIRST publication).  Plan: the "
+    "count aggregate is the only data-sized work; noise is a per-cell "
+    "scalar expression.",
+)
+def q_events_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.functions.hashing import md5_stream
+
+    u = md5_stream("dp:", F.col("event_type"))
+    noise = None
+    for t, k in _DP_LADDER:
+        cond = u < t
+        noise = F.when(cond, k) if noise is None else noise.when(cond, k)
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        c.select(
+            "event_type",
+            F.greatest(F.col("n") + noise, F.lit(0))
+            .cast("long")
+            .alias("noisy_count"),
+            F.lit(int(_DP_EPS * 1_000_000)).cast("long").alias("epsilon_e6"),
+        )
+        .orderBy("event_type")
+    )

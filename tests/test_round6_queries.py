@@ -694,3 +694,32 @@ def test_markov_attribution_invariants(spark):
         assert 0 <= r.pconv_removed_e9 <= f
         assert r.removal_effect_e9 == f - r.pconv_removed_e9
         assert r.removal_effect_e9 >= 0
+
+
+def test_dp_release_bounded_and_deterministic(spark):
+    """The DP release never moves a count by more than the truncation
+    bound, clamps at zero, and is reproducible (seeded mechanism —
+    the documented demonstration contract)."""
+    from data_engineering_etl_demo_spark.catalog import load
+    from data_engineering_etl_demo_spark.plans.scale_patterns import _DP_BOUND
+
+    true = {
+        r.event_type: r.n
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    a = {
+        r.event_type: r.noisy_count
+        for r in SPECS["events_dp_release"].spark_fn(spark, SF_DIR).collect()
+    }
+    b = {
+        r.event_type: r.noisy_count
+        for r in SPECS["events_dp_release"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert a == b
+    assert set(a) == set(true)
+    for et, noisy in a.items():
+        assert noisy >= 0
+        assert abs(noisy - true[et]) <= _DP_BOUND
