@@ -134,6 +134,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_tokenizer_fertility",
     "events_markov_attribution",
     "events_dp_release",
+    "multimodal_format_census",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

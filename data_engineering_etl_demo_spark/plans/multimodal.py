@@ -310,3 +310,44 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phash")
     )
+
+
+@register(
+    "multimodal_format_census",
+    f"""
+    WITH d AS ({SQL_DECODE})
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(coalesce(width, 0)) AS BIGINT) AS max_width,
+           CAST(max(coalesce(height, 0)) AS BIGINT) AS max_height,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames
+    FROM d
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    doc="Binary-column census per media format — the first audit any "
+    "multimodal ingest publishes (how many assets, how many bytes, the "
+    "dimension envelope, the frame budget): a rollup directly over the "
+    "Arrow-batched decode stage's typed metadata, so the heavy bytes "
+    "never shuffle — the exchange carries 3 format rows.  The oracle "
+    "composes the same aggregate over the decode oracle's CTE.",
+)
+def q_multimodal_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(load(spark, sf_dir, "documents"))
+    d = M.decode_media_features(media)
+    return (
+        d.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max(F.coalesce(F.col("width"), F.lit(0)))
+            .cast("long")
+            .alias("max_width"),
+            F.max(F.coalesce(F.col("height"), F.lit(0)))
+            .cast("long")
+            .alias("max_height"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )

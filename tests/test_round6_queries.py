@@ -723,3 +723,22 @@ def test_dp_release_bounded_and_deterministic(spark):
     for et, noisy in a.items():
         assert noisy >= 0
         assert abs(noisy - true[et]) <= _DP_BOUND
+
+
+def test_format_census_reconciles_with_decode(spark):
+    """Census totals must reconcile with the row-level decode output."""
+    decode = SPECS["multimodal_decode"].spark_fn(spark, SF_DIR).collect()
+    census = {
+        r.media_type: r
+        for r in SPECS["multimodal_format_census"].spark_fn(spark, SF_DIR).collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in decode:
+        a = agg[r.media_type]
+        a[0] += 1
+        a[1] += r.n_bytes
+        a[2] += r.n_frames
+    assert set(agg) == set(census)
+    for mt, (n, b, fr) in agg.items():
+        c = census[mt]
+        assert (c.n_media, c.total_bytes, c.total_frames) == (n, b, fr)
