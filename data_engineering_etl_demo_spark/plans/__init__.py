@@ -135,6 +135,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_markov_attribution",
     "events_dp_release",
     "multimodal_format_census",
+    "docs_preference_pairs",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -4428,3 +4428,113 @@ def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference pairs (RLHF / reward-model data prep)
+# ---------------------------------------------------------------------------
+
+_PREF_MIN_GAP_E6 = 100_000  # chosen must beat rejected by >= 0.1
+
+
+@register(
+    "docs_preference_pairs",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               CAST(floor(log2(greatest(n_chars, 1) + 1)) AS BIGINT)
+                   AS len_bucket,
+               CAST(round(({_fmt(SQL_QUALITY_SCORE)}) * 1e6) AS BIGINT)
+                   AS q_e6
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang, len_bucket
+                                  ORDER BY q_e6 DESC, doc_id) AS rb,
+               row_number() OVER (PARTITION BY lang, len_bucket
+                                  ORDER BY q_e6 ASC, doc_id) AS rw
+        FROM q
+    )
+    SELECT b.lang, b.len_bucket,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           b.q_e6 AS chosen_q_e6, w.q_e6 AS rejected_q_e6,
+           b.q_e6 - w.q_e6 AS gap_e6
+    FROM (SELECT * FROM r WHERE rb = 1) b
+    JOIN (SELECT * FROM r WHERE rw = 1) w
+      ON w.lang = b.lang AND w.len_bucket = b.len_bucket
+    WHERE b.doc_id <> w.doc_id
+      AND b.q_e6 - w.q_e6 >= {_PREF_MIN_GAP_E6}
+    ORDER BY b.lang, b.len_bucket
+    """,
+    doc="Preference-pair construction for reward-model / RLHF data prep: "
+    "within each (language, power-of-two length bucket) cohort — the "
+    "controls that stop the reward model from just learning language "
+    "or length — the highest- and lowest-quality documents form a "
+    "(chosen, rejected) pair, kept only when the quality gap clears "
+    "0.1 (a weak pair teaches nothing).  Scores are the shared "
+    "heuristic quality_score rounded onto an exact e6 integer grid, "
+    "ranks break ties on doc_id, so pair selection is deterministic in "
+    "both engines.  Plan: two rank windows over the same "
+    "(lang, bucket) partition and a self-join on the ≤|cohorts| "
+    "winners — cohort-bounded, no all-pairs.",
+)
+def q_docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = (
+        _docs_wide(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(
+                F.log2(F.greatest(F.col("n_chars"), F.lit(1)) + 1)
+            )
+            .cast("long")
+            .alias("len_bucket"),
+            F.round(X.quality_score(F.col("text")) * 1e6)
+            .cast("long")
+            .alias("q_e6"),
+        )
+    )
+    wb = Window.partitionBy("lang", "len_bucket").orderBy(
+        F.col("q_e6").desc(), F.col("doc_id")
+    )
+    ww = Window.partitionBy("lang", "len_bucket").orderBy(
+        F.col("q_e6").asc(), F.col("doc_id")
+    )
+    r = q.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rw", F.row_number().over(ww)
+    )
+    best = r.filter(F.col("rb") == 1).select(
+        "lang",
+        "len_bucket",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("q_e6").alias("chosen_q_e6"),
+    )
+    worst = r.filter(F.col("rw") == 1).select(
+        "lang",
+        "len_bucket",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("q_e6").alias("rejected_q_e6"),
+    )
+    return (
+        best.join(worst, on=["lang", "len_bucket"])
+        .filter(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (
+                F.col("chosen_q_e6") - F.col("rejected_q_e6")
+                >= _PREF_MIN_GAP_E6
+            )
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_q_e6",
+            "rejected_q_e6",
+            (F.col("chosen_q_e6") - F.col("rejected_q_e6")).alias("gap_e6"),
+        )
+        .orderBy("lang", "len_bucket")
+    )

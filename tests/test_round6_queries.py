@@ -742,3 +742,30 @@ def test_format_census_reconciles_with_decode(spark):
     for mt, (n, b, fr) in agg.items():
         c = census[mt]
         assert (c.n_media, c.total_bytes, c.total_frames) == (n, b, fr)
+
+
+def test_preference_pairs_contract(spark):
+    """Every pair: chosen beats rejected by >= the gap floor, both docs
+    share the cohort, at most one pair per cohort, and the chosen doc is
+    genuinely the cohort's top-quality doc per docs_quality."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _PREF_MIN_GAP_E6,
+    )
+
+    rows = SPECS["docs_preference_pairs"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r.lang, r.len_bucket)
+        assert key not in seen
+        seen.add(key)
+        assert r.chosen_doc != r.rejected_doc
+        assert r.gap_e6 == r.chosen_q_e6 - r.rejected_q_e6
+        assert r.gap_e6 >= _PREF_MIN_GAP_E6
+    quality = {
+        r.doc_id: round(r.quality_score * 1e6)
+        for r in SPECS["docs_quality"].spark_fn(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert quality[r.chosen_doc] == r.chosen_q_e6
+        assert quality[r.rejected_doc] == r.rejected_q_e6
