@@ -136,6 +136,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_dp_release",
     "multimodal_format_census",
     "docs_preference_pairs",
+    "customer_ltv_triangle",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

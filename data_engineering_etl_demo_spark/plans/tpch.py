@@ -1910,3 +1910,91 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle: cumulative revenue by signup cohort and age
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_ltv_triangle",
+    """
+    WITH first_order AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + (month(o_orderdate) - 1))
+                   AS cohort_m
+        FROM orders GROUP BY 1
+    ),
+    cell AS (
+        SELECT f.cohort_m,
+               (year(o.o_orderdate) * 12 + (month(o.o_orderdate) - 1))
+                   - f.cohort_m AS age_months,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS rev_f
+        FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_m // 12 AS VARCHAR) || '-' ||
+               lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0')
+               AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           n_orders,
+           ROUND(rev_f / 1000000.0, 2) AS revenue,
+           ROUND(CAST(SUM(rev_f) OVER (PARTITION BY cohort_m
+                                       ORDER BY age_months) AS BIGINT)
+                 / 1000000.0, 2) AS cum_revenue
+    FROM cell
+    ORDER BY cohort_month, age_months
+    """,
+    doc="Cohort LTV triangle — the finance-side complement of "
+    "events_cohort_retention: customers are grouped by FIRST-order "
+    "month, every later order lands in its (cohort, age-in-months) "
+    "cell, and the running sum down each cohort row is the cumulative "
+    "lifetime value curve an LTV:CAC model reads off.  Month math is "
+    "explicit integer year*12+month arithmetic (no engine-defined "
+    "month-diff semantics), revenue cells are fixed-point LONG sums "
+    "and the CUMULATIVE sum runs over those LONGs before the one "
+    "final scaling — exact at any parallelism in both engines.  Plan: "
+    "first-order aggregate, one fact join on the customer key, a "
+    "(cohort, age)-keyed aggregate with map-side partials, and a "
+    "window over the tiny triangle relation.",
+)
+def q_customer_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    first = orders.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    cell = (
+        orders.join(first, on="o_custkey")
+        .select(
+            "cohort_m",
+            (m - F.col("cohort_m")).alias("age_months"),
+            F.round(F.col("o_totalprice") * 1_000_000)
+            .cast("long")
+            .alias("v_f"),
+        )
+        .groupBy("cohort_m", "age_months")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("v_f").cast("long").alias("rev_f"),
+        )
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_months")
+    return (
+        cell.withColumn("cum_f", F.sum("rev_f").over(w).cast("long"))
+        .select(
+            F.concat(
+                (F.col("cohort_m") / 12).cast("int").cast("string"),
+                F.lit("-"),
+                F.lpad(
+                    ((F.col("cohort_m") % 12) + 1).cast("string"), 2, "0"
+                ),
+            ).alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_orders",
+            F.round(F.col("rev_f") / 1_000_000.0, 2).alias("revenue"),
+            F.round(F.col("cum_f") / 1_000_000.0, 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

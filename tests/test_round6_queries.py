@@ -769,3 +769,32 @@ def test_preference_pairs_contract(spark):
     for r in rows:
         assert quality[r.chosen_doc] == r.chosen_q_e6
         assert quality[r.rejected_doc] == r.rejected_q_e6
+
+
+def test_ltv_triangle_monotone_and_reconciles(spark):
+    """Cumulative LTV is non-decreasing in age within each cohort, equals
+    the running sum of the cells, and the triangle's total revenue
+    reconciles with the orders table."""
+    from data_engineering_etl_demo_spark.catalog import load
+
+    rows = SPECS["customer_ltv_triangle"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_month].append(r)
+    total = 0
+    for cohort, cells in by_cohort.items():
+        cells.sort(key=lambda r: r.age_months)
+        run = 0
+        for c in cells:
+            run += round(c.revenue * 100)
+            assert round(c.cum_revenue * 100) == run, (cohort, c)
+        total += run
+    orders_total = (
+        load(spark, SF_DIR, "orders")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("long")))
+        .first()[0]
+    )
+    # cell revenue is rounded to cents per cell; cohort totals then sum
+    # exactly, so compare at cent precision
+    assert abs(total - round(orders_total / 10_000)) <= len(rows)
