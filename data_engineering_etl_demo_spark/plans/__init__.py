@@ -137,6 +137,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "multimodal_format_census",
     "docs_preference_pairs",
     "customer_ltv_triangle",
+    "events_ab_lift",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

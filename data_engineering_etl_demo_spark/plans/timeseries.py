@@ -1954,3 +1954,87 @@ def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, pconv_full_e9 long, pconv_removed_e9 long,"
         " removal_effect_e9 long",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: salted-hash assignment + exact conversion lift
+# ---------------------------------------------------------------------------
+
+from data_engineering_etl_demo_spark.functions.hashing import (  # noqa: E402
+    sql_hexbig as _sql_hexbig_fn,
+)
+
+_sql_hexbig_ab = _sql_hexbig_fn("'ab:' || CAST(user_id AS VARCHAR)", 1, 8)
+
+
+
+@register(
+    "events_ab_lift",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               {_sql_hexbig_ab} % 2 AS grp,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               (CAST(sum(converted) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS rate_e6
+        FROM u GROUP BY 1
+    )
+    SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.rate_e6 AS rate_a_e6,
+           b.n_users AS n_b, b.n_converted AS conv_b, b.rate_e6 AS rate_b_e6,
+           b.rate_e6 - a.rate_e6 AS lift_e6
+    FROM (SELECT * FROM s WHERE grp = 0) a,
+         (SELECT * FROM s WHERE grp = 1) b
+    """,
+    doc="A/B experiment readout: users deterministically assigned by a "
+    "salted hash (the same engine-portable stream every split/sample "
+    "in the repo uses — assignment is reproducible at any parallelism "
+    "and uncorrelated with the train-split and sampling hashes), "
+    "conversion = any purchase, and the report is both arms' exact "
+    "user/conversion counts with integer-ppm rates and lift.  "
+    "Significance math (a z-score needs sqrt) is deliberately left to "
+    "the consumer: libm calls would break the engine-exactness "
+    "contract, and the sufficient statistics ARE the report.  Plan: "
+    "one user-keyed aggregate then a 2-row pivot join.",
+)
+def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_etl_demo_spark.functions.hashing import md5_stream
+
+    u = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (md5_stream("ab:", F.col("user_id")) % 2).alias("grp"),
+            "converted",
+        )
+    )
+    s = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).withColumn("rate_e6", F.expr("(n_converted * 1000000) DIV n_users"))
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("conv_a"),
+        F.col("rate_e6").alias("rate_a_e6"),
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("conv_b"),
+        F.col("rate_e6").alias("rate_b_e6"),
+    )
+    return a.crossJoin(b).select(
+        "n_a", "conv_a", "rate_a_e6", "n_b", "conv_b", "rate_b_e6",
+        (F.col("rate_b_e6") - F.col("rate_a_e6")).alias("lift_e6"),
+    )

@@ -798,3 +798,25 @@ def test_ltv_triangle_monotone_and_reconciles(spark):
     # cell revenue is rounded to cents per cell; cohort totals then sum
     # exactly, so compare at cent precision
     assert abs(total - round(orders_total / 10_000)) <= len(rows)
+
+
+def test_ab_lift_reconciles_with_user_census(spark):
+    """Both arms partition the user universe exactly, rates are the
+    integer ratios of the reported counts, and lift is their difference."""
+    from data_engineering_etl_demo_spark.catalog import load
+
+    r = SPECS["events_ab_lift"].spark_fn(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    n_users = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_a + row.n_b == n_users
+    assert 0 <= row.conv_a <= row.n_a and 0 <= row.conv_b <= row.n_b
+    assert row.rate_a_e6 == (row.conv_a * 1_000_000) // row.n_a
+    assert row.rate_b_e6 == (row.conv_b * 1_000_000) // row.n_b
+    assert row.lift_e6 == row.rate_b_e6 - row.rate_a_e6
