@@ -138,6 +138,7 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_preference_pairs",
     "customer_ltv_triangle",
     "events_ab_lift",
+    "events_concentration_report",
     # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
     "docs_quality",
 }

@@ -2038,3 +2038,108 @@ def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "conv_a", "rate_a_e6", "n_b", "conv_b", "rate_b_e6",
         (F.col("rate_b_e6") - F.col("rate_a_e6")).alias("lift_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration: Pareto shares + integer Gini over user volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_concentration_report",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, user_id) AS rd,
+               row_number() OVER (ORDER BY c ASC, user_id) AS ra
+        FROM u
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s FROM r)
+    SELECT t.n AS n_users, t.s AS n_events,
+           (CAST((SELECT sum(c) FROM r WHERE rd <= greatest(t.n // 100, 1))
+                 AS BIGINT) * 1000000) // t.s AS top1pct_share_ppm,
+           (CAST((SELECT sum(c) FROM r WHERE rd <= greatest(t.n // 10, 1))
+                 AS BIGINT) * 1000000) // t.s AS top10pct_share_ppm,
+           greatest((2 * CAST((SELECT sum(ra * c) FROM r) AS BIGINT)
+                     * 1000000) // (t.n * t.s)
+                    - ((t.n + 1) * 1000000) // t.n, 0) AS gini_ppm
+    FROM t
+    """,
+    doc="Activity-concentration audit — the census that catches bot "
+    "traffic and single-source dominance before they skew training "
+    "data: per-user event volumes ranked both ways give the top-1% / "
+    "top-10% Pareto shares and an exact integer Gini coefficient "
+    "(G = 2·Σ rank·x / (n·Σx) − (n+1)/n over ascending ranks, every "
+    "term LONG with floor division, clamped at 0 — identical algebra "
+    "in both engines, rank ties broken on user_id).  Plan: one "
+    "user-keyed count, two rank windows over the per-USER relation "
+    "(rows = |users|, not |events|), and scalar aggregates; the "
+    "single-partition rank window over users is the documented "
+    "small-relation compromise — at 100 TB the shares come from the "
+    "histogram-sketch path instead.",
+)
+def q_events_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = u.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("user_id")))
+        .alias("rd"),
+        F.row_number()
+        .over(Window.orderBy(F.col("c").asc(), F.col("user_id")))
+        .alias("ra"),
+    )
+    from data_engineering_etl_demo_spark.functions.caching import (
+        persist_latest as _pl,
+    )
+
+    r = _pl(r, "timeseries.concentration_ranked")
+    totals = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("ra") * F.col("c")).cast("long").alias("ra_dot"),
+    )
+    # rank cutoffs depend on n, so the top-k sums join the 1-row totals
+    # (broadcast) instead of collecting n to the driver
+    shares = (
+        r.crossJoin(F.broadcast(totals))
+        .select(
+            "c",
+            "rd",
+            F.greatest(F.expr("n DIV 100"), F.lit(1)).alias("k1"),
+            F.greatest(F.expr("n DIV 10"), F.lit(1)).alias("k10"),
+        )
+        .agg(
+            F.sum(F.when(F.col("rd") <= F.col("k1"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("top1"),
+            F.sum(F.when(F.col("rd") <= F.col("k10"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("top10"),
+        )
+    )
+    return totals.crossJoin(shares).select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("n_events"),
+        F.expr("(top1 * 1000000) DIV s").alias("top1pct_share_ppm"),
+        F.expr("(top10 * 1000000) DIV s").alias("top10pct_share_ppm"),
+        F.greatest(
+            F.expr(
+                "(2 * ra_dot * 1000000) DIV (n * s)"
+                " - ((n + 1) * 1000000) DIV n"
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )

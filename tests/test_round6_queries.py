@@ -820,3 +820,24 @@ def test_ab_lift_reconciles_with_user_census(spark):
     assert row.rate_a_e6 == (row.conv_a * 1_000_000) // row.n_a
     assert row.rate_b_e6 == (row.conv_b * 1_000_000) // row.n_b
     assert row.lift_e6 == row.rate_b_e6 - row.rate_a_e6
+
+
+def test_concentration_report_bounds(spark):
+    """Pareto/Gini sanity: shares are ordered and bounded (top1 <= top10
+    <= 1, top10 >= 10% of volume by pigeonhole on the DESC ranking),
+    gini in [0, 1e6), and the census totals match the table."""
+    from data_engineering_etl_demo_spark.catalog import load
+
+    r = SPECS["events_concentration_report"].spark_fn(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    ev = load(spark, SF_DIR, "events").filter(F.col("user_id").isNotNull())
+    assert row.n_events == ev.count()
+    assert row.n_users == ev.select("user_id").distinct().count()
+    assert 0 < row.top1pct_share_ppm <= row.top10pct_share_ppm <= 1_000_000
+    # the k top-ranked users hold at least k/n of the volume (DESC
+    # ranking pigeonhole); k = max(n DIV 10, 1) can undershoot a true
+    # decile on tiny user counts, so bound with the actual k
+    k10 = max(row.n_users // 10, 1)
+    assert row.top10pct_share_ppm >= (k10 * 1_000_000) // row.n_users - 10
+    assert 0 <= row.gini_ppm < 1_000_000
