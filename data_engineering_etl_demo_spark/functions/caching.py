@@ -27,10 +27,19 @@ def _prune_dead_sessions() -> None:
     handles for every stopped session in a long-lived driver process
     (ADVICE r5) — e.g. a pytest run that cycles sessions per module."""
     for key, df in list(_live.items()):
+        # Only classify dead when the CLASSIC session attributes exist and
+        # were cleared by sc.stop().  Under Spark Connect there is no _sc;
+        # treating "attribute absent" as dead would silently drop every
+        # live entry from tracking, so replaced caches would never be
+        # unpersisted — the exact leak this pruning exists to fix
+        # (ADVICE r6).
         try:
-            dead = df.sparkSession._sc._jsc is None  # cleared by sc.stop()
+            sc = getattr(df.sparkSession, "_sc", None)
+            if sc is None:
+                continue  # Connect session (or unknown shape): keep tracking
+            dead = sc._jsc is None  # cleared by sc.stop()
         except Exception:
-            dead = True  # gateway gone — certainly not a live session
+            dead = True  # classic attrs present but gateway gone
         if dead:
             _live.pop(key, None)
 

@@ -486,11 +486,10 @@ class Warehouse:
                 self.table(name).createOrReplaceTempView(prefix + name)
 
 
-# ---------------------------------------------------------------------------
-# Snapshots: time travel + CDC diff on the swap-write substrate
-# ---------------------------------------------------------------------------
-
-    # NOTE: appended into class Warehouse (kept at class indent).
+    # -- snapshots: time travel + CDC diff on the swap-write substrate ------
+    # (class-indent section comment on purpose: a column-0 banner between
+    # methods parses today but silently de-classes these defs under any
+    # re-indent or inserted module-level statement — ADVICE r6)
 
     def _snap_dir(self, name: str) -> str:
         return os.path.join(self.root, "_snapshots", name)

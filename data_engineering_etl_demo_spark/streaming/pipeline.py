@@ -321,10 +321,42 @@ _CLONE_INHERITED_CONFS = (
 # segment.  Bounded by the distinct partition counts in use (2-3 entries).
 _drain_sessions: dict = {}
 
+# Live memory-sink table per (session, query_name): the sink name is
+# per-drain unique (uuid suffix), and starting a NEW drain for the same
+# query drops the PREVIOUS generation's table — so the clone's catalog
+# holds at most one sink per query instead of accruing one per drain, and
+# a stale DataFrame from an earlier drain fails loudly (TABLE_NOT_FOUND)
+# instead of silently reading the replacement's rows (ADVICE r6).
+_live_sinks: dict = {}
+
+
+def _prune_dead_drain_state() -> None:
+    """Drop drain clones (and their sink bookkeeping) whose shared
+    SparkContext has stopped — same dead-session leak class as
+    functions.caching._prune_dead_sessions (ADVICE r6): a long-lived
+    driver cycling sessions (pytest per module) would otherwise pin every
+    stopped clone and its catalog-held memory-sink tables forever.  Only
+    classic sessions are classified; a Connect-shaped session (no _sc)
+    is kept."""
+    for key, session in list(_drain_sessions.items()):
+        try:
+            sc = getattr(session, "_sc", None)
+            if sc is None:
+                continue
+            dead = sc._jsc is None  # cleared by sc.stop()
+        except Exception:
+            dead = True
+        if dead:
+            _drain_sessions.pop(key, None)
+            dead_sk = key[0]
+            for skey in [k for k in _live_sinks if k[0] == dead_sk]:
+                _live_sinks.pop(skey, None)
+
 
 def _drain_session(parent, shuffle_partitions: int):
     from data_engineering_etl_demo_spark.catalog import session_key
 
+    _prune_dead_drain_state()
     key = (session_key(parent), shuffle_partitions)
     session = _drain_sessions.get(key)
     if session is None:
@@ -400,11 +432,31 @@ def run_to_completion(
         session = stream_df.sparkSession
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    ckpt = os.path.join(base, f"spark_graft_ckpt-{query_name}-{uuid.uuid4().hex}")
+    run_id = uuid.uuid4().hex
+    ckpt = os.path.join(base, f"spark_graft_ckpt-{query_name}-{run_id}")
+    # Per-drain-unique sink name in a REUSED clone session: a repeated
+    # drain under the bare query_name would silently replace the memory
+    # table underneath any still-referenced DataFrame from the earlier
+    # drain (ADVICE r6).  The previous generation's table is dropped now —
+    # every caller fully consumes a drain's result before re-draining the
+    # same query (verify/bench/tests all collect per call), so only a
+    # genuinely stale reference can observe the drop, and it now fails
+    # loudly instead of reading the wrong rows.
+    from data_engineering_etl_demo_spark.catalog import session_key
+
+    sink = f"{query_name}_{run_id[:12]}"
+    sink_key = (session_key(session), query_name)
+    prev_sink = _live_sinks.pop(sink_key, None)
+    if prev_sink is not None:
+        try:
+            # a memory sink registers as a session temp view
+            session.catalog.dropTempView(prev_sink)
+        except Exception:
+            pass  # session torn down mid-suite — nothing to free
     try:
         q = (
             stream_df.writeStream.format("memory")
-            .queryName(query_name)
+            .queryName(sink)
             .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -413,7 +465,8 @@ def run_to_completion(
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return session.table(query_name)
+    _live_sinks[sink_key] = sink
+    return session.table(sink)
 
 
 # ---------------------------------------------------------------------------
