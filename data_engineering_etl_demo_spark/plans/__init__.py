@@ -74,73 +74,33 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-6 verification ordering.  The driver walks ``queries()`` in dict
+# Round-7 verification ordering.  The driver walks ``queries()`` in dict
 # order and stops after ~50 of the registered queries, so ordering decides
-# which queries get hard-signal rows.  Principle (rounds 3-5, restated by
-# VERDICT r5 item 1): order by EVIDENCE STALENESS OF THE CURRENT
+# which queries get hard-signal rows.  Principle (rounds 3-6, restated by
+# VERDICT r6 item 1): order by EVIDENCE STALENESS OF THE CURRENT
 # IMPLEMENTATION — queries changed this round first (their old green rows
 # no longer cover the code), then ascending by the round of each query's
 # freshest driver green (the _LATEST_GREEN map below, computed from the
-# CORRECTNESS_r01..r05 union).  After round 6 lands its ~50-query window
-# (changed set + every query at r2/r3 evidence), no registry query should
-# carry evidence older than round 4.
+# CORRECTNESS_r01..r06 union).  Round 7 FREEZES new-query growth (VERDICT
+# r6 item 1): the changed set is 4 queries, so the ~50-slot window drains
+# the entire <=r3 cohort plus the oldest r4 entries — after it lands, no
+# registry query carries evidence older than r4.
+#
+# NOT listed as changed, deliberately: the r7 streaming-drain infra edits
+# (per-drain-unique memory-sink names, dead-clone pruning in
+# streaming/pipeline.py) alter no computed row of any streaming query —
+# every stream's output remains pinned equal to its batch oracle by
+# tests/test_streaming.py, and the registered query bodies are untouched.
 
 _CHANGED_THIS_ROUND: set[str] = {
-    # NEW or impl-changed in round 6 — zero driver evidence for this code.
-    # IVF-PQ index now built on k-means-TRAINED centroids (2 Lloyd steps),
-    # oracle retrained identically in SQL:
-    "embedding_ivf_pq_topk",
-    "embedding_ivf_pq_topk2",
-    "embedding_ivf_pq_rerank",
-    # segmented fold bounds per-key memory (VERDICT r5 weakness 1):
-    "events_value_ema",
-    # large-star/small-star connected components (VERDICT r5 weakness 3):
-    "docs_dup_clusters",
-    "docs_dedup_survivors",
-    "docs_cluster_representatives",
-    "embedding_semdedup",
-    # nested-EXISTS pair rewritten as one grouped filter (VERDICT r5 #6):
-    "sole_late_supplier",
-    # duplicate-delivery guard in the ooo kernel (ADVICE r5):
-    "streaming_value_ema_ooo",
-    # NEW queries this round (no driver evidence yet):
-    "docs_bigram_surprisal",
-    "docs_corpus_pipeline",
-    "embedding_hamming_topk",
-    "multimodal_phash_dedup",
-    "streaming_kmv_distinct",
-    "embedding_ann_recall",
-    "events_incremental_rollup",
-    "events_histogram_quantiles",
-    "streaming_left_outer_join",
-    "embedding_hard_negatives",
-    "events_multitouch_attribution",
-    "docs_gopher_rules",
-    "docs_perplexity_buckets",
-    "docs_split_leakage",
-    "streaming_topk_values",
-    "embedding_cell_balance",
-    "docs_minhash_recall_sample",
-    "events_kmv_intersect",
-    "customers_k_anonymity",
-    "embedding_kmeans_inertia",
-    "embedding_dedup_curve",
-    "warehouse_snapshot_diff",
-    "streaming_full_outer_join",
-    "events_props_variant",
-    "events_disorder_profile",
-    "lineitem_dpp_prune",
-    "events_position_attribution",
-    "docs_tokenizer_fertility",
-    "events_markov_attribution",
-    "events_dp_release",
-    "multimodal_format_census",
-    "docs_preference_pairs",
-    "customer_ltv_triangle",
-    "events_ab_lift",
+    # per-user rank windows -> domain-bounded histogram rank algebra,
+    # DECIMAL(38,0) ppm terms (VERDICT r6 weakness 1):
     "events_concentration_report",
-    # oracle text refactored (whitespace-only: shared SQL_QUALITY_SCORE):
-    "docs_quality",
+    # consume the shared persisted near-dup pair relation instead of
+    # re-deriving the LSH pipeline per call (VERDICT r6 weakness 2):
+    "docs_pagerank",
+    "docs_contamination_hops",
+    "docs_minhash_recall_sample",
 }
 
 # Freshest driver-green round per query, from the CORRECTNESS_r01..r05
@@ -215,6 +175,32 @@ for _r, _names in {
         "streaming_sessionize_flush", "streaming_value_ema",
         "streaming_value_ema_ooo", "top_customers",
         "warehouse_constraint_report",
+    ],
+    6: [
+        "customer_ltv_triangle", "customer_order_distribution",
+        "customers_k_anonymity", "docs_bigram_surprisal",
+        "docs_cluster_representatives", "docs_corpus_pipeline",
+        "docs_dedup_survivors", "docs_dup_clusters", "docs_gopher_rules",
+        "docs_minhash_recall_sample", "docs_perplexity_buckets",
+        "docs_preference_pairs", "docs_quality", "docs_split_leakage",
+        "docs_tokenizer_fertility", "embedding_ann_recall",
+        "embedding_cell_balance", "embedding_dedup_curve",
+        "embedding_hamming_topk", "embedding_hard_negatives",
+        "embedding_ivf_pq_rerank", "embedding_ivf_pq_topk",
+        "embedding_ivf_pq_topk2", "embedding_kmeans_inertia",
+        "embedding_semdedup", "events_ab_lift",
+        "events_concentration_report", "events_disorder_profile",
+        "events_dp_release", "events_histogram_quantiles",
+        "events_incremental_rollup", "events_kmv_intersect",
+        "events_markov_attribution", "events_multitouch_attribution",
+        "events_position_attribution", "events_props_variant",
+        "events_value_ema", "large_quantity_orders", "lineitem_dpp_prune",
+        "multimodal_format_census", "multimodal_phash_dedup",
+        "order_priority_lateship", "orders_above_customer_avg",
+        "sole_late_supplier", "streaming_full_outer_join",
+        "streaming_kmv_distinct", "streaming_left_outer_join",
+        "streaming_topk_values", "streaming_value_ema_ooo",
+        "warehouse_snapshot_diff",
     ],
 }.items():
     for _n in _names:
