@@ -101,6 +101,9 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_pagerank",
     "docs_contamination_hops",
     "docs_minhash_recall_sample",
+    # tercile cut consumes the shared persisted surprisal relation
+    # (VERDICT r6 item 5):
+    "docs_perplexity_buckets",
 }
 
 # Freshest driver-green round per query, from the CORRECTNESS_r01..r05
