@@ -2084,11 +2084,13 @@ def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Σ ra·c = Σ_c c·(m·cum_lt + m(m+1)/2), and the descending top-k "
     "sum takes clamp(k − cum_gt, 0, m) users from each block — "
     "bit-identical to the per-user row_number formulation for ANY "
-    "tie-break.  The only ordered pass left is a cumulative sum over "
-    "the DISTINCT-volume histogram, bounded by the activity-value "
-    "domain (max events per user), not by |users| — the same bounded-"
-    "domain defense as pricing_percentiles; a 10⁶-user skew probe "
-    "pins it (tests/test_scale_probe.py).",
+    "tie-break.  The histogram's cumulative sum is itself a two-pass "
+    "DISTRIBUTED rank (range-partition by c, within-partition cumsum, "
+    "broadcast per-partition prefix offsets), so even an adversarial "
+    "all-unique-volume corpus (histogram rows = |users|) never sorts "
+    "through one task; the only global ordered pass is over the "
+    "per-partition sums (rows = shuffle width).  10⁶-user skew probes "
+    "— tie-heavy AND all-unique — pin it (tests/test_scale_probe.py).",
 )
 def q_events_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
@@ -2106,18 +2108,47 @@ def concentration_from_volumes(u: DataFrame) -> DataFrame:
     events_concentration_report; factored out so the 10⁶-user skew probe
     can drive it on synthetic volumes."""
     h = u.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("m"))
-    # cum_lt = users with strictly smaller volume; window is over the
-    # distinct-volume histogram (rows = |distinct c|, domain-bounded)
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    h2 = h.select(
-        "c",
-        "m",
-        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cum_lt"),
-    )
+    # cum_lt = users with strictly smaller volume — computed as a TWO-PASS
+    # DISTRIBUTED cumulative sum, so even the adversarial case where every
+    # user has a unique volume (histogram rows = |users|) never funnels
+    # through one task: range-partition by c (equal keys never split, and
+    # partition i holds strictly smaller values than partition i+1), cumsum
+    # WITHIN each partition, then add each partition's broadcast prefix
+    # offset.  The only ordered global pass is over the per-PARTITION sums
+    # (rows = shuffle width, bounded by the cluster, not the data).
     from data_engineering_etl_demo_spark.functions.caching import (
         persist_latest as _pl,
     )
 
+    h1 = _pl(
+        h.repartitionByRange("c").withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        "timeseries.concentration_hist_parts",
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        h1.groupBy("pid")
+        .agg(F.sum("m").cast("long").alias("pm"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pm").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h2 = h1.join(F.broadcast(offs), "pid").select(
+        "c",
+        "m",
+        (F.coalesce(F.sum("m").over(w_in), F.lit(0)) + F.col("off"))
+        .cast("long")
+        .alias("cum_lt"),
+    )
     h2 = _pl(h2, "timeseries.concentration_hist")
     # ra_dot ~ n·s, and the ppm scaling multiplies it by 2e6 — LONG
     # overflows near n·s ≈ 4.6e12 (a few-TB corpus, found by the 10⁶-user

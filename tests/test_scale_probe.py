@@ -478,3 +478,32 @@ def test_concentration_survives_planted_million_user_skew(spark):
     assert row["gini_ppm"] == max(
         2 * ra_dot * 1_000_000 // (n * s) - (n + 1) * 1_000_000 // n, 0
     )
+
+
+def test_concentration_survives_all_unique_volumes(spark):
+    """Adversarial worst case for the histogram form: every one of 10**6
+    users has a UNIQUE volume, so the histogram has as many rows as the
+    user relation and a single global cumsum window would funnel all of
+    it through one task.  The two-pass distributed rank (range partition
+    + within-partition cumsum + broadcast prefix offsets) must spread the
+    ordered work and still reproduce the exact integer report."""
+    from data_engineering_etl_demo_spark.plans.timeseries import (
+        concentration_from_volumes,
+    )
+
+    n = 1_000_000
+    u = spark.range(n).select((F.col("id") + 1).alias("c"))  # c = 1..n
+    row = concentration_from_volumes(u).collect()[0]
+
+    # closed forms over c = 1..n
+    s = n * (n + 1) // 2
+    ra_dot = n * (n + 1) * (2 * n + 1) // 6  # rank == value here
+    k1, k10 = n // 100, n // 10
+    top1 = s - (n - k1) * (n - k1 + 1) // 2
+    top10 = s - (n - k10) * (n - k10 + 1) // 2
+    assert row["n_users"] == n and row["n_events"] == s
+    assert row["top1pct_share_ppm"] == top1 * 10**6 // s
+    assert row["top10pct_share_ppm"] == top10 * 10**6 // s
+    assert row["gini_ppm"] == max(
+        2 * ra_dot * 10**6 // (n * s) - (n + 1) * 10**6 // n, 0
+    )
