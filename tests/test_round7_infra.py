@@ -177,3 +177,49 @@ def test_concentration_volumes_helper_matches_naive_ranks(spark):
     assert row["gini_ppm"] == max(
         2 * ra_dot * 10**6 // (n * s) - (n + 1) * 10**6 // n, 0
     )
+
+
+def test_shared_relations_isolated_per_sf_dir(spark):
+    """sf0.001 and sf0.01 shared pair relations must not evict each other:
+    the persist slot is sf-suffixed and the memo is keyed by sf_dir."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _near_dup_pairs_shared,
+    )
+
+    a = _near_dup_pairs_shared(spark, "/root/testdata/sf0.001")
+    b = _near_dup_pairs_shared(spark, "/root/testdata/sf0.01")
+    assert a is not b
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    # re-request of the first sf returns the same still-cached instance
+    assert _near_dup_pairs_shared(spark, "/root/testdata/sf0.001") is a
+
+
+def test_concentration_identity_property(spark):
+    """Property: the histogram rank algebra equals the naive per-row rank
+    formulation for arbitrary volume multisets (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_engineering_etl_demo_spark.plans.timeseries import (
+        concentration_from_volumes,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=120)
+    )
+    def check(vols):
+        u = spark.createDataFrame([(c,) for c in vols], "c long")
+        row = concentration_from_volumes(u).collect()[0]
+        svols = sorted(vols)
+        n, s = len(svols), sum(svols)
+        ra_dot = sum((i + 1) * c for i, c in enumerate(svols))
+        k1, k10 = max(n // 100, 1), max(n // 10, 1)
+        assert row["n_users"] == n and row["n_events"] == s
+        assert row["top1pct_share_ppm"] == sum(svols[-k1:]) * 10**6 // s
+        assert row["top10pct_share_ppm"] == sum(svols[-k10:]) * 10**6 // s
+        assert row["gini_ppm"] == max(
+            2 * ra_dot * 10**6 // (n * s) - (n + 1) * 10**6 // n, 0
+        )
+
+    check()
