@@ -57,6 +57,25 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
                 if df is None:
                     df = fn(spark, sf_dir)
                     _plan_memo[key] = df
+                    # memo-miss = possibly a fresh session: drop entries
+                    # whose classic SparkContext has stopped, so a
+                    # session-cycling driver doesn't pin dead plan
+                    # handles forever (ADVICE r5/r6 leak class; Connect
+                    # sessions without _sc are kept)
+                    for k in list(_plan_memo):
+                        if k == key:
+                            continue
+                        try:
+                            sc = getattr(
+                                _plan_memo[k].sparkSession, "_sc", None
+                            )
+                            if sc is None:
+                                continue
+                            dead = sc._jsc is None
+                        except Exception:
+                            dead = True
+                        if dead:
+                            _plan_memo.pop(k, None)
                 return df
 
             spark_fn = memo_fn

@@ -452,6 +452,26 @@ _cc_labels_memo: dict[tuple, DataFrame] = {}
 _shared_memo: dict[tuple, DataFrame] = {}
 
 
+def _prune_dead_memo(memo: dict, keep_key=None) -> None:
+    """Drop memoized DataFrames whose classic SparkContext has stopped —
+    the dead-session leak class of ADVICE r5/r6: module-level memos in a
+    session-cycling driver (pytest per module) otherwise pin plan handles
+    for every stopped session forever.  Connect-shaped sessions (no _sc)
+    are kept, mirroring functions.caching._prune_dead_sessions."""
+    for k in list(memo):
+        if k == keep_key:
+            continue
+        try:
+            sc = getattr(memo[k].sparkSession, "_sc", None)
+            if sc is None:
+                continue
+            dead = sc._jsc is None
+        except Exception:
+            dead = True
+        if dead:
+            memo.pop(k, None)
+
+
 def _shared_relation(
     spark: SparkSession, sf_dir: str, query_name: str, cols: tuple
 ) -> DataFrame:
@@ -471,15 +491,7 @@ def _shared_relation(
             base, f"llmdata.shared::{query_name}::{sf_dir}"
         )
         _shared_memo[key] = df
-        # drop entries for stopped sessions so the memo doesn't pin plan
-        # handles forever in a session-cycling driver (same hygiene as
-        # functions.caching._prune_dead_sessions)
-        for k in list(_shared_memo):
-            if k == key:
-                continue
-            sc = getattr(_shared_memo[k].sparkSession, "_sc", None)
-            if sc is not None and getattr(sc, "_jsc", 1) is None:
-                _shared_memo.pop(k, None)
+        _prune_dead_memo(_shared_memo, keep_key=key)
     return df
 
 
@@ -514,7 +526,9 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId key, not id(spark) — same stale-session hazard the
     # catalog/plan memos fixed (a restarted session can reuse the address)
     from data_engineering_etl_demo_spark.catalog import session_key
-    _cc_labels_memo[(session_key(spark), sf_dir)] = out
+    key = (session_key(spark), sf_dir)
+    _cc_labels_memo[key] = out
+    _prune_dead_memo(_cc_labels_memo, keep_key=key)
     return out
 
 

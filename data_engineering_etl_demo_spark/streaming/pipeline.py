@@ -463,6 +463,14 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+    except BaseException:
+        # failed drain: drop the partial uuid-named sink view, or it
+        # leaks in the clone's catalog with no bookkeeping entry
+        try:
+            session.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        raise
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     _live_sinks[sink_key] = sink
