@@ -92,6 +92,22 @@ def main() -> None:
     for _, spec in specs:
         run(spec)
 
+    # Settle before the timed pass: collect both heaps and give trailing
+    # daemon work (state-store maintenance, shuffle cleanup, any co-tenant
+    # JVMs exiting) a moment to quiesce.  A round-7 A/B showed +2-3 s
+    # phantom regressions on scheduler-latency-sensitive many-small-job
+    # queries (CC/BFS) when the machine wasn't idle; this cannot fix a
+    # busy host but removes the bench's own trailing noise.
+    import gc
+    import time as _t
+
+    gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    _t.sleep(2)
+
     timings: dict[str, float] = {}
     for name, spec in specs:
         t0 = time.perf_counter()
