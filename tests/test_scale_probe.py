@@ -507,3 +507,76 @@ def test_concentration_survives_all_unique_volumes(spark):
     assert row["gini_ppm"] == max(
         2 * ra_dot * 10**6 // (n * s) - (n + 1) * 10**6 // n, 0
     )
+
+
+def test_asof_join_scales_linearly_with_disjoint_copies(spark):
+    """asof_join is union + ONE keyed shuffle + a running window — output
+    over k disjoint key-space copies must be exactly k stacked copies of
+    the base result (no cross-copy carry, no pair explosion)."""
+    from data_engineering_etl_demo_spark.operators.asof import asof_join
+
+    def build(copies):
+        left = spark.range(200 * copies).select(
+            (F.col("id") % F.lit(20) + (F.col("id") / 200).cast("long") * _OFFSET)
+            .alias("k"),
+            F.timestamp_micros((F.col("id") % 200) * 1_000_000 + 500_000)
+            .alias("lts"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(100 * copies).select(
+            (F.col("id") % F.lit(20) + (F.col("id") / 100).cast("long") * _OFFSET)
+            .alias("k"),
+            F.timestamp_micros((F.col("id") % 100) * 2_000_000).alias("rts"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        out = asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            payload_cols=["payload"], strict=True,
+        )
+        return out
+
+    base = build(1)
+    big = build(8)
+    assert big.count() == 8 * base.count()  # every left row survives
+    # per-copy results identical modulo the key offset: compare matched
+    # payload multisets of copy 0 inside the big build vs the base build
+    base_m = sorted(
+        (r["lid"] % 200, r["asof_payload"]) for r in base.collect()
+    )
+    copy0 = big.filter(F.col("k") < _OFFSET)
+    big_m = sorted(
+        (r["lid"] % 200, r["asof_payload"]) for r in copy0.collect()
+    )
+    assert big_m == base_m
+
+
+def test_interval_join_scales_linearly_and_bounds_fanout(spark):
+    """Bucketed interval join: k disjoint copies give exactly k× the base
+    match count, and the bucket explode is bounded by interval length /
+    bucket width (never a per-key cartesian)."""
+    from data_engineering_etl_demo_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    def build(copies):
+        pts = spark.range(300 * copies).select(
+            (F.col("id") % F.lit(10) + (F.col("id") / 300).cast("long") * _OFFSET)
+            .alias("k"),
+            F.timestamp_micros((F.col("id") % 300) * 1_000_000).alias("pts"),
+        )
+        ivs = spark.range(30 * copies).select(
+            (F.col("id") % F.lit(10) + (F.col("id") / 30).cast("long") * _OFFSET)
+            .alias("k"),
+            F.timestamp_micros((F.col("id") % 30) * 9_000_000).alias("s"),
+            F.timestamp_micros((F.col("id") % 30) * 9_000_000 + 20_000_000)
+            .alias("e"),
+        )
+        return interval_join(
+            pts, ivs, key="k", point_ts="pts", start_col="s", end_col="e",
+            bucket_seconds=10,
+        )
+
+    base_n = build(1).count()
+    big_n = build(8).count()
+    assert base_n > 0
+    assert big_n == 8 * base_n
