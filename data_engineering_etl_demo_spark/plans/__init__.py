@@ -101,7 +101,7 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # no longer cover the code), then ascending by the round of each query's
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r06 union).  Round 7 FREEZES new-query growth (VERDICT
-# r6 item 1): the changed set is 4 queries, so the ~50-slot window drains
+# r6 item 1): the changed set is 5 queries, so the ~50-slot window drains
 # the entire <=r3 cohort plus the oldest r4 entries — after it lands, no
 # registry query carries evidence older than r4.
 #
@@ -125,108 +125,49 @@ _CHANGED_THIS_ROUND: set[str] = {
     "docs_perplexity_buckets",
 }
 
-# Freshest driver-green round per query, from the CORRECTNESS_r01..r05
-# union (latest row wins; every row in that union is green).
+# Freshest driver-green round per query, DERIVED from the committed
+# CORRECTNESS_r*.json artifacts (latest green row wins; a row is green
+# when it has no error and no explicit mismatch — rows-only checks
+# count).  Round 6's miss was exactly this map going stale by hand:
+# deriving it from the artifacts makes the rotation structural.  The
+# changed-set above stays manual — it encodes which implementations
+# moved, which no artifact can know.
 _LATEST_GREEN: dict[str, int] = {}
-for _r, _names in {
-    2: [
-        "brand_quantity_revenue", "customer_order_distribution",
-        "idle_rich_customers", "large_quantity_orders",
-        "order_priority_lateship", "orders_above_customer_avg",
-        "top_supplier_revenue",
-    ],
-    3: [
-        "dau", "dedup_keep_latest", "docs_boilerplate_ngrams",
-        "docs_decontaminate", "docs_fingerprint_winnow",
-        "docs_ngram_jaccard", "docs_pii_scrub", "docs_repetition",
-        "docs_sample_mix", "docs_tfidf_topterms", "docs_token_stats",
-        "docs_winnow_overlap", "embedding_label_stats",
-        "embedding_near_dup", "embedding_near_dup_exact", "embedding_topk",
-        "event_counts", "events_heavy_hitters", "events_ordered_funnel",
-        "events_preview", "events_purchase_window", "events_rolling_hour",
-        "events_salted_user_stats", "events_session_window",
-        "events_user_scd2", "funnel", "intl_revenue",
-        "multimodal_audio_features", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_resize", "props_k_stats",
-        "quarantine_invalid_events", "revenue",
-        "streaming_click_purchase_join", "streaming_window_counts",
-    ],
-    4: [
-        "customer_balance_deciles", "docs_bpe_pair_merge",
-        "docs_chunk_windows", "docs_cluster_representatives",
-        "docs_dedup_report", "docs_dup_triangles", "docs_length_histogram",
-        "docs_minhash_containment", "docs_pagerank", "docs_span_dedup",
-        "docs_stratified_sample", "docs_train_split",
-        "docs_unigram_surprisal", "docs_vocab_growth",
-        "docs_weighted_sample", "docs_word_bigrams",
-        "dominant_part_suppliers", "embedding_pq_adc_topk",
-        "embedding_pq_codes", "embedding_semdedup", "embedding_topk_ivf2",
-        "events_cohort_setops", "events_gapfill_daily",
-        "events_inter_arrival", "events_kmv_merge",
-        "events_revenue_anomaly_days", "events_rolling_wau",
-        "events_salted_type_join", "events_type_transitions",
-        "events_value_ema", "forecast_revenue", "important_parts",
-        "lineitem_zorder_pages", "market_basket_pairs", "market_share",
-        "min_cost_supplier", "monthly_revenue_growth",
-        "multimodal_patch_grid", "nation_trade_volume",
-        "nation_wealth_balance", "orders_profile", "product_profit",
-        "promo_revenue", "shipping_delay_priority",
-        "small_quantity_revenue", "streaming_dedup_counts",
-        "streaming_enriched_counts", "supplier_part_variety",
-    ],
-    5: [
-        "all_parties_union", "customers_edit1_pairs",
-        "customers_without_orders", "docs_contamination_hops",
-        "docs_dedup_survivors", "docs_dup_clusters", "docs_exact_dedup",
-        "docs_incremental_dedup", "docs_lang_id", "docs_minhash_near_dup",
-        "docs_pack_batches", "docs_quality", "docs_shard_manifest",
-        "docs_simhash", "docs_simhash_near_dup", "docs_top_tokens",
-        "ecommerce_events_canonical", "ecommerce_intl_canonical",
-        "ecommerce_intl_stats", "ecommerce_loader_stats",
-        "embedding_ivf_pq_rerank", "embedding_ivf_pq_topk",
-        "embedding_ivf_pq_topk2", "embedding_kmeans_step",
-        "embedding_quantize", "embedding_topk_ivf",
-        "events_click_attribution", "events_cohort_retention",
-        "events_generated_quarantine", "events_pivot_daily",
-        "events_sketch_distinct", "events_time_rollup",
-        "events_type_day_cube", "events_unpivot_daily",
-        "lineitem_bloom_prune", "lineitem_zonemap_skip", "nation_rollup",
-        "order_rank", "pricing_percentiles", "pricing_summary",
-        "regional_supplier_volume", "returned_item_revenue",
-        "shipping_priority", "sole_late_supplier", "streaming_sessionize",
-        "streaming_sessionize_flush", "streaming_value_ema",
-        "streaming_value_ema_ooo", "top_customers",
-        "warehouse_constraint_report",
-    ],
-    6: [
-        "customer_ltv_triangle", "customer_order_distribution",
-        "customers_k_anonymity", "docs_bigram_surprisal",
-        "docs_cluster_representatives", "docs_corpus_pipeline",
-        "docs_dedup_survivors", "docs_dup_clusters", "docs_gopher_rules",
-        "docs_minhash_recall_sample", "docs_perplexity_buckets",
-        "docs_preference_pairs", "docs_quality", "docs_split_leakage",
-        "docs_tokenizer_fertility", "embedding_ann_recall",
-        "embedding_cell_balance", "embedding_dedup_curve",
-        "embedding_hamming_topk", "embedding_hard_negatives",
-        "embedding_ivf_pq_rerank", "embedding_ivf_pq_topk",
-        "embedding_ivf_pq_topk2", "embedding_kmeans_inertia",
-        "embedding_semdedup", "events_ab_lift",
-        "events_concentration_report", "events_disorder_profile",
-        "events_dp_release", "events_histogram_quantiles",
-        "events_incremental_rollup", "events_kmv_intersect",
-        "events_markov_attribution", "events_multitouch_attribution",
-        "events_position_attribution", "events_props_variant",
-        "events_value_ema", "large_quantity_orders", "lineitem_dpp_prune",
-        "multimodal_format_census", "multimodal_phash_dedup",
-        "order_priority_lateship", "orders_above_customer_avg",
-        "sole_late_supplier", "streaming_full_outer_join",
-        "streaming_kmv_distinct", "streaming_left_outer_join",
-        "streaming_topk_values", "streaming_value_ema_ooo",
-        "warehouse_snapshot_diff",
-    ],
-}.items():
-    for _n in _names:
-        _LATEST_GREEN[_n] = _r
+
+
+def _load_latest_green() -> None:
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    for path in _glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:
+            continue  # torn/foreign artifact: skip, never fail import
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                _LATEST_GREEN[name] = max(_LATEST_GREEN.get(name, 0), rnd)
+
+
+_load_latest_green()
 
 
 def _verify_priority(spec: QuerySpec) -> int:

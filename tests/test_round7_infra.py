@@ -223,3 +223,30 @@ def test_concentration_identity_property(spark):
         )
 
     check()
+
+
+def test_latest_green_derived_from_artifacts():
+    """_LATEST_GREEN must mirror the committed CORRECTNESS_r*.json union:
+    every green row contributes, the newest round wins, and error rows
+    grant nothing (r1 recorded failures for docs_pack_batches and
+    events_user_scd2 that later rounds fixed)."""
+    import glob
+    import json
+    import re
+
+    from data_engineering_etl_demo_spark.plans import _LATEST_GREEN
+
+    expect = {}
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                expect[name] = max(expect.get(name, 0), rnd)
+    assert _LATEST_GREEN == expect
+    assert len(expect) > 100  # artifacts actually loaded
