@@ -86,3 +86,46 @@ def test_asof_payload_is_row_consistent_with_null_fields(spark):
     # fields must come from THAT row
     assert row["asof_a"] is None
     assert row["asof_b"] == 9.0
+
+
+def test_asof_matches_naive_reference_on_random_frames(spark):
+    """Property: asof_join == the O(|L|·|R|) naive definition (latest
+    right row of the same key with rt < lt, or <= when inclusive;
+    greatest-tiebreak among equal winning timestamps) on random frames,
+    both strictness modes."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # key
+            st.integers(min_value=0, max_value=20),   # ts
+            st.integers(min_value=0, max_value=99),   # payload/id
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(left=rows, right=rows, strict=st.booleans())
+    def check(left, right, strict):
+        # unique left ids so rows are addressable
+        left = [(k, t, i) for i, (k, t, _) in enumerate(left)]
+        ldf = spark.createDataFrame(left, ["k", "t", "lid"])
+        rdf = spark.createDataFrame(right, ["k", "rt", "payload"])
+        out = {
+            r["lid"]: r["asof_payload"]
+            for r in asof_join(
+                ldf, rdf, key="k", left_ts="t", right_ts="rt",
+                payload_cols=["payload"], strict=strict, tiebreak="payload",
+            ).collect()
+        }
+        for k, t, lid in left:
+            cands = [
+                (rt, p)
+                for (rk, rt, p) in right
+                if rk == k and (rt < t if strict else rt <= t)
+            ]
+            want = max(cands)[1] if cands else None
+            assert out[lid] == want, (k, t, lid, strict, cands)
+
+    check()
