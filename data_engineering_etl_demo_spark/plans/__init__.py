@@ -29,6 +29,11 @@ class QuerySpec:
     oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
     module: str = ""  # defining module (basename), drives verify ordering
+    # the undecorated builder, kept so scripts_changed_queries.py can hash
+    # its source to SUGGEST _CHANGED_THIS_ROUND entries (suggestion only:
+    # a helper an implementation calls can change without this source
+    # changing, so the set stays human-curated)
+    src_fn: Optional[Callable] = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -87,6 +92,7 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
             oracle=oracle,
             doc=doc,
             module=fn.__module__.rsplit(".", 1)[-1],
+            src_fn=fn,
         )
         return fn
 
