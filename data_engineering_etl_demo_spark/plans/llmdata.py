@@ -4535,14 +4535,17 @@ _PREF_MIN_GAP_E6 = 100_000  # chosen must beat rejected by >= 0.1
     "(chosen, rejected) pair, kept only when the quality gap clears "
     "0.1 (a weak pair teaches nothing).  Scores are the shared "
     "heuristic quality_score rounded onto an exact e6 integer grid, "
-    "ranks break ties on doc_id, so pair selection is deterministic in "
-    "both engines.  Plan: two rank windows over the same "
-    "(lang, bucket) partition and a self-join on the ≤|cohorts| "
-    "winners — cohort-bounded, no all-pairs.",
+    "ties break on doc_id, so pair selection is deterministic in "
+    "both engines.  Plan: ONE hash aggregate per cohort — "
+    "max_by/min_by with the (q_e6, doc_id) tiebreak encoded in the "
+    "ordering struct (negated doc_id on the max side so ties pick the "
+    "SMALLEST id, matching the oracle's rank-1 rows) — replacing the "
+    "former two rank-window shuffles + rank-1 self-join with a single "
+    "partial-aggregating shuffle on (lang, len_bucket); at 100 TB the "
+    "map-side combine reduces each cohort to one struct per task "
+    "before the exchange.",
 )
 def q_docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     q = (
         _docs_wide(spark, sf_dir)
         .select(
@@ -4558,29 +4561,29 @@ def q_docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_e6"),
         )
     )
-    wb = Window.partitionBy("lang", "len_bucket").orderBy(
-        F.col("q_e6").desc(), F.col("doc_id")
-    )
-    ww = Window.partitionBy("lang", "len_bucket").orderBy(
-        F.col("q_e6").asc(), F.col("doc_id")
-    )
-    r = q.withColumn("rb", F.row_number().over(wb)).withColumn(
-        "rw", F.row_number().over(ww)
-    )
-    best = r.filter(F.col("rb") == 1).select(
-        "lang",
-        "len_bucket",
-        F.col("doc_id").alias("chosen_doc"),
-        F.col("q_e6").alias("chosen_q_e6"),
-    )
-    worst = r.filter(F.col("rw") == 1).select(
-        "lang",
-        "len_bucket",
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("q_e6").alias("rejected_q_e6"),
+    # Ordering structs: rank-1 of (q_e6 DESC, doc_id ASC) == argmax of
+    # (q_e6, -doc_id); rank-1 of (q_e6 ASC, doc_id ASC) == argmin of
+    # (q_e6, doc_id).  doc_id is a non-negative synthetic BIGINT, so the
+    # negation cannot overflow.
+    picked = q.groupBy("lang", "len_bucket").agg(
+        F.max_by(
+            F.struct("doc_id", "q_e6"),
+            F.struct(F.col("q_e6"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("best"),
+        F.min_by(
+            F.struct("doc_id", "q_e6"),
+            F.struct(F.col("q_e6"), F.col("doc_id")),
+        ).alias("worst"),
     )
     return (
-        best.join(worst, on=["lang", "len_bucket"])
+        picked.select(
+            "lang",
+            "len_bucket",
+            F.col("best.doc_id").alias("chosen_doc"),
+            F.col("worst.doc_id").alias("rejected_doc"),
+            F.col("best.q_e6").alias("chosen_q_e6"),
+            F.col("worst.q_e6").alias("rejected_q_e6"),
+        )
         .filter(
             (F.col("chosen_doc") != F.col("rejected_doc"))
             & (
