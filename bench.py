@@ -102,11 +102,17 @@ def main() -> None:
     import time as _t
 
     gc.collect()
-    try:
-        spark._jvm.System.gc()
-    except Exception:
-        pass
-    _t.sleep(2)
+    # _jvm is a classic-session-only attribute (absent under Spark
+    # Connect): guard with getattr like the caching prune, keeping the
+    # try/except for the gateway-gone case only, and skip the settle
+    # sleep entirely when there is no co-located JVM to quiesce.
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        try:
+            jvm.System.gc()
+        except Exception:
+            pass  # gateway already torn down
+        _t.sleep(2)
 
     timings: dict[str, float] = {}
     for name, spec in specs:

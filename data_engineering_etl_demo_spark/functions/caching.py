@@ -21,27 +21,48 @@ _live: dict[tuple[str, str], DataFrame] = {}
 _lock = threading.Lock()
 
 
+def session_is_dead(session) -> bool:
+    """True when a CLASSIC session's SparkContext has stopped.  Under
+    Spark Connect there is no _sc; treating "attribute absent" as dead
+    would silently drop every live entry from whatever memo is being
+    pruned, so a Connect-shaped session is never classified dead
+    (ADVICE r6).  This is THE dead-session classification — every memo
+    prune in the package (this module, the plan-registry memo, the
+    llmdata shared-relation memo, the streaming drain-session cache)
+    must route through it so the Connect exemption cannot drift
+    (ADVICE r7)."""
+    try:
+        sc = getattr(session, "_sc", None)
+        if sc is None:
+            return False  # Connect session (or unknown shape): keep
+        return sc._jsc is None  # cleared by sc.stop()
+    except Exception:
+        return True  # classic attrs present but gateway gone
+
+
+def prune_dead_memo(memo: dict, keep_key=None) -> None:
+    """Drop memoized DataFrames whose owning session is dead — the
+    dead-session leak class of ADVICE r5/r6: module-level memos in a
+    session-cycling driver (pytest per module) otherwise pin JVM plan
+    handles for every stopped session forever.  ``keep_key`` exempts the
+    entry the caller just inserted."""
+    for k in list(memo):
+        if k == keep_key:
+            continue
+        try:
+            dead = session_is_dead(memo[k].sparkSession)
+        except Exception:
+            dead = True
+        if dead:
+            memo.pop(k, None)
+
+
 def _prune_dead_sessions() -> None:
     """Drop entries whose SparkContext has stopped (caller holds _lock).
     The strong DataFrame references here would otherwise pin JVM plan
     handles for every stopped session in a long-lived driver process
     (ADVICE r5) — e.g. a pytest run that cycles sessions per module."""
-    for key, df in list(_live.items()):
-        # Only classify dead when the CLASSIC session attributes exist and
-        # were cleared by sc.stop().  Under Spark Connect there is no _sc;
-        # treating "attribute absent" as dead would silently drop every
-        # live entry from tracking, so replaced caches would never be
-        # unpersisted — the exact leak this pruning exists to fix
-        # (ADVICE r6).
-        try:
-            sc = getattr(df.sparkSession, "_sc", None)
-            if sc is None:
-                continue  # Connect session (or unknown shape): keep tracking
-            dead = sc._jsc is None  # cleared by sc.stop()
-        except Exception:
-            dead = True  # classic attrs present but gateway gone
-        if dead:
-            _live.pop(key, None)
+    prune_dead_memo(_live)
 
 
 def persist_latest(df: DataFrame, slot: str, storage_level=None) -> DataFrame:

@@ -63,24 +63,16 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
                     df = fn(spark, sf_dir)
                     _plan_memo[key] = df
                     # memo-miss = possibly a fresh session: drop entries
-                    # whose classic SparkContext has stopped, so a
-                    # session-cycling driver doesn't pin dead plan
-                    # handles forever (ADVICE r5/r6 leak class; Connect
-                    # sessions without _sc are kept)
-                    for k in list(_plan_memo):
-                        if k == key:
-                            continue
-                        try:
-                            sc = getattr(
-                                _plan_memo[k].sparkSession, "_sc", None
-                            )
-                            if sc is None:
-                                continue
-                            dead = sc._jsc is None
-                        except Exception:
-                            dead = True
-                        if dead:
-                            _plan_memo.pop(k, None)
+                    # whose session has stopped, so a session-cycling
+                    # driver doesn't pin dead plan handles forever
+                    # (ADVICE r5/r6 leak class); the classification —
+                    # including the Connect-session exemption — lives in
+                    # ONE place now (ADVICE r7)
+                    from data_engineering_etl_demo_spark.functions.caching import (  # noqa: E501
+                        prune_dead_memo,
+                    )
+
+                    prune_dead_memo(_plan_memo, keep_key=key)
                 return df
 
             spark_fn = memo_fn
@@ -168,6 +160,14 @@ def _load_latest_green() -> None:
                 and row.get("rows_match") is not False
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
+                # at least one AFFIRMATIVE signal: a malformed/partial
+                # row ({} or all-keys-missing) must not count as fresh
+                # evidence and demote the query in the verify rotation
+                # (ADVICE r7)
+                and (
+                    row.get("rows_match") is True
+                    or row.get("spark_rows") is not None
+                )
             )
             if green:
                 _LATEST_GREEN[name] = max(_LATEST_GREEN.get(name, 0), rnd)

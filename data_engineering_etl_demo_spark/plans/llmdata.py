@@ -451,25 +451,23 @@ _cc_labels_memo: dict[tuple, DataFrame] = {}
 # timing stays honest while consumers reuse the materialized pairs.
 _shared_memo: dict[tuple, DataFrame] = {}
 
+# The canonical dead-session classification lives in functions.caching
+# (ADVICE r7: four hand-rolled copies of the prune loop risked drifting
+# on the subtle Connect-session exemption); this alias keeps the local
+# call sites unchanged.
+from data_engineering_etl_demo_spark.functions.caching import (  # noqa: E402
+    prune_dead_memo as _prune_dead_memo,
+)
 
-def _prune_dead_memo(memo: dict, keep_key=None) -> None:
-    """Drop memoized DataFrames whose classic SparkContext has stopped —
-    the dead-session leak class of ADVICE r5/r6: module-level memos in a
-    session-cycling driver (pytest per module) otherwise pin plan handles
-    for every stopped session forever.  Connect-shaped sessions (no _sc)
-    are kept, mirroring functions.caching._prune_dead_sessions."""
-    for k in list(memo):
-        if k == keep_key:
-            continue
-        try:
-            sc = getattr(memo[k].sparkSession, "_sc", None)
-            if sc is None:
-                continue
-            dead = sc._jsc is None
-        except Exception:
-            dead = True
-        if dead:
-            memo.pop(k, None)
+# Guards _shared_memo's get-then-set: two concurrent first calls would
+# both build and persist, persist_latest would unpersist the loser, and
+# the memo could end up holding the UNPERSISTED DataFrame so consumers
+# silently recompute (ADVICE r7).  A dedicated lock, NOT caching._lock —
+# persist_latest acquires that one internally, so sharing it would
+# self-deadlock (threading.Lock is not reentrant).
+import threading as _threading  # noqa: E402
+
+_shared_lock = _threading.Lock()
 
 
 def _shared_relation(
@@ -484,14 +482,15 @@ def _shared_relation(
     from data_engineering_etl_demo_spark.plans import REGISTRY
 
     key = (session_key(spark), sf_dir, query_name)
-    df = _shared_memo.get(key)
-    if df is None:
-        base = REGISTRY[query_name].spark_fn(spark, sf_dir).select(*cols)
-        df = persist_latest(
-            base, f"llmdata.shared::{query_name}::{sf_dir}"
-        )
-        _shared_memo[key] = df
-        _prune_dead_memo(_shared_memo, keep_key=key)
+    with _shared_lock:
+        df = _shared_memo.get(key)
+        if df is None:
+            base = REGISTRY[query_name].spark_fn(spark, sf_dir).select(*cols)
+            df = persist_latest(
+                base, f"llmdata.shared::{query_name}::{sf_dir}"
+            )
+            _shared_memo[key] = df
+            _prune_dead_memo(_shared_memo, keep_key=key)
     return df
 
 

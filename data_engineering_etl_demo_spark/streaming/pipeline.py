@@ -324,9 +324,15 @@ _drain_sessions: dict = {}
 # Live memory-sink table per (session, query_name): the sink name is
 # per-drain unique (uuid suffix), and starting a NEW drain for the same
 # query drops the PREVIOUS generation's table — so the clone's catalog
-# holds at most one sink per query instead of accruing one per drain, and
-# a stale DataFrame from an earlier drain fails loudly (TABLE_NOT_FOUND)
-# instead of silently reading the replacement's rows (ADVICE r6).
+# holds at most one CATALOG ENTRY per query instead of accruing one per
+# drain.  Precisely (ADVICE r7): a DataFrame returned by an earlier
+# run_to_completion stays bound to its own MemorySink and keeps reading
+# its own rows after the view is dropped (test_round7_infra pins this);
+# what fails loudly (TABLE_NOT_FOUND) is a FRESH session.table(old_name)
+# lookup.  Dropping the view frees the sink's rows only once callers
+# release their DataFrame references — the bound here is on catalog
+# entries, while sink memory is bounded by callers not holding old
+# results (verify/bench/tests all collect per call and drop them).
 _live_sinks: dict = {}
 
 
@@ -335,15 +341,17 @@ def _prune_dead_drain_state() -> None:
     SparkContext has stopped — same dead-session leak class as
     functions.caching._prune_dead_sessions (ADVICE r6): a long-lived
     driver cycling sessions (pytest per module) would otherwise pin every
-    stopped clone and its catalog-held memory-sink tables forever.  Only
-    classic sessions are classified; a Connect-shaped session (no _sc)
-    is kept."""
+    stopped clone and its catalog-held memory-sink tables forever.  The
+    classification (including the Connect-session "no _sc => keep"
+    exemption) is functions.caching.session_is_dead — the single copy
+    all four memo prunes share (ADVICE r7)."""
+    from data_engineering_etl_demo_spark.functions.caching import (
+        session_is_dead,
+    )
+
     for key, session in list(_drain_sessions.items()):
         try:
-            sc = getattr(session, "_sc", None)
-            if sc is None:
-                continue
-            dead = sc._jsc is None  # cleared by sc.stop()
+            dead = session_is_dead(session)
         except Exception:
             dead = True
         if dead:
