@@ -91,36 +91,44 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-7 verification ordering.  The driver walks ``queries()`` in dict
+# Round-8 verification ordering.  The driver walks ``queries()`` in dict
 # order and stops after ~50 of the registered queries, so ordering decides
-# which queries get hard-signal rows.  Principle (rounds 3-6, restated by
-# VERDICT r6 item 1): order by EVIDENCE STALENESS OF THE CURRENT
+# which queries get hard-signal rows.  Principle (rounds 3-7, restated by
+# VERDICT r7 item 1): order by EVIDENCE STALENESS OF THE CURRENT
 # IMPLEMENTATION — queries changed this round first (their old green rows
 # no longer cover the code), then ascending by the round of each query's
 # freshest driver green (the _LATEST_GREEN map below, computed from the
-# CORRECTNESS_r01..r06 union).  Round 7 FREEZES new-query growth (VERDICT
-# r6 item 1): the changed set is 5 queries, so the ~50-slot window drains
-# the entire <=r3 cohort plus the oldest r4 entries — after it lands, no
-# registry query carries evidence older than r4.
-#
-# NOT listed as changed, deliberately: the r7 streaming-drain infra edits
-# (per-drain-unique memory-sink names, dead-clone pruning in
-# streaming/pipeline.py) alter no computed row of any streaming query —
-# every stream's output remains pinned equal to its batch oracle by
-# tests/test_streaming.py, and the registered query bodies are untouched.
+# CORRECTNESS_r01..r07 union).  Round 8 keeps the growth freeze: the
+# front-of-line set is 11 (1 changed plan + the 10 streaming queries whose
+# r5-r7 evidence predates or needs re-anchoring on the r7 sink-lifecycle
+# infra), so the ~50-slot window also drains the ENTIRE 38-query r4
+# cohort (which includes the remaining 2 streaming queries) — after it
+# lands, no registry query carries evidence older than r5 and every
+# streaming query has a post-infra-change driver row (VERDICT r7 item 1).
 
 _CHANGED_THIS_ROUND: set[str] = {
-    # per-user rank windows -> domain-bounded histogram rank algebra,
-    # DECIMAL(38,0) ppm terms (VERDICT r6 weakness 1):
-    "events_concentration_report",
-    # consume the shared persisted near-dup pair relation instead of
-    # re-deriving the LSH pipeline per call (VERDICT r6 weakness 2):
-    "docs_pagerank",
-    "docs_contamination_hops",
-    "docs_minhash_recall_sample",
-    # tercile cut consumes the shared persisted surprisal relation
-    # (VERDICT r6 item 5):
-    "docs_perplexity_buckets",
+    # two rank-window shuffles + rank-1 self-join -> one max_by/min_by
+    # aggregate with struct-encoded tiebreaks (VERDICT r7 weakness 1):
+    "docs_preference_pairs",
+    # NOT body changes — infra-staleness re-certification (VERDICT r7
+    # weakness 2): the r7 sink-lifecycle rework (per-drain-unique sink
+    # names, drain-clone pruning) sits under these queries' drains, but
+    # their freshest driver rows predate it (r5/r6).  The two r7-fresh
+    # streaming rows (click_purchase_join, window_counts) are included
+    # because the r8 prune refactor (caching.session_is_dead) touched the
+    # same machinery again; the two r4 streaming queries
+    # (dedup_counts, enriched_counts) already sit at the front of the r4
+    # cohort that this window drains anyway.
+    "streaming_sessionize",
+    "streaming_sessionize_flush",
+    "streaming_value_ema",
+    "streaming_value_ema_ooo",
+    "streaming_full_outer_join",
+    "streaming_left_outer_join",
+    "streaming_click_purchase_join",
+    "streaming_kmv_distinct",
+    "streaming_topk_values",
+    "streaming_window_counts",
 }
 
 # Freshest driver-green round per query, DERIVED from the committed
