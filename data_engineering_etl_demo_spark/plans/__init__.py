@@ -141,6 +141,27 @@ _CHANGED_THIS_ROUND: set[str] = {
 _LATEST_GREEN: dict[str, int] = {}
 
 
+def _row_is_green(row) -> bool:
+    """A driver artifact row counts as green evidence iff it is a dict
+    with no error, no explicit mismatch, AND at least one affirmative
+    signal (rows_match is True, or rows-only checks' spark_rows) — a
+    malformed/partial row ({} or all-keys-missing) must not silently
+    count as fresh evidence and demote its query in the verify rotation
+    (ADVICE r7)."""
+    if not isinstance(row, dict):
+        return False
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is not False
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+        and (
+            row.get("rows_match") is True
+            or row.get("spark_rows") is not None
+        )
+    )
+
+
 def _load_latest_green() -> None:
     import glob as _glob
     import json as _json
@@ -161,23 +182,7 @@ def _load_latest_green() -> None:
         except Exception:
             continue  # torn/foreign artifact: skip, never fail import
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            green = (
-                row.get("err") is None
-                and row.get("rows_match") is not False
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-                # at least one AFFIRMATIVE signal: a malformed/partial
-                # row ({} or all-keys-missing) must not count as fresh
-                # evidence and demote the query in the verify rotation
-                # (ADVICE r7)
-                and (
-                    row.get("rows_match") is True
-                    or row.get("spark_rows") is not None
-                )
-            )
-            if green:
+            if _row_is_green(row):
                 _LATEST_GREEN[name] = max(_LATEST_GREEN.get(name, 0), rnd)
 
 

@@ -234,19 +234,16 @@ def test_latest_green_derived_from_artifacts():
     import json
     import re
 
-    from data_engineering_etl_demo_spark.plans import _LATEST_GREEN
+    from data_engineering_etl_demo_spark.plans import (
+        _LATEST_GREEN,
+        _row_is_green,
+    )
 
     expect = {}
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         for name, row in json.load(open(path)).items():
-            green = (
-                row.get("err") is None
-                and row.get("rows_match") is not False
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-            )
-            if green:
+            if _row_is_green(row):
                 expect[name] = max(expect.get(name, 0), rnd)
     assert _LATEST_GREEN == expect
     assert len(expect) > 100  # artifacts actually loaded
