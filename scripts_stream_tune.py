@@ -1,4 +1,4 @@
-"""Round-8 streaming tuning harness (throwaway, not part of the package).
+"""Streaming tuning harness (dev tool, not part of the package).
 
 Runs the 12 streaming queries at sf0.1 in one warm session, reports
 per-query wall time, with optional overrides:
