@@ -4560,6 +4560,14 @@ def q_docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_e6"),
         )
     )
+    return preference_pairs_from_scores(q)
+
+
+def preference_pairs_from_scores(q: DataFrame) -> DataFrame:
+    """(chosen, rejected) per (lang, len_bucket) cohort from a scored
+    relation (doc_id, lang, len_bucket, q_e6) — the single-aggregate core
+    of docs_preference_pairs, factored out so scale probes can drive it
+    with synthetic cohorts (the concentration_from_volumes pattern)."""
     # Ordering structs: rank-1 of (q_e6 DESC, doc_id ASC) == argmax of
     # (q_e6, -doc_id); rank-1 of (q_e6 ASC, doc_id ASC) == argmin of
     # (q_e6, doc_id).  doc_id is a non-negative synthetic BIGINT, so the
