@@ -70,6 +70,10 @@ def test_verify_order_puts_stale_evidence_first():
     # the staleness map covers several distinct evidence rounds, or the
     # sort would be vacuous
     assert len(set(rounds)) >= 3
+    # typo guard (r8): a misspelled _CHANGED_THIS_ROUND entry would
+    # silently fail to front-load its query — every name must resolve
+    unknown = _CHANGED_THIS_ROUND - set(names)
+    assert not unknown, f"_CHANGED_THIS_ROUND names not in registry: {unknown}"
 
 
 def test_plan_caches_keyed_by_application_id(spark, monkeypatch):
