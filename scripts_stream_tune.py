@@ -54,10 +54,19 @@ P.run_to_completion = patched_rtc
 _orig_ds = P._drain_session
 
 
+STATE_STORE = os.environ.get("STATE_STORE")  # e.g. "rocksdb"
+
+
 def patched_ds(parent, shuffle_partitions):
     s = _orig_ds(parent, shuffle_partitions)
     if ARROW_MAX:
         s.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX)
+    if STATE_STORE == "rocksdb":
+        s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     return s
 
 
