@@ -206,3 +206,37 @@ def test_shared_relation_concurrent_first_calls_build_once(spark):
 
     assert len(calls) == 1, "both threads built: the memo race is back"
     assert results[0] is results[1]
+
+
+# ---------------------------------------------------------------------------
+# scripts_changed_queries: the rotation's change-detection tool
+# ---------------------------------------------------------------------------
+
+
+def test_changed_queries_tool_detects_builder_drift(tmp_path, capsys,
+                                                    monkeypatch):
+    """The verify rotation trusts this tool's CHANGED list at round start;
+    pin its diff logic: identical sources -> empty CHANGED, a drifted fn
+    hash -> that query (and only it) reported."""
+    import json
+
+    import scripts_changed_queries as tool
+
+    out = tmp_path / "hashes.json"
+    monkeypatch.setattr(tool, "OUT", str(out))
+
+    tool.main()  # baseline snapshot
+    capsys.readouterr()
+    snap = json.loads(out.read_text())
+    assert len(snap) > 100 and "docs_preference_pairs" in snap
+
+    tool.main()  # identical second run
+    text = capsys.readouterr().out
+    assert "CHANGED (add to _CHANGED_THIS_ROUND): []" in text
+
+    # tamper with one recorded fn hash -> only that query flags CHANGED
+    snap["dau"]["fn"] = "0" * 16
+    out.write_text(json.dumps(snap))
+    tool.main()
+    text = capsys.readouterr().out
+    assert "CHANGED (add to _CHANGED_THIS_ROUND): ['dau']" in text
