@@ -98,13 +98,16 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # IMPLEMENTATION — queries changed this round first (their old green rows
 # no longer cover the code), then ascending by the round of each query's
 # freshest driver green (the _LATEST_GREEN map below, computed from the
-# CORRECTNESS_r01..r07 union).  Round 8 keeps the growth freeze: the
-# front-of-line set is 11 (1 changed plan + the 10 streaming queries whose
-# r5-r7 evidence predates or needs re-anchoring on the r7 sink-lifecycle
-# infra), so the ~50-slot window also drains the ENTIRE 38-query r4
-# cohort (which includes the remaining 2 streaming queries) — after it
-# lands, no registry query carries evidence older than r5 and every
-# streaming query has a post-infra-change driver row (VERDICT r7 item 1).
+# CORRECTNESS_r01..r07 union).  Round 8 front-of-line set: 11 below (1
+# changed plan + the 10 streaming queries whose r5-r7 evidence predates
+# or needs re-anchoring on the r7 sink-lifecycle infra) plus ONE new
+# query (docs_mixture_weights, never driver-checked, so priority 0
+# automatically — it takes the window's single spare slot per VERDICT r7
+# item 7's displacement rule), so the ~50-slot window also drains the
+# ENTIRE 38-query r4 cohort (which includes the remaining 2 streaming
+# queries) — after it lands, no registry query carries evidence older
+# than r5 and every streaming query has a post-infra-change driver row
+# (VERDICT r7 item 1).
 
 _CHANGED_THIS_ROUND: set[str] = {
     # two rank-window shuffles + rank-1 self-join -> one max_by/min_by

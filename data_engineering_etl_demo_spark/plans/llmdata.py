@@ -4491,6 +4491,92 @@ def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset mixture weights: temperature-based multi-source sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_mixture_weights",
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({_fmt(SQL_TOKEN_COUNT)}) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    w AS (
+        SELECT *,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS w_e6
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+               CAST(SUM(w_e6) AS BIGINT) AS w_total
+        FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1000000 // tok_total AS natural_ppm,
+           w_e6 * 1000000 // w_total AS weight_ppm,
+           (w_e6 * 1000000 // w_total) * 1000000
+               // GREATEST(n_tokens * 1000000 // tok_total, 1)
+               AS boost_ppm
+    FROM w, tot
+    ORDER BY source
+    """,
+    doc="Dataset MIXTURE WEIGHTS for multi-source pretraining: per source, "
+    "the natural token share and the temperature-adjusted sampling "
+    "weight w_s ∝ n_tokens^α with α = 1/2 (the T5/multilingual-LM "
+    "up-sampling scheme that boosts low-resource sources without "
+    "letting any source dominate), plus the resulting boost factor "
+    "(sampled share / natural share).  α = 1/2 is deliberate: the "
+    "weight is SQRT(n_tokens), which IEEE-754 rounds identically in "
+    "every engine — the weight lands on an exact integer e6 grid "
+    "(floor(sqrt·1e6)) and all shares/boosts are LONG cross-"
+    "multiplications from there, so the report is bit-deterministic "
+    "at any parallelism (no libm pow in sight).  Plan: one scan + "
+    "per-source aggregate with map-side partials, then a broadcast "
+    "1-row total — the same shape at 6 sources or 6000.",
+)
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs_wide(spark, sf_dir)
+        .select("source", X.token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "w_e6",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1_000_000)
+            ).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("tok_total"),
+        F.sum("w_e6").cast("long").alias("w_total"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV tok_total").alias("natural_ppm"),
+            F.expr("w_e6 * 1000000 DIV w_total").alias("weight_ppm"),
+            F.expr(
+                "(w_e6 * 1000000 DIV w_total) * 1000000"
+                " DIV greatest(n_tokens * 1000000 DIV tok_total, 1)"
+            ).alias("boost_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Preference pairs (RLHF / reward-model data prep)
 # ---------------------------------------------------------------------------
 
