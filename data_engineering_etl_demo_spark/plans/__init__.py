@@ -46,6 +46,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 # RUNS the stream, which must happen on every call.
 _plan_memo: dict[tuple, DataFrame] = {}
 
+# Guards _plan_memo's get-then-set and the prune's dict mutation,
+# mirroring llmdata's _shared_lock (ADVICE r8: the unlocked check-build-
+# prune let two concurrent misses interleave the prune's pops with an
+# insert).  Held ONLY around dict operations, never across fn(): builders
+# may call other registered spark_fns (e.g. dup_clusters → near_dup) and
+# llmdata's shared-relation path, so holding a non-reentrant lock across
+# the build would self-deadlock.  Double-checked insert: a lost race
+# discards an un-persisted plan object — nothing to leak.
+import threading as _threading  # noqa: E402
+
+_plan_lock = _threading.Lock()
+
 
 def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = True):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
@@ -58,21 +70,28 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
                 # can reuse the same object address, which would serve a
                 # stale analyzed plan from the dead context
                 key = (name, session_key(spark), sf_dir)
-                df = _plan_memo.get(key)
+                with _plan_lock:
+                    df = _plan_memo.get(key)
                 if df is None:
-                    df = fn(spark, sf_dir)
-                    _plan_memo[key] = df
-                    # memo-miss = possibly a fresh session: drop entries
-                    # whose session has stopped, so a session-cycling
-                    # driver doesn't pin dead plan handles forever
-                    # (ADVICE r5/r6 leak class); the classification —
-                    # including the Connect-session exemption — lives in
-                    # ONE place now (ADVICE r7)
-                    from data_engineering_etl_demo_spark.functions.caching import (  # noqa: E501
-                        prune_dead_memo,
-                    )
+                    # build OUTSIDE the lock (see _plan_lock note above)
+                    built = fn(spark, sf_dir)
+                    with _plan_lock:
+                        df = _plan_memo.get(key)
+                        if df is None:
+                            df = built
+                            _plan_memo[key] = df
+                            # memo-miss = possibly a fresh session: drop
+                            # entries whose session has stopped, so a
+                            # session-cycling driver doesn't pin dead plan
+                            # handles forever (ADVICE r5/r6 leak class);
+                            # the classification — including the Connect-
+                            # session exemption — lives in ONE place now
+                            # (ADVICE r7)
+                            from data_engineering_etl_demo_spark.functions.caching import (  # noqa: E501
+                                prune_dead_memo,
+                            )
 
-                    prune_dead_memo(_plan_memo, keep_key=key)
+                            prune_dead_memo(_plan_memo, keep_key=key)
                 return df
 
             spark_fn = memo_fn
@@ -91,48 +110,30 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-8 verification ordering.  The driver walks ``queries()`` in dict
+# Round-9 verification ordering.  The driver walks ``queries()`` in dict
 # order and stops after ~50 of the registered queries, so ordering decides
-# which queries get hard-signal rows.  Principle (rounds 3-7, restated by
-# VERDICT r7 item 1): order by EVIDENCE STALENESS OF THE CURRENT
+# which queries get hard-signal rows.  Principle (rounds 3-8, restated by
+# VERDICT r8 item 1): order by EVIDENCE STALENESS OF THE CURRENT
 # IMPLEMENTATION — queries changed this round first (their old green rows
 # no longer cover the code), then ascending by the round of each query's
 # freshest driver green (the _LATEST_GREEN map below, computed from the
-# CORRECTNESS_r01..r07 union).  Round 8 front-of-line set: 11 below (1
-# changed plan + the 10 streaming queries whose r5-r7 evidence predates
-# or needs re-anchoring on the r7 sink-lifecycle infra) plus ONE new
-# query (docs_mixture_weights, never driver-checked, so priority 0
-# automatically — it takes the window's single spare slot per VERDICT r7
-# item 7's displacement rule), so the ~50-slot window also drains the
-# ENTIRE 38-query r4 cohort (which includes the remaining 2 streaming
-# queries) — after it lands, no registry query carries evidence older
-# than r5 and every streaming query has a post-infra-change driver row
-# (VERDICT r7 item 1).
+# CORRECTNESS_r01..r08 union, distribution r5×38 / r6×41 / r7×48 / r8×50).
 
 _CHANGED_THIS_ROUND: set[str] = {
-    # two rank-window shuffles + rank-1 self-join -> one max_by/min_by
-    # aggregate with struct-encoded tiebreaks (VERDICT r7 weakness 1):
-    "docs_preference_pairs",
-    # NOT body changes — infra-staleness re-certification (VERDICT r7
-    # weakness 2): the r7 sink-lifecycle rework (per-drain-unique sink
-    # names, drain-clone pruning) sits under these queries' drains, but
-    # their freshest driver rows predate it (r5/r6).  The two r7-fresh
-    # streaming rows (click_purchase_join, window_counts) are included
-    # because the r8 prune refactor (caching.session_is_dead) touched the
-    # same machinery again; the two r4 streaming queries
-    # (dedup_counts, enriched_counts) already sit at the front of the r4
-    # cohort that this window drains anyway.
-    "streaming_sessionize",
-    "streaming_sessionize_flush",
-    "streaming_value_ema",
-    "streaming_value_ema_ooo",
-    "streaming_full_outer_join",
-    "streaming_left_outer_join",
-    "streaming_click_purchase_join",
-    "streaming_kmv_distinct",
-    "streaming_topk_values",
-    "streaming_window_counts",
+    # ppm terms moved from raw BIGINT multiplication to a DECIMAL(38,0)
+    # grid with a lossless cast back to long (ADVICE r8: n_tokens·1e6
+    # wraps past ~9.2e12 total tokens in non-ANSI Spark while the oracle
+    # raises).  Output schema and values unchanged at every test SF; the
+    # driver row re-anchors the hash on the new expression tree.
+    "docs_mixture_weights",
+    # NOT listed: the r9 memo-locking restructure (plans/__init__
+    # _plan_lock, llmdata._shared_relation double-checked insert) sits
+    # under every memoized query but builds the IDENTICAL plan — the
+    # 50-slot window this round is spent draining the r5 cohort instead.
 }
+# Round-9 window math (VERDICT r8 item 1): 1 changed above + the entire
+# 38-query r5 cohort + 11 oldest-registered r6 entries = 50.  After it
+# lands, no registry query carries driver evidence older than r6.
 
 # Freshest driver-green round per query, DERIVED from the committed
 # CORRECTNESS_r*.json artifacts (latest green row wins; a row is green

@@ -484,8 +484,19 @@ def _shared_relation(
     key = (session_key(spark), sf_dir, query_name)
     with _shared_lock:
         df = _shared_memo.get(key)
+    if df is not None:
+        return df
+    # Build the plan OUTSIDE the lock: spark_fn may itself consume a
+    # shared relation (a nested source), and _shared_lock is
+    # non-reentrant — holding it across the build would self-deadlock
+    # (ADVICE r8; latent today, both sources are leaves).  Double-checked
+    # insert below keeps the r7 guarantee: only the winning thread
+    # persists, so persist_latest never unpersists a memoized handle and
+    # the loser's plan is discarded un-persisted (nothing to leak).
+    base = REGISTRY[query_name].spark_fn(spark, sf_dir).select(*cols)
+    with _shared_lock:
+        df = _shared_memo.get(key)
         if df is None:
-            base = REGISTRY[query_name].spark_fn(spark, sf_dir).select(*cols)
             df = persist_latest(
                 base, f"llmdata.shared::{query_name}::{sf_dir}"
             )
@@ -4555,22 +4566,41 @@ def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    return _mixture_report(per)
+
+
+def _mixture_report(per: DataFrame) -> DataFrame:
+    """ppm projection of the mixture report, factored out so the
+    overflow probe (tests/test_round9_infra.py) can drive the REAL
+    expressions with planted >9.2e12-token sources."""
     tot = per.agg(
         F.sum("n_tokens").cast("long").alias("tok_total"),
         F.sum("w_e6").cast("long").alias("w_total"),
     )
+    # ppm terms on a DECIMAL(38,0) grid (the events_concentration_report
+    # pattern): n_tokens·1e6 and w_e6·1e6 pass 2^63 near 9.2e12 total
+    # tokens — reachable at 100 TB — and non-ANSI Spark would wrap
+    # silently where the DuckDB oracle raises (ADVICE r8).  Quotients
+    # stay < 1e12, so the final cast back to BIGINT is lossless and the
+    # output schema (and hash) is unchanged.
     return (
         per.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("n_tokens * 1000000 DIV tok_total").alias("natural_ppm"),
-            F.expr("w_e6 * 1000000 DIV w_total").alias("weight_ppm"),
             F.expr(
-                "(w_e6 * 1000000 DIV w_total) * 1000000"
-                " DIV greatest(n_tokens * 1000000 DIV tok_total, 1)"
-            ).alias("boost_ppm"),
+                "CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV tok_total"
+            ).cast("long").alias("natural_ppm"),
+            F.expr(
+                "CAST(w_e6 AS DECIMAL(38,0)) * 1000000 DIV w_total"
+            ).cast("long").alias("weight_ppm"),
+            F.expr(
+                "(CAST(w_e6 AS DECIMAL(38,0)) * 1000000 DIV w_total)"
+                " * 1000000"
+                " DIV greatest(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+                "              DIV tok_total, 1)"
+            ).cast("long").alias("boost_ppm"),
         )
         .orderBy("source")
     )

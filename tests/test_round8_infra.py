@@ -167,11 +167,18 @@ def test_row_is_green(row, expect):
 # ---------------------------------------------------------------------------
 
 
-def test_shared_relation_concurrent_first_calls_build_once(spark):
+def test_shared_relation_concurrent_first_calls_persist_once(spark):
+    """r9 relaxation of the r8 build-once pin (ADVICE r8): the plan is
+    now built OUTSIDE _shared_lock (reentrancy-safe for nested shared
+    sources), so a lost race may build a second throwaway plan — the
+    invariant that matters is that persist_latest runs exactly once and
+    both threads receive the SAME memoized handle (no orphaned cache
+    entry, no consumer holding an unpersisted DataFrame)."""
     from data_engineering_etl_demo_spark.plans import REGISTRY, QuerySpec
     from data_engineering_etl_demo_spark.plans import llmdata
 
     calls = []
+    persists = []
     barrier = threading.Barrier(2)
 
     def builder(s, sf_dir):
@@ -185,7 +192,18 @@ def test_shared_relation_concurrent_first_calls_build_once(spark):
     REGISTRY[name] = QuerySpec(
         name=name, spark_fn=builder, oracle=None, doc="", module="test"
     )
+    # _shared_relation re-imports persist_latest from caching per call,
+    # so the patch must land on the caching module, not on llmdata
+    from data_engineering_etl_demo_spark.functions import caching
+
+    real_persist = caching.persist_latest
+
+    def counting_persist(df, slot, storage_level=None):
+        persists.append(slot)
+        return real_persist(df, slot, storage_level)
+
     results = []
+    caching.persist_latest = counting_persist
     try:
         def call():
             barrier.wait()
@@ -198,14 +216,61 @@ def test_shared_relation_concurrent_first_calls_build_once(spark):
         [t.start() for t in ts]
         [t.join() for t in ts]
     finally:
+        caching.persist_latest = real_persist
         REGISTRY.pop(name, None)
         # drop the memo entry so reruns in the same session rebuild
         for k in list(llmdata._shared_memo):
             if k[2] == name:
                 llmdata._shared_memo.pop(k).unpersist(blocking=False)
 
-    assert len(calls) == 1, "both threads built: the memo race is back"
+    assert 1 <= len(calls) <= 2  # lost race may build a throwaway plan
+    assert len(persists) == 1, "both threads persisted: the r7 race is back"
     assert results[0] is results[1]
+
+
+def test_shared_relation_nested_source_no_deadlock(spark):
+    """ADVICE r8: a shared-relation source that itself consumes a shared
+    relation must not self-deadlock on the non-reentrant _shared_lock.
+    The r9 build-outside-the-lock restructure makes nesting legal; pin it
+    with a bounded join so a regression fails fast instead of hanging."""
+    from data_engineering_etl_demo_spark.plans import REGISTRY, QuerySpec
+    from data_engineering_etl_demo_spark.plans import llmdata
+
+    inner_name = "_r9_test_nested_inner"
+    outer_name = "_r9_test_nested_outer"
+
+    def inner(s, sf_dir):
+        return s.range(3).toDF("doc_id")
+
+    def outer(s, sf_dir):
+        # nested shared-relation consumption — the latent r8 deadlock
+        return llmdata._shared_relation(s, sf_dir, inner_name, ("doc_id",))
+
+    REGISTRY[inner_name] = QuerySpec(
+        name=inner_name, spark_fn=inner, oracle=None, doc="", module="test"
+    )
+    REGISTRY[outer_name] = QuerySpec(
+        name=outer_name, spark_fn=outer, oracle=None, doc="", module="test"
+    )
+    out = []
+    try:
+        t = threading.Thread(
+            target=lambda: out.append(
+                llmdata._shared_relation(
+                    spark, "/tmp/r9nested", outer_name, ("doc_id",)
+                ).count()
+            )
+        )
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "nested shared-relation source deadlocked"
+        assert out == [3]
+    finally:
+        REGISTRY.pop(inner_name, None)
+        REGISTRY.pop(outer_name, None)
+        for k in list(llmdata._shared_memo):
+            if k[2] in (inner_name, outer_name):
+                llmdata._shared_memo.pop(k).unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
