@@ -667,3 +667,53 @@ def test_preference_pairs_matches_rank_window_reference(spark):
             for r in preference_pairs_from_scores(q_df).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_preference_pairs_survives_adversarial_cohort_skew(spark):
+    """VERDICT r8 item 7: pin the map-side-combine claim under adversarial
+    skew — ONE cohort holds 99% of a 10**6-doc corpus.  A plan without
+    partial aggregation would shuffle all 990k hot-cohort rows to a single
+    reducer; with partial max_by/min_by each map task pre-reduces its
+    partition to one struct per cohort, so the shuffle carries
+    O(partitions x cohorts) rows no matter how hot the key.  Pins: (a)
+    the physical plan contains the partial aggregate (map-side combine is
+    real, not assumed), (b) closed-form answers for the hot cohort and
+    every cold cohort."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        preference_pairs_from_scores,
+    )
+
+    n_hot, n_cold, k_cold = 990_000, 10_000, 100
+    # hot cohort: doc_id in [0, 990000), all-distinct quality = doc_id
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hot").alias("lang"),
+        F.lit(0).cast("long").alias("len_bucket"),
+        F.col("id").alias("q_e6"),
+    )
+    # 100 cold cohorts x 100 docs: cohort c = j % 100, tier = j // 100
+    cold = spark.range(n_cold).select(
+        (F.col("id") + n_hot).alias("doc_id"),
+        (F.col("id") % k_cold).cast("string").alias("lang"),
+        F.lit(0).cast("long").alias("len_bucket"),
+        ((F.col("id") / k_cold).cast("long") * 10_000).alias("q_e6"),
+    )
+    out = preference_pairs_from_scores(hot.unionByName(cold))
+
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in phys and "partial_min_by" in phys, (
+        f"map-side combine missing from the physical plan:\n{phys}"
+    )
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in opt and "Join" not in opt
+
+    rows = {r["lang"]: r for r in out.collect()}
+    assert len(rows) == 1 + k_cold
+    h = rows["hot"]
+    assert (h["chosen_doc"], h["rejected_doc"]) == (n_hot - 1, 0)
+    assert (h["chosen_q_e6"], h["rejected_q_e6"]) == (n_hot - 1, 0)
+    for c in range(k_cold):
+        r = rows[str(c)]
+        assert r["chosen_doc"] == n_hot + 99 * k_cold + c, r
+        assert r["rejected_doc"] == n_hot + c, r
+        assert r["gap_e6"] == 990_000, r
