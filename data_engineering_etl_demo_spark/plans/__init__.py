@@ -126,13 +126,16 @@ _CHANGED_THIS_ROUND: set[str] = {
     # raises).  Output schema and values unchanged at every test SF; the
     # driver row re-anchors the hash on the new expression tree.
     "docs_mixture_weights",
+    # same wrap class, found by the r9 proactive sweep: per-language
+    # corpus sums (n_bpe_tokens·1e6) moved to the DECIMAL(38,0) grid
+    "docs_tokenizer_fertility",
     # NOT listed: the r9 memo-locking restructure (plans/__init__
     # _plan_lock, llmdata._shared_relation double-checked insert) sits
     # under every memoized query but builds the IDENTICAL plan — the
     # 50-slot window this round is spent draining the r5 cohort instead.
 }
-# Round-9 window math (VERDICT r8 item 1): 1 changed above + the entire
-# 38-query r5 cohort + 11 oldest-registered r6 entries = 50.  After it
+# Round-9 window math (VERDICT r8 item 1): 2 changed above + the entire
+# 38-query r5 cohort + 10 oldest-registered r6 entries = 50.  After it
 # lands, no registry query carries driver evidence older than r6.
 
 # Freshest driver-green round per query, DERIVED from the committed

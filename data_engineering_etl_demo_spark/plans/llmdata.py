@@ -4474,8 +4474,9 @@ def q_embedding_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same text; the number that drives vocab-allocation decisions).  "
     "Uses the same ceil(len/4) BPE proxy as docs_token_stats, so the "
     "ratio is consistent with every token budget in the repo; integer "
-    "ppm via LONG cross-multiplication.  One scan, 5-key aggregate "
-    "with map-side partials.",
+    "ppm on a DECIMAL(38,0) grid (per-language corpus sums pass 2^63 "
+    "near 9.2e12 tokens).  One scan, 5-key aggregate with map-side "
+    "partials.",
 )
 def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir).select(
@@ -4483,19 +4484,32 @@ def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count(F.col("text")).alias("nw"),
         X.bpe_token_estimate(F.col("text")).alias("nb"),
     )
+    per = d.groupBy("lang").agg(
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+    )
+    return _fertility_report(per)
+
+
+def _fertility_report(per: DataFrame) -> DataFrame:
+    """ppm projection of the fertility report, factored out so the
+    overflow probe (tests/test_round9_infra.py) can drive the REAL
+    expression with planted >9.2e12-token languages."""
     return (
-        d.groupBy("lang")
-        .agg(
-            F.sum("nw").cast("long").alias("n_words"),
-            F.sum("nb").cast("long").alias("n_bpe_tokens"),
-        )
+        per
         .select(
             "lang",
             "n_words",
             "n_bpe_tokens",
+            # per-LANGUAGE corpus sums: n_bpe_tokens·1e6 wraps BIGINT past
+            # ~9.2e12 tokens in one language — the docs_mixture_weights
+            # class (ADVICE r8), so the product runs on the DECIMAL(38,0)
+            # grid; the quotient (~a small multiple of 1e6) casts back to
+            # BIGINT losslessly, schema and hash unchanged.
             F.expr(
-                "(n_bpe_tokens * 1000000) DIV greatest(n_words, 1)"
-            ).alias("fertility_ppm"),
+                "CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(n_words, 1)"
+            ).cast("long").alias("fertility_ppm"),
         )
         .orderBy("lang")
     )

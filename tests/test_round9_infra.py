@@ -142,3 +142,32 @@ def test_plan_memo_nested_builder_no_deadlock(spark):
         for k in list(plans._plan_memo):
             if k[0] in (inner_name, outer_name):
                 plans._plan_memo.pop(k, None)
+
+
+def test_fertility_ppm_exact_past_bigint_wrap(spark):
+    """r9 proactive sweep: docs_tokenizer_fertility has the same
+    per-cohort corpus-sum shape as docs_mixture_weights — one language
+    holding >9.2e12 BPE tokens wraps the raw BIGINT product.  Drive the
+    real projection (_fertility_report) with planted trillion-token
+    languages and assert exact arbitrary-precision results."""
+    from data_engineering_etl_demo_spark.plans.llmdata import (
+        _fertility_report,
+    )
+
+    rows = [
+        # (lang, n_words, n_bpe_tokens) — en alone crosses the wrap point
+        ("en", 10_000_000_000_000, 13_000_000_000_000),
+        ("zh", 2_500_000_000_000, 6_100_000_000_000),
+        ("sw", 40_000_000_000, 90_000_000_000),
+        ("empty", 0, 0),  # greatest(n_words, 1) guard
+    ]
+    per = spark.createDataFrame(
+        rows, "lang string, n_words long, n_bpe_tokens long"
+    )
+    got = {r["lang"]: r["fertility_ppm"]
+           for r in _fertility_report(per).collect()}
+    for lang, nw, nb in rows:
+        expect = nb * 1_000_000 // max(nw, 1)
+        assert got[lang] == expect, (lang, got[lang], expect)
+    assert rows[0][2] * 1_000_000 > 2**63 - 1  # probe really crosses wrap
+    assert got["en"] > 0  # the wrapped BIGINT plan goes negative here
