@@ -437,6 +437,11 @@ _SQL_DUP_CLUSTERS = f"""
 # is the real propagation cost) and refreshes this; downstream consumers
 # (docs_dedup_survivors) reuse the labels — the incremental cost a pipeline
 # actually pays, since components are computed once per corpus.
+# Deliberately UNLOCKED, unlike _shared_memo/_plan_memo (r8/r9 fixes):
+# the writer overwrites unconditionally (no get-then-build race to lose),
+# nothing here is persisted (no orphaned cache entry possible), the prune
+# iterates a list() snapshot, and a reader racing the write just takes the
+# recompute fallback — correct by design.
 _cc_labels_memo: dict[tuple, DataFrame] = {}
 
 # The near-dup PAIR relation, persisted once per (session, sf_dir) and
