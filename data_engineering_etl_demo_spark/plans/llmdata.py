@@ -4563,9 +4563,10 @@ def _fertility_report(per: DataFrame) -> DataFrame:
     "(sampled share / natural share).  α = 1/2 is deliberate: the "
     "weight is SQRT(n_tokens), which IEEE-754 rounds identically in "
     "every engine — the weight lands on an exact integer e6 grid "
-    "(floor(sqrt·1e6)) and all shares/boosts are LONG cross-"
-    "multiplications from there, so the report is bit-deterministic "
-    "at any parallelism (no libm pow in sight).  Plan: one scan + "
+    "(floor(sqrt·1e6)) and all shares/boosts are exact DECIMAL(38,0) "
+    "cross-multiplications from there (BIGINT would wrap past ~9.2e12 "
+    "total tokens), so the report is bit-deterministic at any "
+    "parallelism (no libm pow in sight).  Plan: one scan + "
     "per-source aggregate with map-side partials, then a broadcast "
     "1-row total — the same shape at 6 sources or 6000.",
 )
