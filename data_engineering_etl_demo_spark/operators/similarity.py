@@ -509,6 +509,12 @@ def lloyd_partials(
 
 
 N_LLOYD_ITERS = 2  # Lloyd refinements baked into the IVF-PQ index build
+# Deliberately UNLOCKED (unlike plans._plan_memo / llmdata._shared_memo,
+# which hold persisted/plan handles): training is a deterministic pure
+# function of the key (fixed-point int64 Lloyd sums), so a concurrent
+# double-build stores byte-identical values and nothing is persisted —
+# the only race cost is a wasted retrain, and every caller is
+# single-threaded (driver/bench/tests).
 _trained_cache: dict = {}
 
 
@@ -633,6 +639,8 @@ def sign_lsh_signature(
     return out.cast("long")
 
 
+#  Unlocked by design: immutable value per key, idempotent re-read on a
+#  lost race, and executor Python workers are separate processes anyway.
 _SIDE_CACHE: dict = {}  # executor-local: parquet path → (ids, matrix, ss)
 
 
