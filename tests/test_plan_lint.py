@@ -16,6 +16,7 @@ Streaming queries are exempt: building their plan runs the stream.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_etl_demo_spark.plans import all_specs
 
@@ -109,3 +110,40 @@ def test_scan_only_queries_push_filters_to_parquet(plans):
     schema = line.split("ReadSchema:")[1]
     # projection pruned: only the 4 referenced columns are read
     assert schema.count(":") <= 5, f"unpruned lineitem scan: {schema[:160]}"
+
+
+def test_declared_dim_broadcasts_survive_threshold_off(spark):
+    """The J1/J3 dim joins declare F.broadcast explicitly — at 100 TB the
+    fact side must never shuffle-sort against a dim whatever
+    autoBroadcastJoinThreshold says about the sampled stats.  Pin the
+    DECLARED hint by turning the threshold off entirely and asserting the
+    physical plan still broadcasts (a hint regression would silently plan
+    SortMergeJoin at scale while tiny-SF tests keep passing via the
+    threshold).  src_fn bypasses the plan memo so the plan is built under
+    this conf, not served from a default-conf cache."""
+    from data_engineering_etl_demo_spark.catalog import load
+    from data_engineering_etl_demo_spark.operators.transform import (
+        transform,
+    )
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # J3: events_preview's left join onto the customer dim
+        df = all_specs()["events_preview"].src_fn(spark, SF_DIR)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in phys, phys
+        assert "SortMergeJoin" not in phys, phys
+
+        # J1: transform's events <= users enrichment join
+        ev = load(spark, SF_DIR, "events")
+        users = ev.select(
+            F.col("user_id"), F.lit("seg").alias("segment")
+        ).distinct()
+        clean = transform(ev, users).clean
+        phys = clean._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in phys, phys
+        assert "SortMergeJoin" not in phys, phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
