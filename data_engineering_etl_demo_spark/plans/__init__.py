@@ -110,33 +110,27 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
     return wrap
 
 
-# Round-9 verification ordering.  The driver walks ``queries()`` in dict
+# Round-10 verification ordering.  The driver walks ``queries()`` in dict
 # order and stops after ~50 of the registered queries, so ordering decides
-# which queries get hard-signal rows.  Principle (rounds 3-8, restated by
-# VERDICT r8 item 1): order by EVIDENCE STALENESS OF THE CURRENT
+# which queries get hard-signal rows.  Principle (rounds 3-9, restated by
+# VERDICT r9 item 1): order by EVIDENCE STALENESS OF THE CURRENT
 # IMPLEMENTATION — queries changed this round first (their old green rows
 # no longer cover the code), then ascending by the round of each query's
 # freshest driver green (the _LATEST_GREEN map below, computed from the
-# CORRECTNESS_r01..r08 union, distribution r5×38 / r6×41 / r7×48 / r8×50).
+# CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
 _CHANGED_THIS_ROUND: set[str] = {
-    # ppm terms moved from raw BIGINT multiplication to a DECIMAL(38,0)
-    # grid with a lossless cast back to long (ADVICE r8: n_tokens·1e6
-    # wraps past ~9.2e12 total tokens in non-ANSI Spark while the oracle
-    # raises).  Output schema and values unchanged at every test SF; the
-    # driver row re-anchors the hash on the new expression tree.
-    "docs_mixture_weights",
-    # same wrap class, found by the r9 proactive sweep: per-language
-    # corpus sums (n_bpe_tokens·1e6) moved to the DECIMAL(38,0) grid
-    "docs_tokenizer_fertility",
-    # NOT listed: the r9 memo-locking restructure (plans/__init__
-    # _plan_lock, llmdata._shared_relation double-checked insert) sits
-    # under every memoized query but builds the IDENTICAL plan — the
-    # 50-slot window this round is spent draining the r5 cohort instead.
+    # Round-10 start: scripts_changed_queries.py reports zero changed
+    # builders vs the r9 closing snapshot, so the full 50-slot window
+    # drains stale evidence.  A query only enters this set when its
+    # builder source (or a shared helper it provably flows through)
+    # changes in-round; each entry displaces one slot from the drain
+    # tail per the established rule.
 }
-# Round-9 window math (VERDICT r8 item 1): 2 changed above + the entire
-# 38-query r5 cohort + 10 oldest-registered r6 entries = 50.  After it
-# lands, no registry query carries driver evidence older than r6.
+# Round-10 window math (VERDICT r9 item 1): the entire 30-query
+# r6-evidence cohort + the 20 oldest-registered r7 entries = 50.  After
+# it lands, no registry query carries driver evidence older than r7
+# (distribution becomes r7×28 / r8×49 / r9×50 / r10×50).
 
 # Freshest driver-green round per query, DERIVED from the committed
 # CORRECTNESS_r*.json artifacts (latest green row wins; a row is green
