@@ -65,6 +65,66 @@ def _prune_dead_sessions() -> None:
     prune_dead_memo(_live)
 
 
+def build_once(memo: dict, inflight: dict, lock, key, build, finalize=None):
+    """Memoized build with per-key IN-FLIGHT dedup: exactly one thread
+    runs ``build`` per key; concurrent first callers wait for the
+    winner's stored result instead of double-building.
+
+    Why waiting beats the plain double-checked insert (ADVICE r9): several
+    registered builders call :func:`persist_latest` INTERNALLY, so a
+    losing concurrent build re-enters the winner's persist slot and
+    unpersists the handle the memo just stored — the memoized winner then
+    silently recomputes while the loser's persisted copy sits unreferenced
+    in ``_live`` until the slot's next rebuild.  De-duplicating the build
+    kills that churn at the source instead of documenting it.
+
+    Contract:
+
+    - ``build()`` runs OUTSIDE ``lock`` — builders may consume other
+      memoized relations guarded by the same lock (the dup_clusters →
+      near_dup composition shape), and the locks here are non-reentrant.
+    - The builder graph across keys must stay ACYCLIC.  That is not a new
+      constraint: a key cycle under the old double-build would recurse
+      without bound.  (Today: plan-memo nesting is one-directional and
+      the llmdata shared sources are leaves.)
+    - A re-entrant same-key call from the OWNING thread falls through to
+      a direct un-memoized build — waiting on its own event would
+      self-deadlock.  Defensive only; no current builder self-references.
+    - If ``build`` (or ``finalize``) raises, the in-flight marker is
+      cleared and waiters retry — one becomes the new builder, the rest
+      re-wait; the exception propagates to the failed builder's caller.
+    - ``finalize(df)``, when given, runs under ``lock`` on the winner's
+      result before insertion (persist + prune at the call sites); its
+      return value is what gets memoized and returned.
+    """
+    me = threading.get_ident()
+    while True:
+        with lock:
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+            entry = inflight.get(key)
+            if entry is None:
+                ev = threading.Event()
+                inflight[key] = (me, ev)
+                break  # this thread is the builder
+            owner, ev = entry
+            if owner == me:
+                return build()  # re-entrant same-key: build directly
+        ev.wait()
+        # winner finished (or failed) — loop re-checks memo / in-flight
+    try:
+        built = build()
+        with lock:
+            result = finalize(built) if finalize is not None else built
+            memo[key] = result
+        return result
+    finally:
+        with lock:
+            inflight.pop(key, None)
+        ev.set()
+
+
 def persist_latest(df: DataFrame, slot: str, storage_level=None) -> DataFrame:
     """persist() with at most one live cached instance per (slot, session).
     Locked: an unsynchronized get-then-set would let two concurrent

@@ -52,11 +52,15 @@ _plan_memo: dict[tuple, DataFrame] = {}
 # insert).  Held ONLY around dict operations, never across fn(): builders
 # may call other registered spark_fns (e.g. dup_clusters → near_dup) and
 # llmdata's shared-relation path, so holding a non-reentrant lock across
-# the build would self-deadlock.  Double-checked insert: a lost race
-# discards an un-persisted plan object — nothing to leak.
+# the build would self-deadlock.  Concurrent first calls are de-duplicated
+# per key via caching.build_once's in-flight map (ADVICE r9: several
+# builders call persist_latest internally, so a losing double-build would
+# re-enter the winner's persist slot and unpersist the memoized handle —
+# losers now WAIT for the winner instead of rebuilding).
 import threading as _threading  # noqa: E402
 
 _plan_lock = _threading.Lock()
+_plan_inflight: dict[tuple, tuple] = {}  # key -> (owner thread id, Event)
 
 
 def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = True):
@@ -65,34 +69,34 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 
             def memo_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 from data_engineering_etl_demo_spark.catalog import session_key
+                from data_engineering_etl_demo_spark.functions.caching import (
+                    build_once,
+                    prune_dead_memo,
+                )
 
                 # applicationId, not id(spark): a stopped+restarted session
                 # can reuse the same object address, which would serve a
                 # stale analyzed plan from the dead context
                 key = (name, session_key(spark), sf_dir)
-                with _plan_lock:
-                    df = _plan_memo.get(key)
-                if df is None:
-                    # build OUTSIDE the lock (see _plan_lock note above)
-                    built = fn(spark, sf_dir)
-                    with _plan_lock:
-                        df = _plan_memo.get(key)
-                        if df is None:
-                            df = built
-                            _plan_memo[key] = df
-                            # memo-miss = possibly a fresh session: drop
-                            # entries whose session has stopped, so a
-                            # session-cycling driver doesn't pin dead plan
-                            # handles forever (ADVICE r5/r6 leak class);
-                            # the classification — including the Connect-
-                            # session exemption — lives in ONE place now
-                            # (ADVICE r7)
-                            from data_engineering_etl_demo_spark.functions.caching import (  # noqa: E501
-                                prune_dead_memo,
-                            )
 
-                            prune_dead_memo(_plan_memo, keep_key=key)
-                return df
+                def _finalize(df: DataFrame) -> DataFrame:
+                    # memo-miss = possibly a fresh session: drop entries
+                    # whose session has stopped, so a session-cycling
+                    # driver doesn't pin dead plan handles forever
+                    # (ADVICE r5/r6 leak class); the classification —
+                    # including the Connect-session exemption — lives in
+                    # ONE place (ADVICE r7)
+                    prune_dead_memo(_plan_memo, keep_key=key)
+                    return df
+
+                return build_once(
+                    _plan_memo,
+                    _plan_inflight,
+                    _plan_lock,
+                    key,
+                    lambda: fn(spark, sf_dir),
+                    _finalize,
+                )
 
             spark_fn = memo_fn
         else:

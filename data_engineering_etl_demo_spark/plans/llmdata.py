@@ -469,10 +469,14 @@ from data_engineering_etl_demo_spark.functions.caching import (  # noqa: E402
 # the memo could end up holding the UNPERSISTED DataFrame so consumers
 # silently recompute (ADVICE r7).  A dedicated lock, NOT caching._lock —
 # persist_latest acquires that one internally, so sharing it would
-# self-deadlock (threading.Lock is not reentrant).
+# self-deadlock (threading.Lock is not reentrant).  Concurrent first
+# calls are de-duplicated per key via caching.build_once (ADVICE r9:
+# spark_fn may itself persist internally, so a losing double-build would
+# churn the winner's persist slot — losers now wait instead).
 import threading as _threading  # noqa: E402
 
 _shared_lock = _threading.Lock()
+_shared_inflight: dict[tuple, tuple] = {}  # key -> (owner thread id, Event)
 
 
 def _shared_relation(
@@ -487,27 +491,30 @@ def _shared_relation(
     from data_engineering_etl_demo_spark.plans import REGISTRY
 
     key = (session_key(spark), sf_dir, query_name)
-    with _shared_lock:
-        df = _shared_memo.get(key)
-    if df is not None:
-        return df
-    # Build the plan OUTSIDE the lock: spark_fn may itself consume a
-    # shared relation (a nested source), and _shared_lock is
+
+    # build_once runs the build OUTSIDE the lock: spark_fn may itself
+    # consume a shared relation (a nested source), and _shared_lock is
     # non-reentrant — holding it across the build would self-deadlock
-    # (ADVICE r8; latent today, both sources are leaves).  Double-checked
-    # insert below keeps the r7 guarantee: only the winning thread
-    # persists, so persist_latest never unpersists a memoized handle and
-    # the loser's plan is discarded un-persisted (nothing to leak).
-    base = REGISTRY[query_name].spark_fn(spark, sf_dir).select(*cols)
-    with _shared_lock:
-        df = _shared_memo.get(key)
-        if df is None:
-            df = persist_latest(
-                base, f"llmdata.shared::{query_name}::{sf_dir}"
-            )
-            _shared_memo[key] = df
-            _prune_dead_memo(_shared_memo, keep_key=key)
-    return df
+    # (ADVICE r8; latent today, both sources are leaves).  The in-flight
+    # map strengthens the r7 guarantee: exactly ONE thread builds and
+    # persists per key (concurrent first callers wait), so persist_latest
+    # never unpersists a memoized handle and no throwaway build ever
+    # touches the persist slot (ADVICE r9).
+    def _finalize(base: DataFrame) -> DataFrame:
+        df = persist_latest(base, f"llmdata.shared::{query_name}::{sf_dir}")
+        _prune_dead_memo(_shared_memo, keep_key=key)
+        return df
+
+    from data_engineering_etl_demo_spark.functions.caching import build_once
+
+    return build_once(
+        _shared_memo,
+        _shared_inflight,
+        _shared_lock,
+        key,
+        lambda: REGISTRY[query_name].spark_fn(spark, sf_dir).select(*cols),
+        _finalize,
+    )
 
 
 def _near_dup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,12 +168,13 @@ def test_row_is_green(row, expect):
 
 
 def test_shared_relation_concurrent_first_calls_persist_once(spark):
-    """r9 relaxation of the r8 build-once pin (ADVICE r8): the plan is
-    now built OUTSIDE _shared_lock (reentrancy-safe for nested shared
-    sources), so a lost race may build a second throwaway plan — the
-    invariant that matters is that persist_latest runs exactly once and
-    both threads receive the SAME memoized handle (no orphaned cache
-    entry, no consumer holding an unpersisted DataFrame)."""
+    """r10 re-tightening of the r8 build-once pin: the plan is built
+    OUTSIDE _shared_lock (reentrancy-safe for nested shared sources) but
+    caching.build_once's in-flight map de-duplicates concurrent first
+    calls (ADVICE r9) — so the build runs EXACTLY once, persist_latest
+    runs exactly once, and both threads receive the SAME memoized handle
+    (no orphaned cache entry, no consumer holding an unpersisted
+    DataFrame, no throwaway build churning the persist slot)."""
     from data_engineering_etl_demo_spark.plans import REGISTRY, QuerySpec
     from data_engineering_etl_demo_spark.plans import llmdata
 
@@ -223,7 +224,10 @@ def test_shared_relation_concurrent_first_calls_persist_once(spark):
             if k[2] == name:
                 llmdata._shared_memo.pop(k).unpersist(blocking=False)
 
-    assert 1 <= len(calls) <= 2  # lost race may build a throwaway plan
+    assert len(calls) == 1, (
+        "concurrent first calls double-built: build_once in-flight dedup "
+        "regressed (ADVICE r9)"
+    )
     assert len(persists) == 1, "both threads persisted: the r7 race is back"
     assert results[0] is results[1]
 

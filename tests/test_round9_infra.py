@@ -65,9 +65,12 @@ def test_mixture_ppm_exact_past_bigint_wrap(spark):
 
 def test_plan_memo_concurrent_first_calls_single_entry(spark):
     """ADVICE r8: the unlocked check-build-prune let two concurrent
-    misses interleave the prune's pops with an insert.  Under _plan_lock
-    a lost race may build a throwaway plan, but exactly one handle is
-    stored and every caller receives it."""
+    misses interleave the prune's pops with an insert.  r10 (ADVICE r9):
+    caching.build_once's in-flight map de-duplicates the build itself —
+    exactly ONE builder invocation, one stored handle, every caller
+    receives it (losers wait instead of building a throwaway plan that
+    could churn persist_latest slots for internally-persisting
+    builders)."""
     from data_engineering_etl_demo_spark import plans
 
     calls = []
@@ -99,7 +102,10 @@ def test_plan_memo_concurrent_first_calls_single_entry(spark):
             if k[0] == name:
                 plans._plan_memo.pop(k, None)
 
-    assert 1 <= len(calls) <= 4
+    assert len(calls) == 1, (
+        "concurrent first calls double-built: build_once in-flight dedup "
+        "regressed (ADVICE r9)"
+    )
     assert len(results) == 4
     assert all(r is results[0] for r in results), (
         "callers diverged: memo returned different handles"
