@@ -127,7 +127,13 @@ def test_declared_dim_broadcasts_survive_threshold_off(spark):
     )
     from data_engineering_etl_demo_spark.plans import all_specs
 
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    # Restore-to-unset (ADVICE r9): pinning an explicit '10MB' on exit
+    # would mask a later session-level default differing from Spark's
+    # built-in.  conf.get(key, None) returns None unless the key was
+    # EXPLICITLY set (defaults don't count), so None is the exact
+    # "was unset" sentinel; a non-str sentinel object is rejected by
+    # PySpark's type check.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         # J3: events_preview's left join onto the customer dim
@@ -146,4 +152,7 @@ def test_declared_dim_broadcasts_survive_threshold_off(spark):
         assert "BroadcastHashJoin" in phys, phys
         assert "SortMergeJoin" not in phys, phys
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
