@@ -1,0 +1,135 @@
+"""Driver-materialization lint (r10, companion to the BIGINT-grid lint):
+every `.collect()`, `.toPandas()`, and `.coalesce(1)` in the package is a
+potential 100 TB scale-killer — an unbounded collect OOMs the driver, and
+a coalesce(1) funnels the whole relation through one task.  The r1-r9
+reviews audited each site by hand; this test makes the audit structural.
+
+Every site must be allowlisted under one of:
+
+  post-aggregate-bounded  collect/first of an AGGREGATE whose cardinality
+                          is fixed by construction (1-row min/max or
+                          counters, <= n_cells Lloyd partials, <= (C+1)(C+2)
+                          Markov transition counts, <= 16-row centroid
+                          reports coalesced instead of globally sorted)
+  partition-metadata      rows are one-per-touched-partition/file (merge
+                          partition pruning, per-file ingest counters) —
+                          O(#partitions), not O(#rows)
+  fitted-model-constants  the fitted-model / query-set constants a
+                          distributed assignment closes over (IVF seed
+                          centroids <= n_cells, ANN query set <= N_IVF_Q)
+  threshold-gated         a driver fast path behind an explicit edge/seed
+                          count threshold; larger graphs take the
+                          distributed BSP route instead
+  tiny-export-parity      the reference's single-file CSV export (SURVEY
+                          S7) — parity behavior, documented as confined
+                          to tiny exports
+  test-fixture-staging    builds replay fixtures for the streaming tests
+                          at test SF only; never on a production path
+
+A NEW collect/toPandas/coalesce(1) fails until classified here — so the
+next contributor's driver-side loop is caught in review, not on the
+cluster.  Keys are (package-relative path, stripped source line): stable
+across line drift, re-classified on any content edit; stale entries fail.
+"""
+
+import os
+import re
+from collections import Counter
+
+_PKG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data_engineering_etl_demo_spark",
+)
+
+_PAT = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.coalesce\(1\)")
+
+_CATEGORIES = {
+    "post-aggregate-bounded",
+    "partition-metadata",
+    "fitted-model-constants",
+    "threshold-gated",
+    "tiny-export-parity",
+    "test-fixture-staging",
+}
+
+_ALLOWLIST = {
+    ("operators/graph.py", "for row in cur.collect():"): "threshold-gated",
+    ("operators/graph.py", "node_list = [r[0] for r in nodes.collect()]"):
+        "threshold-gated",
+    ("operators/graph.py", "for r in ed.collect():"): "threshold-gated",
+    ("operators/graph.py", "hop = {r[0]: 0 for r in sd.collect()}"):
+        "threshold-gated",
+    ("operators/layout.py", ").collect()[0]"): "post-aggregate-bounded",
+    ("operators/similarity.py",
+     "corpus.filter(F.col(id_col) < n_cells).select(id_col, vec_col)"
+     ".collect(),"): "fitted-model-constants",
+    ("operators/similarity.py",
+     "queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]"):
+        "fitted-model-constants",
+    ("operators/similarity.py", ".collect()"): "post-aggregate-bounded",
+    ("operators/warehouse.py",
+     "for r in updates.select(partition_by).distinct().collect()"):
+        "partition-metadata",
+    ("operators/warehouse.py", ".collect()"): "partition-metadata",
+    ("operators/warehouse.py",
+     "base = existing.agg(F.max(id_col)).collect()[0][0] or 0"):
+        "post-aggregate-bounded",
+    ("plans/llmdata.py", ".coalesce(1)"): "post-aggregate-bounded",
+    ("plans/timeseries.py",
+     "rows = [(r.src, r.dst, r.n) for r in counts.collect()]"):
+        "post-aggregate-bounded",
+    ("plans/streaming_plans.py",
+     'tagged.filter(F.col("_f") == k).drop("_f").coalesce(1).write.mode('):
+        "test-fixture-staging",
+    ("sources/ingest.py",
+     'counts = txt.groupBy("_file", "_pid").count().collect()'):
+        "partition-metadata",
+    ("sources/ingest.py",
+     'df.coalesce(1).write.mode("overwrite").option("header", True)'
+     ".csv(path)"): "tiny-export-parity",
+    ("sources/ecommerce_loader.py",
+     "stats = intl_loader_stats(df).collect()[0].asDict()"):
+        "post-aggregate-bounded",
+    ("sources/ecommerce_loader.py",
+     "stats = amazon_loader_stats(df).collect()[0].asDict()"):
+        "post-aggregate-bounded",
+}
+
+
+def _scan():
+    found = Counter()
+    for root, _dirs, files in os.walk(_PKG_DIR):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, _PKG_DIR).replace(os.sep, "/")
+            with open(path) as f:
+                for line in f:
+                    if _PAT.search(line):
+                        found[(rel, line.strip())] += 1
+    return found
+
+
+def test_allowlist_categories_are_known():
+    bad = {k: v for k, v in _ALLOWLIST.items() if v not in _CATEGORIES}
+    assert not bad, f"unknown classification(s): {bad}"
+
+
+def test_every_driver_materialization_is_classified():
+    found = _scan()
+    new = [k for k in found if k not in _ALLOWLIST]
+    assert not new, (
+        "unclassified driver-materialization site(s): a collect/"
+        "toPandas/coalesce(1) must be bounded by construction and "
+        f"classified in this allowlist before it ships: {new}"
+    )
+
+
+def test_allowlist_has_no_stale_entries():
+    found = _scan()
+    stale = [k for k in _ALLOWLIST if k not in found]
+    assert not stale, (
+        "allowlist entries matching no current source line (site removed "
+        f"or edited — re-classify the new form): {stale}"
+    )
