@@ -123,14 +123,14 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-_CHANGED_THIS_ROUND: set[str] = {
-    # Round-10 start: scripts_changed_queries.py reports zero changed
-    # builders vs the r9 closing snapshot, so the full 50-slot window
-    # drains stale evidence.  A query only enters this set when its
-    # builder source (or a shared helper it provably flows through)
-    # changes in-round; each entry displaces one slot from the drain
-    # tail per the established rule.
-}
+# Round-10 start: scripts_changed_queries.py reports zero changed
+# builders vs the r9 closing snapshot, so the full 50-slot window drains
+# stale evidence.  A query only enters this set when its builder source
+# (or a shared helper it provably flows through) changes in-round; each
+# entry displaces one slot from the drain tail per the established rule.
+# (set(), not {}: an empty brace literal is a dict and breaks the
+# set-algebra the rotation tests do.)
+_CHANGED_THIS_ROUND: set[str] = set()
 # Round-10 window math (VERDICT r9 item 1): the entire 30-query
 # r6-evidence cohort + the 20 oldest-registered r7 entries = 50.  After
 # it lands, no registry query carries driver evidence older than r7

@@ -62,9 +62,14 @@ def test_verify_order_puts_stale_evidence_first():
         if n in _CHANGED_THIS_ROUND or n not in _LATEST_GREEN
     ]
     rest = [n for n in names if n not in front]
-    assert front and rest
-    pos = {n: i for i, n in enumerate(names)}
-    assert max(pos[n] for n in front) < min(pos[n] for n in rest)
+    # an EMPTY front is legitimate at a pure drain round (r10: zero
+    # changed builders, every registry query already driver-checked) —
+    # then the nondecreasing-staleness property below is the whole
+    # contract; when a front exists it must precede every evidenced query
+    assert rest
+    if front:
+        pos = {n: i for i, n in enumerate(names)}
+        assert max(pos[n] for n in front) < min(pos[n] for n in rest)
     rounds = [_LATEST_GREEN[n] for n in rest]
     assert rounds == sorted(rounds)
     # the staleness map covers several distinct evidence rounds, or the
