@@ -90,6 +90,10 @@ def build_once(memo: dict, inflight: dict, lock, key, build, finalize=None):
     - A re-entrant same-key call from the OWNING thread falls through to
       a direct un-memoized build — waiting on its own event would
       self-deadlock.  Defensive only; no current builder self-references.
+      That direct build ALSO runs outside ``lock`` (ADVICE r10): a
+      self-referencing builder that consumes any other memoized key
+      guarded by the same non-reentrant lock would otherwise block on
+      the lock its own frame still holds.
     - If ``build`` (or ``finalize``) raises, the in-flight marker is
       cleared and waiters retry — one becomes the new builder, the rest
       re-wait; the exception propagates to the failed builder's caller.
@@ -99,6 +103,7 @@ def build_once(memo: dict, inflight: dict, lock, key, build, finalize=None):
     """
     me = threading.get_ident()
     while True:
+        reentrant = False
         with lock:
             hit = memo.get(key)
             if hit is not None:
@@ -109,8 +114,13 @@ def build_once(memo: dict, inflight: dict, lock, key, build, finalize=None):
                 inflight[key] = (me, ev)
                 break  # this thread is the builder
             owner, ev = entry
-            if owner == me:
-                return build()  # re-entrant same-key: build directly
+            reentrant = owner == me
+        if reentrant:
+            # Re-entrant same-key call: build directly, OUTSIDE the lock
+            # (per the contract above) — under the lock, a self-
+            # referencing builder that touches any other key guarded by
+            # the same lock would deadlock on its own frame (ADVICE r10).
+            return build()
         ev.wait()
         # winner finished (or failed) — loop re-checks memo / in-flight
     try:

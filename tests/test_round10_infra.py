@@ -146,6 +146,55 @@ def test_build_once_reentrant_same_key_builds_directly():
     assert not inflight
 
 
+def test_build_once_reentrant_build_runs_outside_the_lock():
+    """ADVICE r10: the re-entrant same-key fallback must release ``lock``
+    BEFORE calling build() — the old shape called it inside the
+    ``with lock:`` block, so a self-referencing builder that also
+    consumes any OTHER memoized key guarded by the same non-reentrant
+    lock (the dup_clusters→near_dup composition shape) deadlocked on its
+    own frame.  This test reproduces exactly that: the re-entrant branch
+    of key "a" nests a build_once on key "b" under the SAME lock; with
+    the bug it hangs, with the fix it completes."""
+    from data_engineering_etl_demo_spark.functions.caching import build_once
+
+    memo: dict = {}
+    inflight: dict = {}
+    lock = threading.Lock()
+    depth = {"n": 0}
+
+    def build_b():
+        return "b-leaf"
+
+    def build_a():
+        depth["n"] += 1
+        if depth["n"] == 1:
+            # Same-key re-entry -> falls through to a direct build of
+            # build_a, whose second frame then needs the SAME lock for
+            # key "b".  Held-lock re-entry would block here forever.
+            inner = build_once(memo, inflight, lock, "a", build_a)
+            assert inner == "a-leaf"
+            return "a-outer"
+        other = build_once(memo, inflight, lock, "b", build_b)
+        assert other == "b-leaf"
+        return "a-leaf"
+
+    done: dict = {}
+    t = threading.Thread(
+        target=lambda: done.setdefault(
+            "r", build_once(memo, inflight, lock, "a", build_a)
+        )
+    )
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), (
+        "re-entrant build ran under the held lock and deadlocked on a "
+        "nested same-lock key"
+    )
+    assert done["r"] == "a-outer"
+    assert memo == {"a": "a-outer", "b": "b-leaf"}
+    assert not inflight
+
+
 def test_build_once_memo_hit_skips_builder():
     """A populated memo returns without touching the builder or the
     in-flight map — the hot path stays a single locked dict read."""
