@@ -252,6 +252,40 @@ def test_allowlist_has_no_stale_entries():
     )
 
 
+# Expected occurrence count per allowlist key — 1 unless listed here.
+# Closes the ADVICE r10 gap: keys are (file, stripped line), so a NEW
+# widening multiply whose stripped text equals an existing entry (e.g.
+# another `* 1000000` in the same file matching a generic key) would
+# otherwise ride the old classification silently.  Any added or removed
+# occurrence of an allowlisted line now fails until re-adjudicated.
+_EXPECTED_MULTI = {
+    ("streaming_plans.py",
+     'F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),'): 3,
+    ("timeseries.py",
+     "CAST(ROUND(COALESCE(value, 0) * 1000000) AS BIGINT) AS v_f"): 3,
+    ("timeseries.py",
+     'F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)'): 3,
+    ("tpch.py",
+     "CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT))"): 2,
+}
+
+
+def test_allowlist_occurrence_counts_match():
+    found = _scan()
+    drift = {
+        k: (_EXPECTED_MULTI.get(k, 1), found.get(k, 0))
+        for k in _ALLOWLIST
+        if found.get(k, 0) != _EXPECTED_MULTI.get(k, 1)
+    }
+    assert not drift, (
+        "BIGINT-grid occurrence drift (key: expected, found) — a new "
+        "occurrence of an allowlisted line must be re-adjudicated, not "
+        f"inherit the old classification: {drift}"
+    )
+    unknown = set(_EXPECTED_MULTI) - set(_ALLOWLIST)
+    assert not unknown, f"_EXPECTED_MULTI keys not in allowlist: {unknown}"
+
+
 @pytest.mark.parametrize("needle", ["decimal-grid", "oracle-only"])
 def test_audited_categories_still_present(needle):
     """The grid and oracle-raises categories are load-bearing in the

@@ -52,47 +52,54 @@ _CATEGORIES = {
     "test-fixture-staging",
 }
 
+# Value = (category, expected occurrence count).  The count closes the
+# ADVICE r10 gap: keys are (path, stripped line), so a NEW site whose
+# stripped text happens to equal an existing generic entry (a second
+# bare `.collect()` in the same file) would otherwise inherit the old
+# classification silently.  With counts pinned, any added or removed
+# occurrence of an allowlisted line fails until re-adjudicated.
 _ALLOWLIST = {
-    ("operators/graph.py", "for row in cur.collect():"): "threshold-gated",
+    ("operators/graph.py", "for row in cur.collect():"):
+        ("threshold-gated", 1),
     ("operators/graph.py", "node_list = [r[0] for r in nodes.collect()]"):
-        "threshold-gated",
-    ("operators/graph.py", "for r in ed.collect():"): "threshold-gated",
+        ("threshold-gated", 1),
+    ("operators/graph.py", "for r in ed.collect():"): ("threshold-gated", 1),
     ("operators/graph.py", "hop = {r[0]: 0 for r in sd.collect()}"):
-        "threshold-gated",
-    ("operators/layout.py", ").collect()[0]"): "post-aggregate-bounded",
+        ("threshold-gated", 1),
+    ("operators/layout.py", ").collect()[0]"): ("post-aggregate-bounded", 1),
     ("operators/similarity.py",
      "corpus.filter(F.col(id_col) < n_cells).select(id_col, vec_col)"
-     ".collect(),"): "fitted-model-constants",
+     ".collect(),"): ("fitted-model-constants", 1),
     ("operators/similarity.py",
      "queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]"):
-        "fitted-model-constants",
-    ("operators/similarity.py", ".collect()"): "post-aggregate-bounded",
+        ("fitted-model-constants", 1),
+    ("operators/similarity.py", ".collect()"): ("post-aggregate-bounded", 1),
     ("operators/warehouse.py",
      "for r in updates.select(partition_by).distinct().collect()"):
-        "partition-metadata",
-    ("operators/warehouse.py", ".collect()"): "partition-metadata",
+        ("partition-metadata", 1),
+    ("operators/warehouse.py", ".collect()"): ("partition-metadata", 2),
     ("operators/warehouse.py",
      "base = existing.agg(F.max(id_col)).collect()[0][0] or 0"):
-        "post-aggregate-bounded",
-    ("plans/llmdata.py", ".coalesce(1)"): "post-aggregate-bounded",
+        ("post-aggregate-bounded", 1),
+    ("plans/llmdata.py", ".coalesce(1)"): ("post-aggregate-bounded", 1),
     ("plans/timeseries.py",
      "rows = [(r.src, r.dst, r.n) for r in counts.collect()]"):
-        "post-aggregate-bounded",
+        ("post-aggregate-bounded", 1),
     ("plans/streaming_plans.py",
      'tagged.filter(F.col("_f") == k).drop("_f").coalesce(1).write.mode('):
-        "test-fixture-staging",
+        ("test-fixture-staging", 1),
     ("sources/ingest.py",
      'counts = txt.groupBy("_file", "_pid").count().collect()'):
-        "partition-metadata",
+        ("partition-metadata", 1),
     ("sources/ingest.py",
      'df.coalesce(1).write.mode("overwrite").option("header", True)'
-     ".csv(path)"): "tiny-export-parity",
+     ".csv(path)"): ("tiny-export-parity", 1),
     ("sources/ecommerce_loader.py",
      "stats = intl_loader_stats(df).collect()[0].asDict()"):
-        "post-aggregate-bounded",
+        ("post-aggregate-bounded", 1),
     ("sources/ecommerce_loader.py",
      "stats = amazon_loader_stats(df).collect()[0].asDict()"):
-        "post-aggregate-bounded",
+        ("post-aggregate-bounded", 1),
 }
 
 
@@ -112,8 +119,18 @@ def _scan():
 
 
 def test_allowlist_categories_are_known():
-    bad = {k: v for k, v in _ALLOWLIST.items() if v not in _CATEGORIES}
-    assert not bad, f"unknown classification(s): {bad}"
+    bad = {
+        k: v
+        for k, v in _ALLOWLIST.items()
+        if not (
+            isinstance(v, tuple)
+            and len(v) == 2
+            and v[0] in _CATEGORIES
+            and isinstance(v[1], int)
+            and v[1] >= 1
+        )
+    }
+    assert not bad, f"malformed classification(s), want (category, n): {bad}"
 
 
 def test_every_driver_materialization_is_classified():
@@ -123,6 +140,23 @@ def test_every_driver_materialization_is_classified():
         "unclassified driver-materialization site(s): a collect/"
         "toPandas/coalesce(1) must be bounded by construction and "
         f"classified in this allowlist before it ships: {new}"
+    )
+
+
+def test_allowlist_occurrence_counts_match():
+    """ADVICE r10: a new occurrence of an already-allowlisted stripped
+    line (a second bare `.collect()` in the same file) must fail until
+    re-adjudicated, not ride the old classification — so the expected
+    occurrence count is part of the allowlist entry."""
+    found = _scan()
+    drift = {
+        k: (exp, found.get(k, 0))
+        for k, (_cat, exp) in _ALLOWLIST.items()
+        if found.get(k, 0) != exp
+    }
+    assert not drift, (
+        "driver-materialization occurrence drift (key: expected, found) — "
+        f"re-adjudicate each site and update the count: {drift}"
     )
 
 
