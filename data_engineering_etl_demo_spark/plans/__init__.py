@@ -123,18 +123,42 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-10 start: scripts_changed_queries.py reports zero changed
-# builders vs the r9 closing snapshot, so the full 50-slot window drains
+# Round-11 start: scripts_changed_queries.py reports zero changed
+# builders vs the r10 closing snapshot, so the full 50-slot window drains
 # stale evidence.  A query only enters this set when its builder source
 # (or a shared helper it provably flows through) changes in-round; each
 # entry displaces one slot from the drain tail per the established rule.
 # (set(), not {}: an empty brace literal is a dict and breaks the
 # set-algebra the rotation tests do.)
 _CHANGED_THIS_ROUND: set[str] = set()
-# Round-10 window math (VERDICT r9 item 1): the entire 30-query
-# r6-evidence cohort + the 20 oldest-registered r7 entries = 50.  After
-# it lands, no registry query carries driver evidence older than r7
-# (distribution becomes r7×28 / r8×49 / r9×50 / r10×50).
+# Round-11 window math (VERDICT r10 item 1): the entire 28-query
+# r7-evidence cohort + the 22 oldest r8 entries = 50.  After it lands,
+# no registry query carries driver evidence older than r8 (distribution
+# becomes r8×27 / r9×50 / r10×50 / r11×50).
+
+# Within a staleness class, registration order normally decides who
+# drains first.  This set front-loads named queries WITHIN their class
+# (it never jumps a query past a staler class — _verify_priority keeps
+# the round as the primary key).  Round 11: the 12-query streaming
+# family carries the oldest still-r8 driver evidence (the only family
+# whose greens predate r9, VERDICT r10 item 1), but registration order
+# would admit only 6 of the 12 into the 22 r8 slots; this nudge admits
+# all 12 + the 10 oldest non-streaming r8 entries.  Reset alongside
+# _CHANGED_THIS_ROUND at each round start.
+_FRONT_OF_CLASS_THIS_ROUND: set[str] = {
+    "streaming_window_counts",
+    "streaming_sessionize",
+    "streaming_sessionize_flush",
+    "streaming_click_purchase_join",
+    "streaming_left_outer_join",
+    "streaming_enriched_counts",
+    "streaming_dedup_counts",
+    "streaming_value_ema",
+    "streaming_value_ema_ooo",
+    "streaming_kmv_distinct",
+    "streaming_topk_values",
+    "streaming_full_outer_join",
+}
 
 # Freshest driver-green round per query, DERIVED from the committed
 # CORRECTNESS_r*.json artifacts (latest green row wins; a row is green
@@ -194,11 +218,15 @@ def _load_latest_green() -> None:
 _load_latest_green()
 
 
-def _verify_priority(spec: QuerySpec) -> int:
+def _verify_priority(spec: QuerySpec) -> tuple[int, int]:
     if spec.name in _CHANGED_THIS_ROUND:
-        return 0
-    # a brand-new query has no _LATEST_GREEN entry -> also front of line
-    return _LATEST_GREEN.get(spec.name, 0)
+        return (0, 0)
+    # Primary key: evidence staleness (a brand-new query has no
+    # _LATEST_GREEN entry -> front of line).  Secondary key: the
+    # per-round front-of-class nudge, which reorders WITHIN a staleness
+    # class only — it can never promote a query past a staler one.
+    rnd = _LATEST_GREEN.get(spec.name, 0)
+    return (rnd, 0 if spec.name in _FRONT_OF_CLASS_THIS_ROUND else 1)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -81,6 +81,39 @@ def test_verify_order_puts_stale_evidence_first():
     assert not unknown, f"_CHANGED_THIS_ROUND names not in registry: {unknown}"
 
 
+def test_front_of_class_nudge_is_within_class_only():
+    """_FRONT_OF_CLASS_THIS_ROUND (r11) reorders queries WITHIN their
+    evidence-staleness class — it must never promote a query past a
+    staler one (that would starve the drain the rotation exists for).
+    Pinned properties: (1) every nudged name resolves (typo guard, same
+    rationale as the _CHANGED_THIS_ROUND guard above); (2) inside each
+    staleness round, nudged members precede non-nudged members; (3) the
+    global nondecreasing-round property is asserted by the test above
+    and unaffected here."""
+    from data_engineering_etl_demo_spark.plans import (
+        _CHANGED_THIS_ROUND,
+        _FRONT_OF_CLASS_THIS_ROUND,
+        _LATEST_GREEN,
+    )
+
+    names = list(E.queries())
+    unknown = _FRONT_OF_CLASS_THIS_ROUND - set(names)
+    assert not unknown, f"_FRONT_OF_CLASS names not in registry: {unknown}"
+    pos = {n: i for i, n in enumerate(names)}
+    by_round: dict[int, list[str]] = {}
+    for n in names:
+        if n in _CHANGED_THIS_ROUND or n not in _LATEST_GREEN:
+            continue  # changed/new front is its own class
+        by_round.setdefault(_LATEST_GREEN[n], []).append(n)
+    for rnd, members in by_round.items():
+        nudged = [n for n in members if n in _FRONT_OF_CLASS_THIS_ROUND]
+        plain = [n for n in members if n not in _FRONT_OF_CLASS_THIS_ROUND]
+        if nudged and plain:
+            assert max(pos[n] for n in nudged) < min(pos[n] for n in plain), (
+                f"round {rnd}: nudged members must precede plain members"
+            )
+
+
 def test_plan_caches_keyed_by_application_id(spark, monkeypatch):
     """A stopped+restarted session can allocate a new SparkSession at the
     same object address, so id(spark) could serve a stale plan from the
