@@ -35,16 +35,27 @@ _OFFSET = 1_000_000
 _COPIES = 10
 
 
+def _tag_words(tag: str):
+    """One-ARG lambda factory for F.transform.  The obvious spelling
+    `lambda w, c=c: concat(lit(f"c{c}x"), w)` is a trap: PySpark binds a
+    two-parameter lambda (defaults included) as (element, INDEX), so `c`
+    becomes the index Column and the f-string bakes its repr —
+    `cColumn<'y_2'>x` — into the tag.  Every copy then shares the same
+    word tokens ("x<word>") and differs only in the lambda-variable
+    counter digit, so copy disjointness held only for SHINGLE-space ops
+    (the counter digit lands in every shingle) and only by the accident
+    that PySpark's internal counter differs per built expression.  A
+    closure over a plain string makes the documented per-word tag real."""
+    return lambda w: F.concat(F.lit(tag), w)
+
+
 def _docs_x(spark, copies: int):
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     parts = [
         docs.select(
             (F.col("doc_id") + F.lit(c * _OFFSET)).alias("doc_id"),
             F.array_join(
-                F.transform(
-                    X.words(F.col("text")),
-                    lambda w, c=c: F.concat(F.lit(f"c{c}x"), w),
-                ),
+                F.transform(X.words(F.col("text")), _tag_words(f"c{c}x")),
                 " ",
             ).alias("text"),
         )
