@@ -905,3 +905,83 @@ def test_simhash_wallclock_subquadratic(simhash_runs):
     assert t10 < 30 * max(t1, 0.2), (
         f"10x data took {t10:.1f}s vs {t1:.1f}s at 1x — superlinear blow-up"
     )
+
+
+def test_edit1_blocking_scales_linearly_in_pairs_and_candidates(
+    spark, tmp_path
+):
+    """customers_edit1_pairs (FastSS-family substitution blocking): the
+    scale quantity is the CANDIDATE mass the variant equi-join emits —
+    all-pairs never materializes, so candidates (and the filtered pairs)
+    must scale 1:1 with disjoint copies.  Copies are made disjoint with
+    equal-LENGTH two-character tags that differ in BOTH characters
+    ("aa", "bb", ...): a variant masks exactly one position, so two
+    names from different copies can never share a variant (>= 1 tag
+    character survives unmasked and differs) — candidate generation is
+    copy-local by construction, and the levenshtein==1 residual would
+    reject any cross-copy pair anyway (tag distance is 2).  Equal-length
+    common-prefix tags preserve every within-copy pairwise distance, so
+    each copy reproduces the base pair structure exactly."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    src_fn = all_specs()["customers_edit1_pairs"].src_fn
+    cust = load(spark, SF_DIR, "customer")
+
+    def stage(copies):
+        parts = [
+            cust.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(c * _OFFSET)
+            ).withColumn(
+                "c_name",
+                F.concat(F.lit(chr(97 + c) * 2), F.col("c_name")),
+            )
+            for c in range(copies)
+        ]
+        st = tmp_path / f"ed{copies}_stage"
+        reduce(lambda a, b: a.unionByName(b), parts).coalesce(1).write.parquet(
+            str(st)
+        )
+        part = next(st.glob("part-*.parquet"))
+        dest = tmp_path / f"ed{copies}"
+        dest.mkdir()
+        part.rename(dest / "customer.parquet")
+        return str(dest)
+
+    def candidates(sf_dir):
+        # the blocking's candidate count, reconstructed from its public
+        # shape (one \x01-masked variant per character position)
+        c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        v = c.select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("pos"),
+            F.col("c_name"),
+        ).select(
+            "c_custkey",
+            F.concat(
+                F.expr("substr(c_name, 1, pos - 1)"),
+                F.lit("\x01"),
+                F.expr("substr(c_name, pos + 1)"),
+            ).alias("variant"),
+        )
+        a = v.select(F.col("c_custkey").alias("ka"), "variant")
+        b = v.select(F.col("c_custkey").alias("kb"), F.col("variant").alias("vb"))
+        return (
+            a.join(b, a["variant"] == b["vb"])
+            .filter(F.col("ka") < F.col("kb"))
+            .count()
+        )
+
+    d1, d10 = stage(1), stage(_COPIES)
+    one = {r["pos"]: r["n_pairs"] for r in src_fn(spark, d1).collect()}
+    ten = {r["pos"]: r["n_pairs"] for r in src_fn(spark, d10).collect()}
+    assert one and sum(one.values()) > 0, "base must contain edit-1 pairs"
+    assert ten == {p: _COPIES * n for p, n in one.items()}, (
+        f"per-position pair counts must scale exactly {_COPIES}x under "
+        f"disjoint copies — 1x={one} 10x={ten}"
+    )
+    c1, c10 = candidates(d1), candidates(d10)
+    assert c10 == _COPIES * c1, (
+        f"candidate mass grew super-linearly ({c1} -> {c10}); cross-copy "
+        "variant collisions mean the blocking key no longer localizes "
+        "work — the quadratic shape this operator exists to avoid"
+    )
