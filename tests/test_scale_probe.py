@@ -985,3 +985,61 @@ def test_edit1_blocking_scales_linearly_in_pairs_and_candidates(
         "variant collisions mean the blocking key no longer localizes "
         "work — the quadratic shape this operator exists to avoid"
     )
+
+
+def test_phash_census_scales_uniformly_with_bounded_vocabulary(
+    spark, tmp_path
+):
+    """multimodal_phash_dedup: the census input is one 16-bit-ish row per
+    image, so under a uniform 10x blow-up (id offsets only — identical
+    payload bytes) the hash VOCABULARY must not grow, every count must
+    scale exactly 10x, and keep_id (min doc_id per hash) must stay the
+    copy-0 winner.  The offset is divisible by 3 so synth_media's
+    doc_id%3 media-type cycling stays aligned per copy and each copy's
+    pipeline input is bit-identical.  Growth in the phash vocabulary
+    under pure duplication would mean the hash depends on something
+    other than payload bytes — the property that makes the census input
+    (and the final shuffle) corpus-size-independent at 100 TB."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    off = 1_200_000  # divisible by 3
+    src_fn = all_specs()["multimodal_phash_dedup"].src_fn
+    docs = load(spark, SF_DIR, "documents")
+
+    def stage(copies):
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * off))
+            for c in range(copies)
+        ]
+        st = tmp_path / f"ph{copies}_stage"
+        reduce(lambda a, b: a.unionByName(b), parts).coalesce(1).write.parquet(
+            str(st)
+        )
+        part = next(st.glob("part-*.parquet"))
+        dest = tmp_path / f"ph{copies}"
+        dest.mkdir()
+        part.rename(dest / "documents.parquet")
+        return str(dest)
+
+    one = {
+        r["phash"]: (r["n_images"], r["keep_id"])
+        for r in src_fn(spark, stage(1)).collect()
+    }
+    ten = {
+        r["phash"]: (r["n_images"], r["keep_id"])
+        for r in src_fn(spark, stage(_COPIES)).collect()
+    }
+    assert one, "base census must be non-empty"
+    assert set(ten) == set(one), (
+        f"phash vocabulary changed under pure duplication: "
+        f"{len(set(one) ^ set(ten))} symmetric-difference hashes"
+    )
+    bad = {
+        h: (ten[h], (n * _COPIES, keep))
+        for h, (n, keep) in one.items()
+        if ten[h] != (n * _COPIES, keep)
+    }
+    assert not bad, (
+        f"census rows must scale counts 10x and keep the copy-0 "
+        f"min-doc_id winner; drifted: {bad}"
+    )
