@@ -1043,3 +1043,63 @@ def test_phash_census_scales_uniformly_with_bounded_vocabulary(
         f"census rows must scale counts 10x and keep the copy-0 "
         f"min-doc_id winner; drifted: {bad}"
     )
+
+
+def _stage_docs(spark, tmp_path, copies: int, label: str) -> str:
+    """Tagged disjoint document copies staged as a driver-shaped
+    documents.parquet (full schema; only doc_id and text move)."""
+    docs = load(spark, SF_DIR, "documents")
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * _OFFSET))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(X.words(F.col("text")), _tag_words(f"c{c}x")),
+                " ",
+            ),
+        )
+        for c in range(copies)
+    ]
+    st = tmp_path / f"{label}{copies}_stage"
+    reduce(lambda a, b: a.unionByName(b), parts).coalesce(1).write.parquet(
+        str(st)
+    )
+    part = next(st.glob("part-*.parquet"))
+    dest = tmp_path / f"{label}{copies}"
+    dest.mkdir()
+    part.rename(dest / "documents.parquet")
+    return str(dest)
+
+
+def test_boilerplate_ngrams_scale_as_exact_copy_union(spark, tmp_path):
+    """docs_boilerplate_ngrams: corpus-level document frequency over
+    tagged word 3-grams.  Gram spaces are disjoint across copies and
+    dfreq is invariant under the per-copy token renaming, so the 10x
+    output must be EXACTLY the 1x rows replicated per copy with offset
+    ids — any drift means corpus-level dfreq leaked across copies (the
+    flag threshold moving with corpus size instead of structure)."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    src_fn = all_specs()["docs_boilerplate_ngrams"].src_fn
+    one = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_frac"])
+        for r in src_fn(spark, _stage_docs(spark, tmp_path, 1, "bp")).collect()
+    }
+    ten = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_frac"])
+        for r in src_fn(
+            spark, _stage_docs(spark, tmp_path, _COPIES, "bp")
+        ).collect()
+    }
+    assert one and any(v[1] > 0 for v in one.values()), (
+        "base corpus must contain boilerplate grams for this probe"
+    )
+    expect = {
+        did + c * _OFFSET: v
+        for c in range(_COPIES)
+        for did, v in one.items()
+    }
+    assert ten == expect, (
+        f"boilerplate output drifted under disjoint copies: "
+        f"{len(set(ten.items()) ^ set(expect.items()))} differing rows"
+    )
