@@ -1103,3 +1103,51 @@ def test_boilerplate_ngrams_scale_as_exact_copy_union(spark, tmp_path):
         f"boilerplate output drifted under disjoint copies: "
         f"{len(set(ten.items()) ^ set(expect.items()))} differing rows"
     )
+
+
+def test_tfidf_ranking_is_corpus_size_invariant(spark, tmp_path):
+    """docs_tfidf_topterms: score = tf * N / df.  Under 10x disjoint
+    copies N scales 10x while every within-copy (tf, df) is preserved
+    (token spaces disjoint, renaming bijective), so each copy's scores
+    scale by exactly 10 and the per-document top-K ranking — the
+    semantic output — must be IDENTICAL to the 1x run's (tok compared
+    with the copy tag stripped; tag-prefixed tie-breaks preserve
+    within-copy order).  A ranking that moved with absolute corpus size
+    would mean df leaked across copies or the idf form drifted from the
+    ratio.  Scores are asserted at 10x +/- 1e-12 relative (measured
+    worst case: 1 ulp)."""
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    src_fn = all_specs()["docs_tfidf_topterms"].src_fn
+
+    def strip(tok):
+        return tok.split("x", 1)[1]
+
+    one = {
+        (r["doc_id"], r["rank"]): (strip(r["tok"]), r["tf"], r["df"],
+                                   r["score"])
+        for r in src_fn(spark, _stage_docs(spark, tmp_path, 1, "tf")).collect()
+    }
+    ten = {
+        (r["doc_id"], r["rank"]): (strip(r["tok"]), r["tf"], r["df"],
+                                   r["score"])
+        for r in src_fn(
+            spark, _stage_docs(spark, tmp_path, _COPIES, "tf")
+        ).collect()
+    }
+    assert one, "base top-terms must be non-empty"
+    assert len(ten) == _COPIES * len(one)
+    bad = []
+    for c in range(_COPIES):
+        for (did, rk), (tok, tf, df, sc) in one.items():
+            got = ten.get((did + c * _OFFSET, rk))
+            if (
+                got is None
+                or got[:3] != (tok, tf, df)
+                or abs(got[3] - 10 * sc) > 1e-12 * 10 * sc
+            ):
+                bad.append(((did, rk, c), (tok, tf, df, sc), got))
+    assert not bad, (
+        f"top-term ranking moved with corpus size ({len(bad)} rows); "
+        f"first: {bad[:3]}"
+    )
