@@ -123,42 +123,30 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-11 start: scripts_changed_queries.py reports zero changed
-# builders vs the r10 closing snapshot, so the full 50-slot window drains
+# Round-12 start: scripts_changed_queries.py reports zero changed
+# builders vs the r11 closing snapshot, so the full 50-slot window drains
 # stale evidence.  A query only enters this set when its builder source
 # (or a shared helper it provably flows through) changes in-round; each
 # entry displaces one slot from the drain tail per the established rule.
 # (set(), not {}: an empty brace literal is a dict and breaks the
 # set-algebra the rotation tests do.)
 _CHANGED_THIS_ROUND: set[str] = set()
-# Round-11 window math (VERDICT r10 item 1): the entire 28-query
-# r7-evidence cohort + the 22 oldest r8 entries = 50.  After it lands,
-# no registry query carries driver evidence older than r8 (distribution
-# becomes r8×27 / r9×50 / r10×50 / r11×50).
+# Round-12 window math (VERDICT r11 item 1): the entire 27-query
+# r8-evidence cohort + the 23 oldest r9 entries = 50.  After it lands,
+# no registry query carries driver evidence older than r9 (distribution
+# becomes r9×27 / r10×50 / r11×50 / r12×50), and from r13 on the
+# rotation is permanently ≤3 rounds fresh.
 
 # Within a staleness class, registration order normally decides who
 # drains first.  This set front-loads named queries WITHIN their class
 # (it never jumps a query past a staler class — _verify_priority keeps
-# the round as the primary key).  Round 11: the 12-query streaming
-# family carries the oldest still-r8 driver evidence (the only family
-# whose greens predate r9, VERDICT r10 item 1), but registration order
-# would admit only 6 of the 12 into the 22 r8 slots; this nudge admits
-# all 12 + the 10 oldest non-streaming r8 entries.  Reset alongside
-# _CHANGED_THIS_ROUND at each round start.
-_FRONT_OF_CLASS_THIS_ROUND: set[str] = {
-    "streaming_window_counts",
-    "streaming_sessionize",
-    "streaming_sessionize_flush",
-    "streaming_click_purchase_join",
-    "streaming_left_outer_join",
-    "streaming_enriched_counts",
-    "streaming_dedup_counts",
-    "streaming_value_ema",
-    "streaming_value_ema_ooo",
-    "streaming_kmv_distinct",
-    "streaming_topk_values",
-    "streaming_full_outer_join",
-}
+# the round as the primary key).  Round 12: EMPTY — the registration-
+# order cut after the 23rd r9 entry falls between docs_corpus_pipeline
+# and embedding_kmeans_step; no multi-query family straddles it the way
+# the 12-query streaming family straddled r11's r8 cut, so the default
+# order is the window.  Reset alongside _CHANGED_THIS_ROUND at each
+# round start.
+_FRONT_OF_CLASS_THIS_ROUND: set[str] = set()
 
 # Freshest driver-green round per query, DERIVED from the committed
 # CORRECTNESS_r*.json artifacts (latest green row wins; a row is green

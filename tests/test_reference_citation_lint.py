@@ -20,8 +20,11 @@ _EXTRA = [
     os.path.join(os.path.dirname(_PKG_DIR), "__spark_entry__.py"),
 ]
 
+# '-' included in the path class (ADVICE r11): a citation to a
+# hyphenated reference path must be VALIDATED, not silently skipped —
+# an unmatched citation escapes both the resolve and the range checks.
 _CITE = re.compile(
-    r"/root/reference/[A-Za-z0-9_/.]+\.(?:py|sql|csv|jsonl)"
+    r"/root/reference/[A-Za-z0-9_/.-]+\.(?:py|sql|csv|jsonl)"
     r"(?::(\d+)(?:-(\d+))?)?"
 )
 
@@ -65,6 +68,19 @@ def test_every_cited_file_resolves():
         }
     )
     assert not missing, f"citations to nonexistent reference files: {missing}"
+
+
+def test_citation_regex_covers_hyphenated_paths():
+    """Pin the ADVICE-r11 fix: the original path class [A-Za-z0-9_/.]
+    stopped at '-', so a citation like intl-sales.jsonl matched only a
+    truncated prefix (or nothing) and escaped validation entirely.  The
+    hyphenated path must parse as ONE citation with its line range."""
+    m = _CITE.search(
+        "per /root/reference/data/intl-sales_v2.jsonl:10-20 semantics"
+    )
+    assert m is not None
+    assert m.group(0) == "/root/reference/data/intl-sales_v2.jsonl:10-20"
+    assert (m.group(1), m.group(2)) == ("10", "20")
 
 
 def test_cited_line_ranges_fall_inside_the_file():
