@@ -1,0 +1,61 @@
+"""Invariance-artifact guard (r12).
+
+`scripts_invariance_sweep.py` promotes the physical-invariance ritual
+into a committed artifact (INVARIANCE_r{N}.json).  An artifact is only
+evidence if it can't rot silently: this guard pins that the LATEST
+committed artifact (a) parses, (b) covers the full four-cell matrix the
+script defines (no quietly-skipped cell), (c) is green in every cell,
+and (d) certified the CURRENT registry size — a sweep that predates a
+registry change is stale evidence and must be re-run.
+"""
+
+import glob
+import json
+import os
+import re
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_artifact():
+    paths = glob.glob(os.path.join(_REPO, "INVARIANCE_r*.json"))
+    assert paths, "no INVARIANCE_r*.json artifact committed"
+    rnd = lambda p: int(re.search(r"INVARIANCE_r(\d+)\.json$", p).group(1))
+    return max(paths, key=rnd)
+
+
+def test_latest_invariance_artifact_is_green_and_full_matrix():
+    import scripts_invariance_sweep as sweep
+
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    assert art.get("ok") is True, "committed invariance artifact is not green"
+    missing = sorted(set(sweep._CONFIGS) - set(art.get("configs", {})))
+    assert not missing, (
+        f"artifact skipped matrix cell(s) {missing} — commit a full "
+        "(non --quick) sweep"
+    )
+    for name, cell in art["configs"].items():
+        assert cell.get("ok") is True, f"cell {name} not green: {cell}"
+        assert cell.get("n_match") == cell.get("n_queries"), name
+        assert cell.get("rows_only") == 0, (
+            f"cell {name} has rows-only entries — every query is "
+            "oracle-backed; a rows-only row means an oracle went missing"
+        )
+
+
+def test_latest_invariance_artifact_covers_current_registry():
+    from data_engineering_etl_demo_spark.plans import all_specs
+
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    n_reg = len(all_specs())
+    stale = {
+        name: cell.get("n_queries")
+        for name, cell in art["configs"].items()
+        if cell.get("n_queries") != n_reg
+    }
+    assert not stale, (
+        f"invariance artifact certified a different registry size than "
+        f"the current {n_reg} — re-run scripts_invariance_sweep.py: {stale}"
+    )
