@@ -227,6 +227,20 @@ def _scan_broadcasts():
     return found
 
 
+def test_broadcast_pattern_catches_the_forms_it_claims():
+    """Self-test so the scan can't silently rot (family convention, cf.
+    the UDF lint): the hint form matches; commented-out code and the
+    unrelated `sc.broadcast(` variable-broadcast API do not (the latter
+    would be a driver-materialization-lint concern, not a join hint)."""
+    assert _BCAST_PAT.search("df.join(F.broadcast(dim), on='k')")
+    assert _BCAST_PAT.search("keys = F.broadcast(keys)")
+    assert not _BCAST_PAT.search("spark.sparkContext.broadcast(lut)")
+    assert not _BCAST_PAT.search("sc.broadcast(model)")
+    # comment stripping happens before the pattern in _scan_broadcasts
+    line = "x = 1  # F.broadcast(dim) would be wrong here"
+    assert not _BCAST_PAT.search(line.split("#", 1)[0])
+
+
 def test_ledger_is_well_formed():
     bad = {
         k: v
