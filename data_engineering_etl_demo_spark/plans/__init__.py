@@ -123,29 +123,29 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-12 start: scripts_changed_queries.py reports zero changed
-# builders vs the r11 closing snapshot, so the full 50-slot window drains
+# Round-13 start: scripts_changed_queries.py reports zero changed
+# builders vs the r12 closing snapshot, so the full 50-slot window drains
 # stale evidence.  A query only enters this set when its builder source
 # (or a shared helper it provably flows through) changes in-round; each
 # entry displaces one slot from the drain tail per the established rule.
 # (set(), not {}: an empty brace literal is a dict and breaks the
 # set-algebra the rotation tests do.)
 _CHANGED_THIS_ROUND: set[str] = set()
-# Round-12 window math (VERDICT r11 item 1): the entire 27-query
-# r8-evidence cohort + the 23 oldest r9 entries = 50.  After it lands,
-# no registry query carries driver evidence older than r9 (distribution
-# becomes r9×27 / r10×50 / r11×50 / r12×50), and from r13 on the
-# rotation is permanently ≤3 rounds fresh.
+# Round-13 window math (VERDICT r12 item 1): the entire 27-query
+# r9-evidence cohort + the 23 oldest r10 entries = 50.  After it lands,
+# no registry query carries driver evidence older than r10 (distribution
+# becomes r10×27 / r11×50 / r12×50 / r13×50), and from r13 on the
+# rotation is permanently ≤3 rounds fresh on a rolling basis.
 
 # Within a staleness class, registration order normally decides who
 # drains first.  This set front-loads named queries WITHIN their class
 # (it never jumps a query past a staler class — _verify_priority keeps
-# the round as the primary key).  Round 12: EMPTY — the registration-
-# order cut after the 23rd r9 entry falls between docs_corpus_pipeline
-# and embedding_kmeans_step; no multi-query family straddles it the way
-# the 12-query streaming family straddled r11's r8 cut, so the default
-# order is the window.  Reset alongside _CHANGED_THIS_ROUND at each
-# round start.
+# the round as the primary key).  Round 13: EMPTY — the registration-
+# order cut after the 23rd r10 entry falls between
+# docs_cluster_representatives and embedding_semdedup; no multi-query
+# family straddles it the way the 12-query streaming family straddled
+# r11's r8 cut, so the default order is the window.  Reset alongside
+# _CHANGED_THIS_ROUND at each round start.
 _FRONT_OF_CLASS_THIS_ROUND: set[str] = set()
 
 # Freshest driver-green round per query, DERIVED from the committed
