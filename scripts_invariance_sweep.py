@@ -9,12 +9,17 @@ per-partition evaluation order, or adaptive re-planning (the class that
 bites float summation order, first/last-without-ordering, and
 partition-id-leaking kernels at scale).
 
-Default matrix (the r11-certified set):
+Default matrix (r11-certified set + the r13 spill cell):
   narrow   local[7],  shuffle.partitions=5,  AQE on,  sf0.01
   wide     local[32], shuffle.partitions=97, AQE on,  sf0.01
   no-aqe   local[32], shuffle.partitions=32, AQE OFF, sf0.01
   bench-sf local[32], shuffle.partitions=97, AQE on,  sf0.1   (skipped
            with --quick; it is the long pole at ~10 min)
+  spill    local[7],  shuffle.partitions=13, AQE on,  sf0.01, with
+           Spark's public spill thresholds forced low so every sort /
+           window buffer / SMJ buffer / hash-agg goes through the
+           external-spill paths; spilled bytes recorded via the UI
+           REST API as proof the paths ran
 
 Each config runs in its OWN subprocess (a JVM's master/AQE flags are
 fixed at session start), compares sorted result rows against the oracle
@@ -41,11 +46,6 @@ import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
-_TABLES = (
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-)
-
 _CONFIGS: dict[str, dict] = {
     "narrow": {
         "master": "local[7]",
@@ -71,6 +71,33 @@ _CONFIGS: dict[str, dict] = {
         "aqe": True,
         "sf_dir": "/root/testdata/sf0.1",
     },
+    # Spill-pressure cell (VERDICT r12 item 7): at sf0.01 the working set
+    # never outgrows a 128 GiB container heap, so genuine memory-pressure
+    # spill can't arise naturally — instead force the external-spill code
+    # paths DETERMINISTICALLY via Spark's public spill thresholds: every
+    # unsafe external sort spills to disk every 512 elements, window /
+    # sort-merge-join buffers go external at 64 rows, and ObjectHashAggregate
+    # falls back to sort-based aggregation after 16 distinct keys.  A 100 TB
+    # shuffle lives in exactly these paths (ExternalAppendOnlyUnsafeRowArray,
+    # UnsafeExternalSorter spill-merge, sort-based agg fallback); a cell that
+    # replays all 177 oracles value-identical through them is the evidence
+    # that no kernel depends on staying in-memory.  measure_spill records
+    # memory/disk bytes spilled from the UI REST API as proof the paths ran.
+    "spill": {
+        "master": "local[7]",
+        "shuffle_partitions": 13,
+        "aqe": True,
+        "sf_dir": "/root/testdata/sf0.01",
+        "measure_spill": True,
+        "extra_conf": {
+            "spark.shuffle.spill.numElementsForceSpillThreshold": "512",
+            "spark.sql.windowExec.buffer.in.memory.threshold": "64",
+            "spark.sql.windowExec.buffer.spill.threshold": "64",
+            "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "64",
+            "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "64",
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
+        },
+    },
 }
 
 
@@ -79,60 +106,90 @@ def run_one(name: str) -> dict:
     t0 = time.perf_counter()
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(cfg["master"])
         .config("spark.sql.shuffle.partitions", str(cfg["shuffle_partitions"]))
         .config("spark.sql.adaptive.enabled", str(cfg["aqe"]).lower())
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", str(bool(cfg.get("measure_spill"))).lower())
         .config("spark.driver.memory", "8g")
         .appName(f"invariance-{name}")
-        .getOrCreate()
     )
+    for k, v in cfg.get("extra_conf", {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     sys.path.insert(0, _REPO)
-    import __spark_entry__ as e
+    # ADVICE r12: the sweep and the parity gate must share ONE comparison
+    # definition — reuse the certified harness compare (column-name
+    # reordering, NaN/datetime canonicalization, first-diff reporting)
+    # instead of a positional tuple equality that would flag spurious
+    # mismatches the gate would not.  duckdb_connection also sources the
+    # view list from catalog.TABLES, so a new catalog table can never be
+    # silently absent from the sweep's DuckDB views.
+    from data_engineering_etl_demo_spark.plans import all_specs
+    from tests.oracle_compare import compare_query, duckdb_connection
 
-    import duckdb
-
-    qs, osql = e.queries(), e.oracle_sql()
+    specs = all_specs()
     sf = cfg["sf_dir"]
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf}/{t}.parquet')"
-        )
+    con = duckdb_connection(sf)
     mismatches, errors, rows_only, n_match = [], [], 0, 0
-    for qname in qs:
+    for qname, spec in specs.items():
         try:
-            srows = sorted(
-                map(tuple, qs[qname](spark, sf).collect()), key=repr
-            )
-            if qname in osql:
-                drows = sorted(
-                    map(tuple, con.execute(osql[qname]).fetchall()), key=repr
-                )
-                if srows == drows:
-                    n_match += 1
-                else:
-                    mismatches.append(qname)
-            else:
+            ok, detail = compare_query(spark, con, spec, sf)
+            if spec.oracle is None:
                 rows_only += 1
+            elif ok:
+                n_match += 1
+            else:
+                mismatches.append(f"{qname}: {detail}")
         except Exception as exc:  # record, keep sweeping
             errors.append(f"{qname}: {type(exc).__name__}: {exc}")
+    spill = _spill_bytes(spark) if cfg.get("measure_spill") else None
     spark.stop()
-    return {
+    out = {
         "ok": not mismatches and not errors,
         "master": cfg["master"],
         "shuffle_partitions": cfg["shuffle_partitions"],
         "aqe": cfg["aqe"],
         "sf_dir": sf,
-        "n_queries": len(qs),
+        "n_queries": len(specs),
         "n_match": n_match,
         "rows_only": rows_only,
         "mismatches": mismatches,
         "errors": errors,
         "elapsed_sec": round(time.perf_counter() - t0, 1),
     }
+    if cfg.get("extra_conf"):
+        out["extra_conf"] = cfg["extra_conf"]
+    if spill is not None:
+        out["spill"] = spill
+    return out
+
+
+def _spill_bytes(spark) -> dict:
+    """Sum memory/disk bytes spilled across all stages via the UI REST
+    API — the proof that the forced-spill cell actually exercised the
+    external-spill paths rather than silently staying in-memory."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=30,
+        ) as resp:
+            stages = json.loads(resp.read())
+        return {
+            "memory_bytes_spilled": sum(
+                s.get("memoryBytesSpilled", 0) for s in stages
+            ),
+            "disk_bytes_spilled": sum(
+                s.get("diskBytesSpilled", 0) for s in stages
+            ),
+            "n_stages": len(stages),
+        }
+    except Exception as exc:  # measurement is evidence, not a gate
+        return {"error": f"{type(exc).__name__}: {exc}"}
 
 
 def main() -> int:

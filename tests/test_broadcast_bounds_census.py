@@ -57,9 +57,10 @@ def test_literal_const_bound():
 def test_fitted_model_bounds():
     """`fitted-model`: model constants bound the broadcast rows.
     Bloom word array = _BLOOM_M/64 longs; ADC LUT rows per query =
-    2 cells x PQ_M subspaces x PQ_K codes (512 at the bench geometry,
-    x|Q| queries).  Both must stay far under the ~10 MB broadcast
-    comfort zone even at 1000x the query load."""
+    2 cells x PQ_M subspaces x PQ_K codes = 2x4x16 = 128 rows/query,
+    x|Q| queries (512 total at the bench geometry's 4-query workload).
+    Both must stay far under the ~10 MB broadcast comfort zone even at
+    1000x the query load."""
     assert scale_patterns._BLOOM_M // 64 <= 10_000
     lut_rows_per_query = 2 * S.PQ_M * S.PQ_K
     assert lut_rows_per_query <= 4096, (

@@ -3,7 +3,7 @@
 `scripts_invariance_sweep.py` promotes the physical-invariance ritual
 into a committed artifact (INVARIANCE_r{N}.json).  An artifact is only
 evidence if it can't rot silently: this guard pins that the LATEST
-committed artifact (a) parses, (b) covers the full four-cell matrix the
+committed artifact (a) parses, (b) covers the full matrix the
 script defines (no quietly-skipped cell), (c) is green in every cell,
 and (d) certified the CURRENT registry size — a sweep that predates a
 registry change is stale evidence and must be re-run.
@@ -42,6 +42,25 @@ def test_latest_invariance_artifact_is_green_and_full_matrix():
             f"cell {name} has rows-only entries — every query is "
             "oracle-backed; a rows-only row means an oracle went missing"
         )
+
+
+def test_spill_cell_actually_spilled():
+    """The forced-spill cell (r13) is only evidence if the external-spill
+    paths genuinely ran: the artifact must record nonzero spilled bytes
+    from the UI REST API.  A green cell with zero spill would mean the
+    thresholds silently stopped forcing the external paths (e.g. a Spark
+    upgrade renamed a conf key) — green-but-vacuous, the exact rot class
+    this guard family exists to catch."""
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    cell = art["configs"].get("spill")
+    assert cell is not None, "spill cell missing from latest artifact"
+    spill = cell.get("spill") or {}
+    assert "error" not in spill, f"spill measurement failed: {spill}"
+    assert spill.get("memory_bytes_spilled", 0) > 0, (
+        "spill cell recorded zero memory bytes spilled — the forced "
+        "thresholds are no longer reaching the external-spill paths"
+    )
 
 
 def test_latest_invariance_artifact_covers_current_registry():
