@@ -36,14 +36,11 @@ _REAL_STDOUT = os.dup(1)
 os.dup2(2, 1)
 sys.stdout = sys.stderr
 
-from data_engineering_etl_demo_spark.catalog import load  # noqa: E402
+# TABLES from the catalog, not a local literal (ADVICE r12 rot class: a
+# table added to the catalog must appear in the oracle views here too)
+from data_engineering_etl_demo_spark.catalog import TABLES, load  # noqa: E402
 from data_engineering_etl_demo_spark.plans import all_specs  # noqa: E402
 from data_engineering_etl_demo_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
 
 
 def _oracle_timings(sf_dir: str, specs) -> dict[str, float]:
