@@ -110,6 +110,10 @@ def run_one(name: str) -> dict:
         SparkSession.builder.master(cfg["master"])
         .config("spark.sql.shuffle.partitions", str(cfg["shuffle_partitions"]))
         .config("spark.sql.adaptive.enabled", str(cfg["aqe"]).lower())
+        # UTC is part of the engine contract (session-TZ ledger): without
+        # the pin this artifact would inherit the HOST zone and spuriously
+        # fail the 24 calendar-bucketing queries on any non-UTC machine
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", str(bool(cfg.get("measure_spill"))).lower())
         .config("spark.driver.memory", "8g")
         .appName(f"invariance-{name}")

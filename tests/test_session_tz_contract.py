@@ -1,0 +1,98 @@
+"""Session-timezone contract (r13).
+
+A TZ-shifted probe (r13 NOTES) showed 24 of the 177 registered queries
+are calendar-bucketing queries whose results legitimately follow the
+SESSION timezone (standard Spark semantics: ``date_trunc`` /
+``to_date`` on TimestampType interpret in ``spark.sql.session.timeZone``).
+That is NOT a distributed-correctness hazard — one session means one
+zone cluster-wide, and the physical-invariance artifact proves layout
+independence — but it makes "session TZ = UTC" part of the ENGINE
+CONTRACT: every session this engine builds, and every harness session
+that replays the oracles, must pin UTC or the DuckDB parity gate breaks
+on any non-UTC host.
+
+This test pins the contract structurally: every
+``SparkSession.builder`` construction site in the package and the
+repo-root harnesses must pin ``spark.sql.session.timeZone`` to UTC
+within the same builder chain (scanned over the statement's
+continuation lines), and ``tune_session`` — the path for sessions the
+grading driver hands us — must force it post-hoc.  A new builder site
+without the pin fails here before it can fail as a mysterious
+off-by-five-hours oracle mismatch.
+"""
+
+import os
+import re
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
+
+_TZ_PIN = 'spark.sql.session.timeZone'
+
+
+def _builder_sites():
+    """Yield (relpath, lineno, window) for every SparkSession.builder
+    site in the package and the repo-root scripts; window = the site
+    line plus the following 30 lines (a builder chain is a single
+    statement, always shorter than that)."""
+    roots = [_PKG_DIR]
+    top = [
+        os.path.join(_REPO, f)
+        for f in sorted(os.listdir(_REPO))
+        if f.endswith(".py")
+    ]
+    files = []
+    for root in roots:
+        for dirpath, _dirs, names in os.walk(root):
+            files.extend(
+                os.path.join(dirpath, n)
+                for n in sorted(names)
+                if n.endswith(".py")
+            )
+    files.extend(top)
+    for path in files:
+        with open(path) as f:
+            lines = f.readlines()
+        for i, line in enumerate(lines):
+            if re.search(r"SparkSession\.builder\b", line.split("#", 1)[0]):
+                rel = os.path.relpath(path, _REPO)
+                yield rel, i + 1, "".join(lines[i:i + 31])
+
+
+def test_every_builder_site_pins_utc():
+    missing = [
+        f"{rel}:{lineno}"
+        for rel, lineno, window in _builder_sites()
+        if _TZ_PIN not in window or '"UTC"' not in window
+    ]
+    assert not missing, (
+        "SparkSession.builder site(s) without a spark.sql.session.timeZone "
+        "UTC pin in the builder chain — 24 calendar-bucketing queries "
+        "follow the session zone, so an unpinned session breaks oracle "
+        f"parity on any non-UTC host: {missing}"
+    )
+
+
+def test_builder_census_is_nonempty_and_covers_known_sites():
+    """Self-test: the scan must keep finding the sites we know exist
+    (session.py's get_spark and the invariance sweep); an empty census
+    would mean the scanner rotted, not that the contract holds."""
+    sites = {rel for rel, _l, _w in _builder_sites()}
+    assert any(r.endswith("session.py") for r in sites), sites
+    assert "scripts_invariance_sweep.py" in sites, sites
+
+
+def test_tune_session_forces_utc():
+    """Driver-handed sessions (``__spark_entry__``) go through
+    tune_session, which must force UTC post-hoc — the driver's builder
+    is not ours to pin."""
+    import inspect
+
+    from data_engineering_etl_demo_spark.session import tune_session
+
+    src = inspect.getsource(tune_session)
+    assert _TZ_PIN in src and '"UTC"' in src
+
+
+def test_live_session_is_utc(spark):
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
