@@ -123,30 +123,41 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-13 start: scripts_changed_queries.py reports zero changed
-# builders vs the r12 closing snapshot, so the full 50-slot window drains
-# stale evidence.  A query only enters this set when its builder source
-# (or a shared helper it provably flows through) changes in-round; each
-# entry displaces one slot from the drain tail per the established rule.
-# (set(), not {}: an empty brace literal is a dict and breaks the
-# set-algebra the rotation tests do.)
+# Round-14 start: scripts_changed_queries.py reports zero changed
+# builders vs the r13 closing snapshot (CHANGED=[] / MODULE-TOUCHED=0),
+# so the full 50-slot window drains stale evidence.  A query only enters
+# this set when its builder source (or a shared helper it provably flows
+# through) changes in-round; each entry displaces one slot from the
+# drain tail per the established rule.  (set(), not {}: an empty brace
+# literal is a dict and breaks the set-algebra the rotation tests do.)
 _CHANGED_THIS_ROUND: set[str] = set()
-# Round-13 window math (VERDICT r12 item 1): the entire 27-query
-# r9-evidence cohort + the 23 oldest r10 entries = 50.  After it lands,
-# no registry query carries driver evidence older than r10 (distribution
-# becomes r10×27 / r11×50 / r12×50 / r13×50), and from r13 on the
-# rotation is permanently ≤3 rounds fresh on a rolling basis.
+# Round-14 window math (VERDICT r13 item 1): the entire 27-query
+# r10-evidence cohort + the 23 oldest r11 entries = 50.  After it lands,
+# no registry query carries driver evidence older than r11 (distribution
+# becomes r11×27 / r12×50 / r13×50 / r14×50) and the rotation ladder is
+# complete — every future window is a routine 50-slot drain of the
+# oldest class.
 
 # Within a staleness class, registration order normally decides who
 # drains first.  This set front-loads named queries WITHIN their class
 # (it never jumps a query past a staler class — _verify_priority keeps
-# the round as the primary key).  Round 13: EMPTY — the registration-
-# order cut after the 23rd r10 entry falls between
-# docs_cluster_representatives and embedding_semdedup; no multi-query
-# family straddles it the way the 12-query streaming family straddled
-# r11's r8 cut, so the default order is the window.  Reset alongside
+# the round as the primary key).  Round 14: the registration-order cut
+# after the 23rd r11 entry falls MID-FAMILY — multimodal_decode and
+# multimodal_frame_sample in, multimodal_resize and
+# multimodal_audio_features out — and the four r11-evidence multimodal
+# queries are direct consumers of the same operators/multimodal.py
+# kernels, the same cohesion that had r11 front-load the 12-query
+# streaming family across its r8 cut.  Front-loading all four keeps the
+# family's evidence in one round; the two registration-order entries
+# they displace (docs_perplexity_buckets, docs_minhash_recall_sample)
+# stay r11-fresh and lead the r15 drain.  Reset alongside
 # _CHANGED_THIS_ROUND at each round start.
-_FRONT_OF_CLASS_THIS_ROUND: set[str] = set()
+_FRONT_OF_CLASS_THIS_ROUND: set[str] = {
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_features",
+}
 
 # Freshest driver-green round per query, DERIVED from the committed
 # CORRECTNESS_r*.json artifacts (latest green row wins; a row is green
