@@ -43,12 +43,20 @@ def diff(base: dict[str, float], cand: dict[str, float]) -> dict:
     crossers = []
     for name in shared:
         b, c = base[name], cand[name]
-        if c > b * RATIO_BAR and c - b > ABS_BAR_SEC:
+        # Guard b == 0 (possible in a hand-edited/truncated detail file):
+        # a zero base with any positive candidate is an infinite-ratio
+        # crosser, not a ZeroDivisionError (ADVICE r13).
+        ratio = c / b if b > 0 else float("inf")
+        if ratio > RATIO_BAR and c - b > ABS_BAR_SEC:
             crossers.append(
                 {"query": name, "base_sec": round(b, 3),
-                 "cand_sec": round(c, 3), "ratio": round(c / b, 2)}
+                 "cand_sec": round(c, 3),
+                 "ratio": round(ratio, 2) if b > 0 else "inf"}
             )
-    crossers.sort(key=lambda r: -r["ratio"])
+    crossers.sort(
+        key=lambda r: -(r["ratio"] if isinstance(r["ratio"], float)
+                        else float("inf"))
+    )
     return {
         "n_shared": len(shared),
         "only_in_base": sorted(set(base) - set(cand)),

@@ -178,8 +178,12 @@ def _spill_bytes(spark) -> dict:
     try:
         base = spark.sparkContext.uiWebUrl
         app_id = spark.sparkContext.applicationId
+        # No status filter: spill from stages Spark marks failed (then
+        # retried) or skipped must still count toward the recorded
+        # evidence, or the zero-spill guard could false-trip on a run
+        # whose spill happened in a retried attempt (ADVICE r13).
         with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            f"{base}/api/v1/applications/{app_id}/stages",
             timeout=30,
         ) as resp:
             stages = json.loads(resp.read())

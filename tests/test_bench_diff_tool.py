@@ -38,3 +38,16 @@ def test_membership_drift_is_reported_not_crashed():
     assert out["only_in_base"] == ["gone"]
     assert out["only_in_cand"] == ["new"]
     assert out["bar_crossers"] == []
+
+
+def test_zero_base_is_infinite_crosser_not_crash():
+    """A hand-edited/truncated detail file can carry a 0.0 timing; a
+    positive candidate over a zero base is an infinite-ratio crosser
+    (both bars trivially exceeded), never a ZeroDivisionError, and it
+    sorts ahead of every finite crosser (ADVICE r13)."""
+    out = bd.diff({"z": 0.0, "finite": 0.4}, {"z": 0.5, "finite": 0.9})
+    names = [r["query"] for r in out["bar_crossers"]]
+    assert names == ["z", "finite"]
+    assert out["bar_crossers"][0]["ratio"] == "inf"
+    # zero base + zero-ish candidate under the abs bar stays quiet
+    assert bd.diff({"z": 0.0}, {"z": 0.2})["bar_crossers"] == []

@@ -22,6 +22,8 @@ import os
 import re
 from collections import Counter
 
+from lint_util import strip_comment
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
 _PLANS = os.path.join(_REPO, "PLANS.md")
@@ -221,7 +223,7 @@ def _scan_broadcasts():
     for rel, path in _iter_source():
         with open(path) as f:
             for line in f:
-                code = line.split("#", 1)[0]
+                code = strip_comment(line)
                 if _BCAST_PAT.search(code):
                     found[(rel, line.strip())] += 1
     return found
@@ -238,7 +240,7 @@ def test_broadcast_pattern_catches_the_forms_it_claims():
     assert not _BCAST_PAT.search("sc.broadcast(model)")
     # comment stripping happens before the pattern in _scan_broadcasts
     line = "x = 1  # F.broadcast(dim) would be wrong here"
-    assert not _BCAST_PAT.search(line.split("#", 1)[0])
+    assert not _BCAST_PAT.search(strip_comment(line))
 
 
 def test_ledger_is_well_formed():

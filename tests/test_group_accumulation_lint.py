@@ -25,6 +25,8 @@ import os
 import re
 from collections import Counter
 
+from lint_util import strip_comment
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
 _PLANS = os.path.join(_REPO, "PLANS.md")
@@ -66,7 +68,7 @@ def _scan():
     for rel, path in _iter_source():
         with open(path) as f:
             for line in f:
-                code = line.split("#", 1)[0]
+                code = strip_comment(line)
                 if _ACC_PAT.search(code):
                     found[(rel, line.strip())] += 1
     return found
@@ -82,7 +84,12 @@ def test_pattern_catches_the_forms_it_claims():
     assert _ACC_PAT.search('spark.sql("SELECT array_agg(x) FROM t")')
     assert not _ACC_PAT.search("the collect_list fold would be wrong")
     line = "y = 1  # collect_list(x) would OOM here"
-    assert not _ACC_PAT.search(line.split("#", 1)[0])
+    assert not _ACC_PAT.search(strip_comment(line))
+    # A '#' INSIDE a string literal is not a comment: a buffer smuggled
+    # into SQL text after one must still be censused (ADVICE r13 — the
+    # old split('#')[0] idiom truncated here and let it dodge).
+    evasive = "spark.sql(\"SELECT '#' AS h, array_agg(x) FROM t\")"
+    assert _ACC_PAT.search(strip_comment(evasive))
 
 
 def test_ledger_is_well_formed():

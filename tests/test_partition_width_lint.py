@@ -30,16 +30,22 @@ import os
 import re
 from collections import Counter
 
+from lint_util import strip_comment
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
 _PLANS = os.path.join(_REPO, "PLANS.md")
 
-# DataFrame-level width controls.  (?<![A-Z]) drops the COLUMN function
-# F.coalesce(...); (?!1\)) drops the .coalesce(1) funnel form, which the
+# DataFrame-level width controls.  (?<!\bF) drops exactly the COLUMN
+# function F.coalesce(...): the lookbehind requires the single token "F"
+# immediately before the dot, so a DataFrame receiver that merely ends
+# in an uppercase letter (dfA.coalesce(8), outF.repartition(...)) stays
+# in the census — the old (?<![A-Z]) silently excluded those (ADVICE
+# r13).  (?!1\)) drops the .coalesce(1) funnel form, which the
 # driver-materialization ledger owns.
 _WIDTH_PAT = re.compile(
-    r"(?<![A-Z])\.(?:repartition|repartitionByRange)\("
-    r"|(?<![A-Z])\.coalesce\((?!1\))"
+    r"(?<!\bF)\.(?:repartition|repartitionByRange)\("
+    r"|(?<!\bF)\.coalesce\((?!1\))"
 )
 
 _CATEGORIES = {
@@ -98,7 +104,7 @@ def _scan_widths():
     for rel, path in _iter_source():
         with open(path) as f:
             for line in f:
-                code = line.split("#", 1)[0]
+                code = strip_comment(line)
                 if _WIDTH_PAT.search(code):
                     found[(rel, line.strip())] += 1
     return found
@@ -120,7 +126,7 @@ def test_width_pattern_catches_the_forms_it_claims():
     assert not _WIDTH_PAT.search('money_sum(F.coalesce(x, y))')
     # comment stripping happens before the pattern in _scan_widths
     line = "x = 1  # df.repartition(32) would be wrong here"
-    assert not _WIDTH_PAT.search(line.split("#", 1)[0])
+    assert not _WIDTH_PAT.search(strip_comment(line))
 
 
 def test_ledger_is_well_formed():
@@ -201,7 +207,7 @@ def test_no_bare_integer_width_literals():
     for rel, path in _iter_source():
         with open(path) as f:
             for lineno, line in enumerate(f, 1):
-                code = line.split("#", 1)[0]
+                code = strip_comment(line)
                 m = lit.search(code)
                 if m and int(m.group(1)) > 1:
                     bad.append(f"{rel}:{lineno}: {line.strip()}")

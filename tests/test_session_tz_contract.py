@@ -24,10 +24,21 @@ off-by-five-hours oracle mismatch.
 import os
 import re
 
+from lint_util import strip_comment
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
 
-_TZ_PIN = 'spark.sql.session.timeZone'
+# Match the actual builder-chain call — .config("spark.sql.session.
+# timeZone", "UTC") in either quote style, possibly split across
+# continuation lines — not mere substring co-occurrence in the window
+# (ADVICE r13: a comment naming both strings near an unpinned builder
+# must not false-pass, and a single-quoted pin must not false-fail).
+_TZ_PIN_CALL = re.compile(
+    r"""config\(\s*["']spark\.sql\.session\.timeZone["']\s*,"""
+    r"""\s*["']UTC["']\s*\)""",
+    re.S,
+)
 
 
 def _builder_sites():
@@ -54,7 +65,7 @@ def _builder_sites():
         with open(path) as f:
             lines = f.readlines()
         for i, line in enumerate(lines):
-            if re.search(r"SparkSession\.builder\b", line.split("#", 1)[0]):
+            if re.search(r"SparkSession\.builder\b", strip_comment(line)):
                 rel = os.path.relpath(path, _REPO)
                 yield rel, i + 1, "".join(lines[i:i + 31])
 
@@ -63,7 +74,7 @@ def test_every_builder_site_pins_utc():
     missing = [
         f"{rel}:{lineno}"
         for rel, lineno, window in _builder_sites()
-        if _TZ_PIN not in window or '"UTC"' not in window
+        if not _TZ_PIN_CALL.search(window)
     ]
     assert not missing, (
         "SparkSession.builder site(s) without a spark.sql.session.timeZone "
@@ -91,7 +102,11 @@ def test_tune_session_forces_utc():
     from data_engineering_etl_demo_spark.session import tune_session
 
     src = inspect.getsource(tune_session)
-    assert _TZ_PIN in src and '"UTC"' in src
+    assert re.search(
+        r"""conf\.set\(\s*["']spark\.sql\.session\.timeZone["']\s*,"""
+        r"""\s*["']UTC["']\s*\)""",
+        src,
+    ), "tune_session no longer forces spark.sql.session.timeZone=UTC"
 
 
 def test_live_session_is_utc(spark):

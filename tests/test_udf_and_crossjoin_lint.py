@@ -33,6 +33,8 @@ import os
 import re
 from collections import Counter
 
+from lint_util import strip_comment
+
 _PKG_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data_engineering_etl_demo_spark",
@@ -135,7 +137,7 @@ def test_no_row_at_a_time_python_udfs():
     for rel, path in _iter_source():
         with open(path) as f:
             for i, line in enumerate(f, 1):
-                code = line.split("#", 1)[0]
+                code = strip_comment(line)
                 if _UDF_PAT.search(code):
                     hits.append(f"{rel}:{i}: {line.strip()}")
     assert not hits, (
