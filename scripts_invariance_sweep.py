@@ -18,8 +18,18 @@ Default matrix (r11-certified set + the r13 spill cell):
   spill    local[7],  shuffle.partitions=13, AQE on,  sf0.01, with
            Spark's public spill thresholds forced low so every sort /
            window buffer / SMJ buffer / hash-agg goes through the
-           external-spill paths; spilled bytes recorded via the UI
-           REST API as proof the paths ran
+           external-spill paths (external at 64 rows; spill files cut
+           every 4096 rows — see the config comment for why not 512);
+           spilled bytes recorded via the UI REST API as proof the
+           paths ran
+  host-tz  local[32], shuffle.partitions=32, AQE on,  sf0.01, child
+           process launched with TZ=America/New_York so the JVM's
+           default zone is shifted while the session pins UTC per the
+           engine contract — proof the contract defeats the HOST
+           environment (r13's probe showed an unpinned session shifts
+           24 calendar-bucketing queries by the zone offset); the
+           JVM's observed default zone is recorded so the cell can't
+           go green vacuously (TZ not propagating)
 
 Each config runs in its OWN subprocess (a JVM's master/AQE flags are
 fixed at session start), compares sorted result rows against the oracle
@@ -74,15 +84,27 @@ _CONFIGS: dict[str, dict] = {
     # Spill-pressure cell (VERDICT r12 item 7): at sf0.01 the working set
     # never outgrows a 128 GiB container heap, so genuine memory-pressure
     # spill can't arise naturally — instead force the external-spill code
-    # paths DETERMINISTICALLY via Spark's public spill thresholds: every
-    # unsafe external sort spills to disk every 512 elements, window /
-    # sort-merge-join buffers go external at 64 rows, and ObjectHashAggregate
-    # falls back to sort-based aggregation after 16 distinct keys.  A 100 TB
-    # shuffle lives in exactly these paths (ExternalAppendOnlyUnsafeRowArray,
-    # UnsafeExternalSorter spill-merge, sort-based agg fallback); a cell that
-    # replays all 177 oracles value-identical through them is the evidence
-    # that no kernel depends on staying in-memory.  measure_spill records
-    # memory/disk bytes spilled from the UI REST API as proof the paths ran.
+    # paths DETERMINISTICALLY via Spark's public spill thresholds: window /
+    # sort-merge-join buffers go external at 64 rows (in.memory.threshold —
+    # this is what routes every buffer through
+    # ExternalAppendOnlyUnsafeRowArray / UnsafeExternalSorter), unsafe
+    # sorts cut a new spill FILE every 4096 elements, and
+    # ObjectHashAggregate falls back to sort-based aggregation after 16
+    # distinct keys.  A 100 TB shuffle lives in exactly these paths; a
+    # cell that replays all 177 oracles value-identical through them is
+    # the evidence that no kernel depends on staying in-memory.
+    # measure_spill records memory/disk bytes spilled from the UI REST
+    # API as proof the paths ran.
+    #
+    # File-granularity thresholds were 64/512 in r13 and OOMed in r14:
+    # UnsafeExternalSorter's merge opens a ~1-2 MB ReadAheadInputStream
+    # per spill file SIMULTANEOUSLY, so a documented global-window query
+    # at 64 rows/file produced thousands of files -> ~2 MB x files x 7
+    # concurrent tasks > the 8g heap (OOM in getIterator/
+    # UnsafeSorterSpillReader, reproduced standalone).  4096 rows/file
+    # keeps every buffer on the identical external code path (the
+    # in.memory thresholds still force external at 64 rows) while
+    # bounding merge fan-in — the same fix a real cluster would make.
     "spill": {
         "master": "local[7]",
         "shuffle_partitions": 13,
@@ -90,13 +112,33 @@ _CONFIGS: dict[str, dict] = {
         "sf_dir": "/root/testdata/sf0.01",
         "measure_spill": True,
         "extra_conf": {
-            "spark.shuffle.spill.numElementsForceSpillThreshold": "512",
+            "spark.shuffle.spill.numElementsForceSpillThreshold": "4096",
             "spark.sql.windowExec.buffer.in.memory.threshold": "64",
-            "spark.sql.windowExec.buffer.spill.threshold": "64",
+            "spark.sql.windowExec.buffer.spill.threshold": "4096",
             "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "64",
-            "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "64",
+            "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "4096",
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
         },
+    },
+    # Host-TZ cell (VERDICT r13 item 5): promote the r13 one-off probe to
+    # a standing artifact.  The CHILD PROCESS is launched with
+    # TZ=America/New_York, so the JVM's default zone (and Python's local
+    # zone) are shifted the way a mis-configured cluster node would be —
+    # but every session this engine builds pins
+    # spark.sql.session.timeZone=UTC (the session-TZ contract, lint-
+    # enforced at each builder site).  All 177 queries value-identical to
+    # the oracle here proves the CONTRACT defeats the ENVIRONMENT: the
+    # 24 calendar-bucketing queries that shifted by the zone offset under
+    # r13's unpinned-session probe stay exact.  The observed JVM default
+    # zone is recorded in the cell (host_tz) and a guard test requires it
+    # to be non-UTC — a green cell where TZ silently failed to propagate
+    # would be vacuous.
+    "host-tz": {
+        "master": "local[32]",
+        "shuffle_partitions": 32,
+        "aqe": True,
+        "sf_dir": "/root/testdata/sf0.01",
+        "env": {"TZ": "America/New_York"},
     },
 }
 
@@ -148,6 +190,19 @@ def run_one(name: str) -> dict:
         except Exception as exc:  # record, keep sweeping
             errors.append(f"{qname}: {type(exc).__name__}: {exc}")
     spill = _spill_bytes(spark) if cfg.get("measure_spill") else None
+    host_tz = None
+    if cfg.get("env"):
+        # Evidence the shifted zone actually reached this process: the
+        # JVM default zone (what an unpinned session would inherit) and
+        # Python's view.  The guard test requires jvm_default_tz != UTC.
+        host_tz = {
+            "TZ_env": os.environ.get("TZ"),
+            "jvm_default_tz": (
+                spark._jvm.java.util.TimeZone.getDefault().getID()
+            ),
+            "python_tzname": time.tzname,
+            "session_tz": spark.conf.get("spark.sql.session.timeZone"),
+        }
     spark.stop()
     out = {
         "ok": not mismatches and not errors,
@@ -164,8 +219,12 @@ def run_one(name: str) -> dict:
     }
     if cfg.get("extra_conf"):
         out["extra_conf"] = cfg["extra_conf"]
+    if cfg.get("env"):
+        out["env"] = cfg["env"]
     if spill is not None:
         out["spill"] = spill
+    if host_tz is not None:
+        out["host_tz"] = host_tz
     return out
 
 
@@ -219,9 +278,12 @@ def main() -> int:
         out["round"] = args.round
     for name in names:
         print(f"[invariance] {name}: starting", file=sys.stderr)
+        child_env = None
+        if _CONFIGS[name].get("env"):
+            child_env = dict(os.environ, **_CONFIGS[name]["env"])
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True, text=True, cwd=_REPO,
+            capture_output=True, text=True, cwd=_REPO, env=child_env,
         )
         if proc.returncode != 0:
             out["configs"][name] = {

@@ -78,3 +78,25 @@ def test_latest_invariance_artifact_covers_current_registry():
         f"invariance artifact certified a different registry size than "
         f"the current {n_reg} — re-run scripts_invariance_sweep.py: {stale}"
     )
+
+
+def test_host_tz_cell_actually_shifted_the_environment():
+    """The host-TZ cell (r14) is only evidence if the shifted zone
+    genuinely reached the child: the artifact must record a non-UTC JVM
+    default zone (what an unpinned session would have inherited) while
+    the session conf reads UTC.  A green cell where TZ failed to
+    propagate would prove nothing about the contract defeating the
+    environment."""
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    cell = art["configs"].get("host-tz")
+    assert cell is not None, "host-tz cell missing from latest artifact"
+    tz = cell.get("host_tz") or {}
+    assert tz.get("jvm_default_tz") not in (None, "UTC", "Etc/UTC"), (
+        f"host-tz cell's JVM default zone is not shifted — TZ did not "
+        f"propagate to the child process; the cell is vacuous: {tz}"
+    )
+    assert tz.get("session_tz") == "UTC", (
+        f"host-tz cell's session is not pinned UTC — it is not testing "
+        f"the contract: {tz}"
+    )
