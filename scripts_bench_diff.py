@@ -40,7 +40,7 @@ def _load(path: str) -> dict[str, float]:
 
 def diff(base: dict[str, float], cand: dict[str, float]) -> dict:
     shared = sorted(set(base) & set(cand))
-    crossers = []
+    crossers, improvements = [], []
     for name in shared:
         b, c = base[name], cand[name]
         # Guard b == 0 (possible in a hand-edited/truncated detail file):
@@ -53,16 +53,28 @@ def diff(base: dict[str, float], cand: dict[str, float]) -> dict:
                  "cand_sec": round(c, 3),
                  "ratio": round(ratio, 2) if b > 0 else "inf"}
             )
+        # Inverse double bar, same constants mirrored: a genuine
+        # improvement must shrink by BOTH >1.5x and >0.3 s.  The
+        # protocol reads this list to verify a claimed optimization
+        # actually landed (and that a "flat" round really is flat) with
+        # the same noise floor as the regression side.
+        elif c < b / RATIO_BAR and b - c > ABS_BAR_SEC:
+            improvements.append(
+                {"query": name, "base_sec": round(b, 3),
+                 "cand_sec": round(c, 3), "ratio": round(ratio, 2)}
+            )
     crossers.sort(
         key=lambda r: -(r["ratio"] if isinstance(r["ratio"], float)
                         else float("inf"))
     )
+    improvements.sort(key=lambda r: r["ratio"])
     return {
         "n_shared": len(shared),
         "only_in_base": sorted(set(base) - set(cand)),
         "only_in_cand": sorted(set(cand) - set(base)),
         "bar": {"ratio": RATIO_BAR, "abs_sec": ABS_BAR_SEC},
         "bar_crossers": crossers,
+        "improvements": improvements,
     }
 
 
@@ -111,6 +123,9 @@ def main() -> int:
         for r in out["bar_crossers"]:
             print(f"  {r['query']}: {r['base_sec']} -> {r['cand_sec']} s "
                   f"({r['ratio']}x)")
+        for r in out["improvements"]:
+            print(f"  improved {r['query']}: {r['base_sec']} -> "
+                  f"{r['cand_sec']} s ({r['ratio']}x)")
     return 0
 
 

@@ -30,6 +30,15 @@ Default matrix (r11-certified set + the r13 spill cell):
            24 calendar-bucketing queries by the zone offset); the
            JVM's observed default zone is recorded so the cell can't
            go green vacuously (TZ not propagating)
+  storage- local[32], shuffle.partitions=32, AQE on — the same sf0.01
+  layout   rows REWRITTEN with a deliberately different physical
+           parquet layout (512-row row groups vs the generator's one
+           per table, 2 KB pages, zstd, dictionary off) and the full
+           registry replayed against the oracle on the rewritten
+           files: results must not depend on how the bytes are laid
+           out (row-group statistics/pruning, split planning,
+           non-dictionary decode); observed layout recorded so the
+           cell can't go green vacuously
 
 Each config runs in its OWN subprocess (a JVM's master/AQE flags are
 fixed at session start), compares sorted result rows against the oracle
@@ -140,7 +149,69 @@ _CONFIGS: dict[str, dict] = {
         "sf_dir": "/root/testdata/sf0.01",
         "env": {"TZ": "America/New_York"},
     },
+    # Storage-layout cell (r14, property class: physical-ENCODING
+    # independence).  The generator writes every sf0.01 table as ONE
+    # snappy row group with dictionary encoding — so row-group
+    # statistics granularity, row-group pruning, split planning, and
+    # the non-dictionary decode path are all untested axes on the
+    # default matrix.  At 100 TB a lake never looks like the generator's
+    # output: files arrive with wildly varying row-group sizes, page
+    # sizes, compressions, and encodings.  This cell rewrites the same
+    # logical data with pyarrow (values byte-identical by read/write
+    # round-trip) into tiny row groups (512 rows -> lineitem gets ~117
+    # groups), tiny pages, zstd, dictionary OFF, and replays the whole
+    # registry against the oracle on the SAME rewritten files — results
+    # must not depend on how the bytes are laid out.  The observed
+    # rewritten layout is recorded (storage_layout) and a guard test
+    # requires it to be genuinely shifted (multi-row-group + ZSTD), the
+    # same anti-vacuous convention as the spill and host-tz cells.
+    "storage-layout": {
+        "master": "local[32]",
+        "shuffle_partitions": 32,
+        "aqe": True,
+        "sf_dir": "/root/testdata/sf0.01",
+        "rewrite_layout": {
+            "dest": "/tmp/invariance_storage_sf0.01",
+            "row_group_size": 512,
+            "data_page_size": 2048,
+            "compression": "zstd",
+            "use_dictionary": False,
+        },
+    },
 }
+
+
+def _rewrite_layout(src_dir: str, opts: dict) -> dict:
+    """Rewrite every table of ``src_dir`` into ``opts['dest']`` with a
+    deliberately different physical parquet layout (row-group size,
+    page size, compression, dictionary) and identical logical values.
+    Returns the observed layout of the rewritten files as evidence."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    dest = opts["dest"]
+    os.makedirs(dest, exist_ok=True)
+    layout = {}
+    for path in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+        name = os.path.basename(path)
+        table = pq.read_table(path)
+        out_path = os.path.join(dest, name)
+        pq.write_table(
+            table,
+            out_path,
+            row_group_size=opts["row_group_size"],
+            data_page_size=opts["data_page_size"],
+            compression=opts["compression"],
+            use_dictionary=opts["use_dictionary"],
+        )
+        meta = pq.ParquetFile(out_path).metadata
+        layout[name] = {
+            "rows": meta.num_rows,
+            "row_groups": meta.num_row_groups,
+            "compression": meta.row_group(0).column(0).compression,
+        }
+    return layout
 
 
 def run_one(name: str) -> dict:
@@ -176,6 +247,13 @@ def run_one(name: str) -> dict:
 
     specs = all_specs()
     sf = cfg["sf_dir"]
+    storage_layout = None
+    if cfg.get("rewrite_layout"):
+        # Physical-encoding shift: same logical rows, different bytes.
+        # Spark AND the oracle both read the rewritten files, so any
+        # mismatch is layout-dependence in the engine, not data drift.
+        storage_layout = _rewrite_layout(sf, cfg["rewrite_layout"])
+        sf = cfg["rewrite_layout"]["dest"]
     con = duckdb_connection(sf)
     mismatches, errors, rows_only, n_match = [], [], 0, 0
     for qname, spec in specs.items():
@@ -221,10 +299,14 @@ def run_one(name: str) -> dict:
         out["extra_conf"] = cfg["extra_conf"]
     if cfg.get("env"):
         out["env"] = cfg["env"]
+    if cfg.get("rewrite_layout"):
+        out["rewrite_layout"] = cfg["rewrite_layout"]
     if spill is not None:
         out["spill"] = spill
     if host_tz is not None:
         out["host_tz"] = host_tz
+    if storage_layout is not None:
+        out["storage_layout"] = storage_layout
     return out
 
 

@@ -51,3 +51,25 @@ def test_zero_base_is_infinite_crosser_not_crash():
     assert out["bar_crossers"][0]["ratio"] == "inf"
     # zero base + zero-ish candidate under the abs bar stays quiet
     assert bd.diff({"z": 0.0}, {"z": 0.2})["bar_crossers"] == []
+
+
+def test_inverse_bar_reports_improvements_symmetrically():
+    """An improvement must shrink by BOTH >1.5x and >0.3 s — the same
+    double bar mirrored, so "flat round" claims and claimed
+    optimizations are verified with the same noise floor as
+    regressions."""
+    base = {
+        "big_ratio_small_abs": 0.30,   # 3x faster but -0.2 s -> no
+        "big_abs_small_ratio": 2.50,   # -0.5 s but only 1.25x -> no
+        "both": 0.80,                  # 2x faster and -0.4 s -> yes
+        "regressed": 0.40,
+    }
+    cand = {
+        "big_ratio_small_abs": 0.10,
+        "big_abs_small_ratio": 2.00,
+        "both": 0.40,
+        "regressed": 0.80,
+    }
+    out = bd.diff(base, cand)
+    assert [r["query"] for r in out["improvements"]] == ["both"]
+    assert [r["query"] for r in out["bar_crossers"]] == ["regressed"]

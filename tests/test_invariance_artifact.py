@@ -100,3 +100,26 @@ def test_host_tz_cell_actually_shifted_the_environment():
         f"host-tz cell's session is not pinned UTC — it is not testing "
         f"the contract: {tz}"
     )
+
+
+def test_storage_layout_cell_actually_shifted_the_bytes():
+    """The storage-layout cell (r14) is only evidence if the rewrite
+    genuinely produced a different physical encoding: the recorded
+    layout must show the biggest table split into many row groups
+    (the generator writes ONE per table) with the shifted compression.
+    A green cell over files that silently kept the generator's layout
+    would prove nothing about encoding independence."""
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    cell = art["configs"].get("storage-layout")
+    assert cell is not None, "storage-layout cell missing from latest artifact"
+    layout = cell.get("storage_layout") or {}
+    li = layout.get("lineitem.parquet") or {}
+    assert li.get("row_groups", 0) > 50, (
+        f"rewritten lineitem has too few row groups — the layout shift "
+        f"did not happen: {li}"
+    )
+    assert li.get("compression") == "ZSTD", (
+        f"rewritten lineitem is not ZSTD — the layout shift did not "
+        f"happen: {li}"
+    )
