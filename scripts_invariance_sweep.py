@@ -9,7 +9,8 @@ per-partition evaluation order, or adaptive re-planning (the class that
 bites float summation order, first/last-without-ordering, and
 partition-id-leaking kernels at scale).
 
-Default matrix (r11-certified set + the r13 spill cell):
+Default matrix (r11-certified set + the r13 spill cell + the r14
+environment cells):
   narrow   local[7],  shuffle.partitions=5,  AQE on,  sf0.01
   wide     local[32], shuffle.partitions=97, AQE on,  sf0.01
   no-aqe   local[32], shuffle.partitions=32, AQE OFF, sf0.01
@@ -39,6 +40,15 @@ Default matrix (r11-certified set + the r13 spill cell):
            out (row-group statistics/pruning, split planning,
            non-dictionary decode); observed layout recorded so the
            cell can't go green vacuously
+  arrow-   local[32], shuffle.partitions=32, AQE on, Arrow
+  batch    maxRecordsPerBatch=64 so every mapInPandas kernel sees
+           many batches per partition instead of one — no Python
+           kernel may depend on batch boundaries; observed probe
+           batch count recorded
+  no-      local[32], shuffle.partitions=32, AQE on, whole-stage
+  codegen  codegen OFF — the interpreted path a real cluster falls
+           back to (wide schemas, >64KB methods) must produce
+           identical results; probe plan recorded WSCG-free
 
 Each config runs in its OWN subprocess (a JVM's master/AQE flags are
 fixed at session start), compares sorted result rows against the oracle
@@ -178,6 +188,47 @@ _CONFIGS: dict[str, dict] = {
             "use_dictionary": False,
         },
     },
+    # Arrow-batch cell (r14, property class: PYTHON-KERNEL BATCH
+    # independence).  Every Python-executed kernel in this engine is an
+    # Arrow-batched mapInPandas/applyInPandas; the classic bug class
+    # there is logic that accidentally depends on BATCH BOUNDARIES
+    # (a diff/cumsum/dedup computed within a batch instead of within
+    # the semantic group).  Default maxRecordsPerBatch is 10,000 — at
+    # sf0.01 many kernels see exactly ONE batch per partition, so that
+    # bug class is invisible to the default matrix.  64-row batches
+    # force every mapInPandas kernel through many batches per
+    # partition; 177/177 value-identical proves no kernel leans on a
+    # batch edge.  A probe records the OBSERVED batch count so the cell
+    # can't go green with the conf silently ignored.
+    "arrow-batch": {
+        "master": "local[32]",
+        "shuffle_partitions": 32,
+        "aqe": True,
+        "sf_dir": "/root/testdata/sf0.01",
+        "probe_arrow_batches": True,
+        "extra_conf": {
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+        },
+    },
+    # No-codegen cell (r14, property class: CODEGEN-FALLBACK equality).
+    # Spark silently falls back from whole-stage codegen to the
+    # interpreted path in real clusters (wide schemas >100 fields, >64KB
+    # generated methods, codegen cache pressure) — precisely the shapes
+    # a 100 TB pipeline hits.  Running the registry with
+    # spark.sql.codegen.wholeStage=false certifies both execution
+    # strategies produce identical results, so a production fallback
+    # can never silently change answers.  A probe records that the
+    # physical plan genuinely lost its WholeStageCodegen nodes.
+    "no-codegen": {
+        "master": "local[32]",
+        "shuffle_partitions": 32,
+        "aqe": True,
+        "sf_dir": "/root/testdata/sf0.01",
+        "probe_codegen_off": True,
+        "extra_conf": {
+            "spark.sql.codegen.wholeStage": "false",
+        },
+    },
 }
 
 
@@ -268,6 +319,40 @@ def run_one(name: str) -> dict:
         except Exception as exc:  # record, keep sweeping
             errors.append(f"{qname}: {type(exc).__name__}: {exc}")
     spill = _spill_bytes(spark) if cfg.get("measure_spill") else None
+    arrow_probe = None
+    if cfg.get("probe_arrow_batches"):
+        # Observed evidence the 64-row batch conf took effect: count the
+        # Arrow batches a 10k-row mapInPandas actually receives on one
+        # partition (expect ~157 at 64 rows/batch; 1-2 if the conf were
+        # silently ignored).  The guard test requires >10.
+        import pandas as _pd
+
+        def _count_batches(it):
+            n = 0
+            for _batch in it:
+                n += 1
+            yield _pd.DataFrame({"n_batches": [n]})
+
+        probe_df = spark.range(10_000).coalesce(1).mapInPandas(
+            _count_batches, "n_batches long"
+        )
+        arrow_probe = {
+            "probe_rows": 10_000,
+            "observed_batches": int(probe_df.collect()[0][0]),
+        }
+    codegen_probe = None
+    if cfg.get("probe_codegen_off"):
+        # Observed evidence codegen is genuinely off: a plan that would
+        # always be whole-stage-generated must have no WholeStageCodegen
+        # node.  The guard test requires plan_has_wscg == False.
+        plan = (
+            spark.range(100)
+            .selectExpr("sum(id) as s")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        codegen_probe = {"plan_has_wscg": "WholeStageCodegen" in plan}
     host_tz = None
     if cfg.get("env"):
         # Evidence the shifted zone actually reached this process: the
@@ -307,6 +392,10 @@ def run_one(name: str) -> dict:
         out["host_tz"] = host_tz
     if storage_layout is not None:
         out["storage_layout"] = storage_layout
+    if arrow_probe is not None:
+        out["arrow_probe"] = arrow_probe
+    if codegen_probe is not None:
+        out["codegen_probe"] = codegen_probe
     return out
 
 

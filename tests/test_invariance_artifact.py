@@ -123,3 +123,35 @@ def test_storage_layout_cell_actually_shifted_the_bytes():
         f"rewritten lineitem is not ZSTD — the layout shift did not "
         f"happen: {li}"
     )
+
+
+def test_arrow_batch_cell_actually_shrank_the_batches():
+    """The arrow-batch cell (r14) is only evidence if the 64-row conf
+    genuinely took effect: the recorded probe (10k rows through one
+    mapInPandas partition) must have seen many batches — at the default
+    10,000-row batching it would see 1."""
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    cell = art["configs"].get("arrow-batch")
+    assert cell is not None, "arrow-batch cell missing from latest artifact"
+    probe = cell.get("arrow_probe") or {}
+    assert probe.get("observed_batches", 0) > 10, (
+        f"arrow-batch probe saw too few batches — the maxRecordsPerBatch "
+        f"conf did not take effect; the cell is vacuous: {probe}"
+    )
+
+
+def test_no_codegen_cell_actually_disabled_codegen():
+    """The no-codegen cell (r14) is only evidence if whole-stage codegen
+    was genuinely off: the recorded probe plan (an aggregate that is
+    always whole-stage-generated when enabled) must carry no
+    WholeStageCodegen node."""
+    with open(_latest_artifact()) as f:
+        art = json.load(f)
+    cell = art["configs"].get("no-codegen")
+    assert cell is not None, "no-codegen cell missing from latest artifact"
+    probe = cell.get("codegen_probe") or {}
+    assert probe.get("plan_has_wscg") is False, (
+        f"no-codegen probe plan still shows WholeStageCodegen — the conf "
+        f"did not take effect; the cell is vacuous: {probe}"
+    )
