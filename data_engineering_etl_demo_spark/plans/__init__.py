@@ -123,41 +123,32 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-14 start: scripts_changed_queries.py reports zero changed
-# builders vs the r13 closing snapshot (CHANGED=[] / MODULE-TOUCHED=0),
+# Round-15 start: scripts_changed_queries.py reports zero changed
+# builders vs the r14 closing snapshot (CHANGED=[] / MODULE-TOUCHED=0),
 # so the full 50-slot window drains stale evidence.  A query only enters
 # this set when its builder source (or a shared helper it provably flows
 # through) changes in-round; each entry displaces one slot from the
 # drain tail per the established rule.  (set(), not {}: an empty brace
 # literal is a dict and breaks the set-algebra the rotation tests do.)
 _CHANGED_THIS_ROUND: set[str] = set()
-# Round-14 window math (VERDICT r13 item 1): the entire 27-query
-# r10-evidence cohort + the 23 oldest r11 entries = 50.  After it lands,
-# no registry query carries driver evidence older than r11 (distribution
-# becomes r11×27 / r12×50 / r13×50 / r14×50) and the rotation ladder is
-# complete — every future window is a routine 50-slot drain of the
-# oldest class.
+# Round-15 window math (VERDICT r14 item 2): the rotation ladder is
+# complete — the r14 window finished the catch-up, so this is the first
+# ROUTINE window: the entire 27-query r11-evidence cohort + the 23
+# oldest r12 entries (registration order) = 50.  After it lands, no
+# registry query carries driver evidence older than r12 (distribution
+# becomes r12×27 / r13×50 / r14×50 / r15×50).
 
 # Within a staleness class, registration order normally decides who
 # drains first.  This set front-loads named queries WITHIN their class
 # (it never jumps a query past a staler class — _verify_priority keeps
-# the round as the primary key).  Round 14: the registration-order cut
-# after the 23rd r11 entry falls MID-FAMILY — multimodal_decode and
-# multimodal_frame_sample in, multimodal_resize and
-# multimodal_audio_features out — and the four r11-evidence multimodal
-# queries are direct consumers of the same operators/multimodal.py
-# kernels, the same cohesion that had r11 front-load the 12-query
-# streaming family across its r8 cut.  Front-loading all four keeps the
-# family's evidence in one round; the two registration-order entries
-# they displace (docs_perplexity_buckets, docs_minhash_recall_sample)
-# stay r11-fresh and lead the r15 drain.  Reset alongside
+# the round as the primary key).  Round 15: empty — the r12 cut after
+# the 23rd entry falls between docs_corpus_pipeline (in) and
+# docs_preference_pairs (out); both live in llmdata but share no
+# operator kernel (composite corpus pipeline vs max_by/min_by RLHF
+# prep), so unlike the r14 multimodal straddle there is no family to
+# keep together and pure registration order stands.  Reset alongside
 # _CHANGED_THIS_ROUND at each round start.
-_FRONT_OF_CLASS_THIS_ROUND: set[str] = {
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_audio_features",
-}
+_FRONT_OF_CLASS_THIS_ROUND: set[str] = set()
 
 # Freshest driver-green round per query, DERIVED from the committed
 # CORRECTNESS_r*.json artifacts (latest green row wins; a row is green
