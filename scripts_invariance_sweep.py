@@ -241,8 +241,15 @@ def _rewrite_layout(src_dir: str, opts: dict) -> dict:
 
     import pyarrow.parquet as pq
 
+    import shutil
+
     dest = opts["dest"]
-    os.makedirs(dest, exist_ok=True)
+    # Fresh dest every run (ADVICE r14): a reused /tmp dir could carry
+    # files from a prior run with different rewrite options, and the
+    # layout evidence below would then describe stale bytes.
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
     layout = {}
     for path in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
         name = os.path.basename(path)
@@ -256,6 +263,15 @@ def _rewrite_layout(src_dir: str, opts: dict) -> dict:
             compression=opts["compression"],
             use_dictionary=opts["use_dictionary"],
         )
+        # Back the "values byte-identical by read/write round-trip"
+        # claim with code (ADVICE r14): both engines read the rewritten
+        # files so the invariance comparison is sound either way, but
+        # silent rewrite-induced drift vs the generator data would
+        # otherwise go unnoticed.
+        if not pq.read_table(out_path).equals(table):
+            raise AssertionError(
+                f"layout rewrite changed logical values for {name}"
+            )
         meta = pq.ParquetFile(out_path).metadata
         layout[name] = {
             "rows": meta.num_rows,

@@ -22,7 +22,7 @@ import os
 import re
 from collections import Counter
 
-from lint_util import strip_comment
+from lint_util import strip_comment, strip_comment_lines
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
@@ -222,10 +222,10 @@ def _scan_broadcasts():
     found = Counter()
     for rel, path in _iter_source():
         with open(path) as f:
-            for line in f:
-                code = strip_comment(line)
-                if _BCAST_PAT.search(code):
-                    found[(rel, line.strip())] += 1
+            lines = f.readlines()
+        for line, code in zip(lines, strip_comment_lines(lines)):
+            if _BCAST_PAT.search(code):
+                found[(rel, line.strip())] += 1
     return found
 
 

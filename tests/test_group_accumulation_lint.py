@@ -25,7 +25,7 @@ import os
 import re
 from collections import Counter
 
-from lint_util import strip_comment
+from lint_util import strip_comment, strip_comment_lines
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
@@ -67,10 +67,10 @@ def _scan():
     found = Counter()
     for rel, path in _iter_source():
         with open(path) as f:
-            for line in f:
-                code = strip_comment(line)
-                if _ACC_PAT.search(code):
-                    found[(rel, line.strip())] += 1
+            lines = f.readlines()
+        for line, code in zip(lines, strip_comment_lines(lines)):
+            if _ACC_PAT.search(code):
+                found[(rel, line.strip())] += 1
     return found
 
 
@@ -90,6 +90,20 @@ def test_pattern_catches_the_forms_it_claims():
     # old split('#')[0] idiom truncated here and let it dodge).
     evasive = "spark.sql(\"SELECT '#' AS h, array_agg(x) FROM t\")"
     assert _ACC_PAT.search(strip_comment(evasive))
+    # ...and the MULTI-LINE variant (ADVICE r14): a '#' on a
+    # continuation line of a triple-quoted SQL string is still string
+    # text, so a pattern after it must survive strip_comment_lines
+    # (per-line strip_comment under-scans exactly here).
+    multiline = [
+        'q = """SELECT 1\n',
+        "-- see #4: array_agg(x)\n",
+        '"""\n',
+    ]
+    stripped = strip_comment_lines(multiline)
+    assert _ACC_PAT.search(stripped[1]), stripped
+    assert not _ACC_PAT.search(strip_comment(multiline[1]))  # the old hole
+    # comments outside strings still stripped by the multi-line walker
+    assert strip_comment_lines(["x = 1  # collect_list(x)\n"]) == ["x = 1  "]
 
 
 def test_ledger_is_well_formed():

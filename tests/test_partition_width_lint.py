@@ -30,7 +30,7 @@ import os
 import re
 from collections import Counter
 
-from lint_util import strip_comment
+from lint_util import strip_comment, strip_comment_lines
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
@@ -103,10 +103,10 @@ def _scan_widths():
     found = Counter()
     for rel, path in _iter_source():
         with open(path) as f:
-            for line in f:
-                code = strip_comment(line)
-                if _WIDTH_PAT.search(code):
-                    found[(rel, line.strip())] += 1
+            lines = f.readlines()
+        for line, code in zip(lines, strip_comment_lines(lines)):
+            if _WIDTH_PAT.search(code):
+                found[(rel, line.strip())] += 1
     return found
 
 
@@ -206,11 +206,13 @@ def test_no_bare_integer_width_literals():
     )
     for rel, path in _iter_source():
         with open(path) as f:
-            for lineno, line in enumerate(f, 1):
-                code = strip_comment(line)
-                m = lit.search(code)
-                if m and int(m.group(1)) > 1:
-                    bad.append(f"{rel}:{lineno}: {line.strip()}")
+            lines = f.readlines()
+        for lineno, (line, code) in enumerate(
+            zip(lines, strip_comment_lines(lines)), 1
+        ):
+            m = lit.search(code)
+            if m and int(m.group(1)) > 1:
+                bad.append(f"{rel}:{lineno}: {line.strip()}")
     assert not bad, (
         f"bare integer width literal(s) — derive from the session or the "
         f"data instead: {bad}"

@@ -24,7 +24,7 @@ off-by-five-hours oracle mismatch.
 import os
 import re
 
-from lint_util import strip_comment
+from lint_util import strip_comment_lines
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG_DIR = os.path.join(_REPO, "data_engineering_etl_demo_spark")
@@ -64,10 +64,16 @@ def _builder_sites():
     for path in files:
         with open(path) as f:
             lines = f.readlines()
-        for i, line in enumerate(lines):
-            if re.search(r"SparkSession\.builder\b", strip_comment(line)):
+        # Comment-strip the WINDOW lines too (ADVICE r14): a
+        # commented-out `.config("spark.sql.session.timeZone", "UTC")`
+        # near an unpinned builder must not satisfy the pin search.
+        # Multi-line-aware so a '#' inside a triple-quoted string in
+        # the window can't truncate real code (lint_util docstring).
+        stripped = strip_comment_lines(lines)
+        for i, code in enumerate(stripped):
+            if re.search(r"SparkSession\.builder\b", code):
                 rel = os.path.relpath(path, _REPO)
-                yield rel, i + 1, "".join(lines[i:i + 31])
+                yield rel, i + 1, "".join(stripped[i:i + 31])
 
 
 def test_every_builder_site_pins_utc():

@@ -33,7 +33,7 @@ import os
 import re
 from collections import Counter
 
-from lint_util import strip_comment
+from lint_util import strip_comment, strip_comment_lines
 
 _PKG_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -136,10 +136,12 @@ def test_no_row_at_a_time_python_udfs():
     hits = []
     for rel, path in _iter_source():
         with open(path) as f:
-            for i, line in enumerate(f, 1):
-                code = strip_comment(line)
-                if _UDF_PAT.search(code):
-                    hits.append(f"{rel}:{i}: {line.strip()}")
+            lines = f.readlines()
+        for i, (line, code) in enumerate(
+            zip(lines, strip_comment_lines(lines)), 1
+        ):
+            if _UDF_PAT.search(code):
+                hits.append(f"{rel}:{i}: {line.strip()}")
     assert not hits, (
         "row-at-a-time Python UDF in the package — use column "
         "expressions or an Arrow-batched pandas_udf/applyInPandas/"
