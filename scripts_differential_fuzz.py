@@ -34,6 +34,29 @@ differences, not bugs (NOTES r14 sketch):
 - AVG(DECIMAL) result-scale divergence (Spark +4 scale vs DuckDB
   double): AVG restricted to INT columns.
 
+The r15 widening (window/EXISTS/UNION/ROLLUP/CASE shapes) adds its own
+determinism rules: window ORDER BYs are either the unique-key spine
+(ROW_NUMBER/LAG — total order) or a bare ranked column for RANK (tied
+rows get identical ranks in both engines, so values stay
+deterministic); unframed OVER (PARTITION BY ...) aggregates are
+whole-partition in both engines and SUM stays INT-only there; UNION
+(dedup) projects int/string/date only, mirroring DISTINCT; ROLLUP
+groups only base columns that are never NULL in the data, so subtotal
+NULL markers are unambiguous; the CASE WHEN aggregate is
+SUM(CASE WHEN p THEN 1 ELSE 0 END) — exact integer arithmetic.
+
+FUZZ-FOUND trap (r15, the harness's first finding): **ROLLUP /
+GROUPING SETS over an EMPTY input** — Spark returns ZERO rows while
+DuckDB (per the standard, like PostgreSQL) emits the `()` grouping
+set's grand-total row (NULL keys, COUNT 0).  Minimal repro:
+``SELECT id AS g, COUNT(*) AS c FROM t WHERE id < 0 GROUP BY
+ROLLUP(id)`` → Spark [], DuckDB [(NULL, 0)].  Adjudicated an upstream
+Spark semantic difference, not an engine bug here; the rollup shape
+therefore carries no WHERE clause (an unfiltered base table is never
+empty), and tests/test_differential_fuzz.py pins the divergence so the
+exclusion is re-examined if a future Spark release aligns with the
+standard.
+
 Usage:
     python scripts_differential_fuzz.py --round 15 --cases 1000 \
         [--sf-dir /root/testdata/sf0.01] [--out FUZZ_r15.json]
@@ -68,8 +91,15 @@ _CLASS_OF = {
     "timestamp[ns]": "timestamp",
 }
 
-# Full unique key per table (TESTDATA.md shapes) — the ORDER BY spine
-# that makes LIMIT deterministic.
+# ORDER-BY spine per table (TESTDATA.md shapes).  NOT assumed unique:
+# the r15 fuzz found the synthetic lineitem violates the TPC-H primary
+# key — (l_orderkey, l_linenumber) has duplicate pairs (4599 distinct
+# of 6000 rows at sf0.001) — so uniqueness is MEASURED per sf dir by
+# ``key_uniqueness`` and order-sensitive constructs (LAG of a
+# non-spine column) are gated on it.  The topk / ROW_NUMBER shapes
+# stay deterministic even over a tied spine because their projected
+# columns coincide with the order columns (tied rows project identical
+# tuples, so the result SET is order-independent).
 TABLE_KEYS = {
     "region": ("r_regionkey",),
     "nation": ("n_nationkey",),
@@ -139,6 +169,20 @@ def literal_pools(con, census) -> dict[str, dict[str, list]]:
             c: sorted(set(v)) if v else [] for c, v in zip(cols, row)
         }
     return pools
+
+
+def key_uniqueness(con, census) -> dict[str, bool]:
+    """Measured truth of each table's TABLE_KEYS spine in THIS sf dir —
+    the gate for order-sensitive constructs (see TABLE_KEYS comment)."""
+    unique = {}
+    for t in census:
+        key = TABLE_KEYS[t]
+        expr = key[0] if len(key) == 1 else f"({', '.join(key)})"
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {expr}) FROM {t}"
+        ).fetchone()
+        unique[t] = n == d
+    return unique
 
 
 def _sql_str(v: str) -> str:
@@ -218,8 +262,12 @@ def _projectable(census, table: str) -> list[tuple[str, str]]:
     return out
 
 
-def _agg_exprs(rng, table: str, census, qual: str = "") -> list[str]:
-    """1-3 aggregate expressions honoring the trap exclusions."""
+def _agg_exprs(
+    rng, table: str, census, qual: str = "", pools=None
+) -> list[str]:
+    """1-3 aggregate expressions honoring the trap exclusions.  With
+    ``pools``, a conditional-count aggregate (SUM over CASE WHEN —
+    exact integer arithmetic, order-independent) joins the menu."""
     cols = census[table]
     menu = [f"COUNT(*)"]  # noqa: F541
     for c, cls in cols.items():
@@ -238,6 +286,10 @@ def _agg_exprs(rng, table: str, census, qual: str = "") -> list[str]:
             menu.append(f"AVG({qc})")
         if cls == "double":
             menu.append(f"SUM(CAST({qc} AS DECIMAL(18,2)))")
+    if pools is not None:
+        c = rng.choice(list(cols))
+        atom = _atom(rng, c, cols[c], pools[table].get(c, []), qual)
+        menu.append(f"SUM(CASE WHEN {atom} THEN 1 ELSE 0 END)")
     return rng.sample(menu, min(len(menu), rng.randint(1, 3)))
 
 
@@ -272,10 +324,20 @@ SHAPES = (
     "distinct",
     "join_project",
     "join_agg",
+    # r15 widening — engine-identical ANSI constructs, same trap rules:
+    # window orders are total (unique-key spine), EXISTS correlates on
+    # the FK pairs, ROLLUP only over never-NULL base columns (so the
+    # rollup's NULL markers are unambiguous), UNION branches share one
+    # projection list.
+    "window_rank",
+    "window_agg",
+    "exists_semi",
+    "union_all",
+    "rollup",
 )
 
 
-def gen_case(rng, census, pools) -> tuple[str, str]:
+def gen_case(rng, census, pools, unique) -> tuple[str, str]:
     """Returns (shape, sql)."""
     shape = rng.choice(SHAPES)
     if shape in ("join_project", "join_agg"):
@@ -312,7 +374,7 @@ def gen_case(rng, census, pools) -> tuple[str, str]:
         gt, gq = rng.choice(((lt, "a."), (rt, "b.")))
         groups = _group_cols(rng, gt, census, gq)
         at, aq = rng.choice(((lt, "a."), (rt, "b.")))
-        aggs = _agg_exprs(rng, at, census, aq)
+        aggs = _agg_exprs(rng, at, census, aq, pools)
         gsel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
         asel = ", ".join(f"{a} AS m{i}" for i, a in enumerate(aggs))
         sql = (
@@ -325,7 +387,154 @@ def gen_case(rng, census, pools) -> tuple[str, str]:
             sql += _order_limit(rng, [f"g{i}" for i in range(len(groups))])
         return shape, sql
 
+    if shape == "exists_semi":
+        # correlated [NOT] EXISTS on an FK pair: semi/anti-join plans
+        # in Spark, same boolean semantics in DuckDB.  Parent side
+        # projected; child may carry its own predicate.
+        lt, lc, rt, rc = rng.choice(FK_PAIRS)
+        neg = "NOT " if rng.random() < 0.4 else ""
+        cands = _projectable(census, rt)
+        proj = rng.sample(cands, min(len(cands), rng.randint(1, 3)))
+        sel = ", ".join(
+            (
+                e.replace("CAST(", "CAST(b.")
+                if e.startswith("CAST(")
+                else f"b.{e}"
+            )
+            + f" AS c{i}"
+            for i, (e, _) in enumerate(proj)
+        )
+        sub_pred = ""
+        if rng.random() < 0.5:
+            sub_pred = " AND " + _predicate(rng, lt, census, pools, "a.")
+        outer_pred = ""
+        if rng.random() < 0.4:
+            outer_pred = (
+                " AND " + _predicate(rng, rt, census, pools, "b.")
+            )
+        return shape, (
+            f"SELECT {sel} FROM {rt} b WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM {lt} a WHERE a.{lc} = b.{rc}{sub_pred})"
+            f"{outer_pred}"
+        )
+
     t = rng.choice([x for x in census if census[x]])
+    if shape == "window_rank":
+        # ROW_NUMBER/RANK over (PARTITION BY low-card expr ORDER BY a
+        # total order) + rn-filter in an outer query: deterministic —
+        # ROW_NUMBER's order is the unique-key spine; RANK additionally
+        # ranks a sort column with the key as tiebreak, so tied rows get
+        # identical ranks in both engines.
+        part = _group_cols(rng, t, census)[:1]
+        if not part:
+            part = [TABLE_KEYS[t][0]]
+        key = TABLE_KEYS[t]
+        fn = rng.choice(["ROW_NUMBER", "RANK"])
+        order_cols = []
+        if fn == "RANK":
+            # RANK orders by a possibly-tied column WITHOUT a key
+            # tiebreak: tied rows get identical ranks in both engines,
+            # so the rank values AND the rn<=k row set stay
+            # deterministic while genuinely exercising tie semantics.
+            extra = [
+                c
+                for c, cls in census[t].items()
+                if cls in ("int", "double", "string") and c not in key
+            ]
+            if extra:
+                s = rng.choice(extra)
+                order_cols.append(
+                    f"{s} {rng.choice(['ASC NULLS FIRST', 'DESC NULLS LAST'])}"
+                )
+        if not order_cols:
+            order_cols = [f"{k} ASC NULLS FIRST" for k in key]
+        proj = list(dict.fromkeys(list(key) + part))
+        sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(proj))
+        where = ""
+        if rng.random() < 0.5:
+            where = " WHERE " + _predicate(rng, t, census, pools)
+        inner = (
+            f"SELECT {sel}, {fn}() OVER (PARTITION BY {part[0]} "
+            f"ORDER BY {', '.join(order_cols)}) AS rn FROM {t}{where}"
+        )
+        return shape, (
+            f"SELECT * FROM ({inner}) w WHERE rn <= {rng.randint(1, 5)}"
+        )
+    if shape == "window_agg":
+        # unframed whole-partition aggregates (no ORDER BY in the OVER
+        # ⇒ full-partition frame in both engines) + optional LAG over
+        # the unique-key spine.  SUM int-only / COUNT — exact.
+        part = _group_cols(rng, t, census)[:1]
+        if not part:
+            part = [TABLE_KEYS[t][0]]
+        key = TABLE_KEYS[t]
+        int_cols = [
+            c for c, cls in census[t].items() if cls == "int"
+        ]
+        proj = list(dict.fromkeys(list(key) + part))
+        sel = [f"{e} AS c{i}" for i, e in enumerate(proj)]
+        over = f"OVER (PARTITION BY {part[0]})"
+        sel.append(f"COUNT(*) {over} AS m0")
+        if int_cols:
+            sel.append(f"SUM({rng.choice(int_cols)}) {over} AS m1")
+        if rng.random() < 0.5 and unique.get(t):
+            # LAG of an arbitrary column needs a TOTAL order — gated on
+            # the measured spine uniqueness (fuzz-found: the synthetic
+            # lineitem's tied spine made the predecessor row, and so
+            # the lagged value, engine-order-dependent)
+            lag_col = rng.choice(
+                [
+                    c
+                    for c, cls in census[t].items()
+                    if cls in ("int", "string")
+                ]
+            )
+            spine = ", ".join(f"{k} ASC NULLS FIRST" for k in key)
+            sel.append(
+                f"LAG({lag_col}, 1) OVER (PARTITION BY {part[0]} "
+                f"ORDER BY {spine}) AS m2"
+            )
+        where = ""
+        if rng.random() < 0.5:
+            where = " WHERE " + _predicate(rng, t, census, pools)
+        return shape, f"SELECT {', '.join(sel)} FROM {t}{where}"
+    if shape == "union_all":
+        # two branches over the same table share ONE projection list.
+        # UNION (dedup) keeps to int/string/date like the DISTINCT
+        # shape; UNION ALL may project doubles (no equality involved).
+        op = rng.choice(["UNION ALL", "UNION"])
+        cands = [
+            (e, cls)
+            for e, cls in _projectable(census, t)
+            if op == "UNION ALL" or cls in ("int", "string", "date")
+        ]
+        proj = rng.sample(cands, min(len(cands), rng.randint(1, 3)))
+        sel = ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(proj))
+        p1 = _predicate(rng, t, census, pools)
+        p2 = _predicate(rng, t, census, pools)
+        return shape, (
+            f"SELECT {sel} FROM {t} WHERE {p1} "
+            f"{op} SELECT {sel} FROM {t} WHERE {p2}"
+        )
+    if shape == "rollup":
+        # GROUP BY ROLLUP over base columns that are never NULL in the
+        # data, so the rollup's NULL subtotal markers are unambiguous
+        # (no collision with NULL group values).  NO WHERE clause — the
+        # r15 fuzz FOUND the empty-input divergence (trap list): a
+        # selective filter can empty the input, and there Spark emits
+        # zero rows while DuckDB emits the () grand-total row.  An
+        # unfiltered base table is never empty, so the shape keeps
+        # exercising rollup semantics without the divergent case.
+        groups = _group_cols(rng, t, census)
+        if not groups:
+            groups = [TABLE_KEYS[t][0]]
+        aggs = _agg_exprs(rng, t, census, "", pools)
+        gsel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
+        asel = ", ".join(f"{a} AS m{i}" for i, a in enumerate(aggs))
+        return shape, (
+            f"SELECT {gsel}, {asel} FROM {t} "
+            f"GROUP BY ROLLUP({', '.join(groups)})"
+        )
     if shape == "filter_project":
         cands = _projectable(census, t)
         proj = rng.sample(cands, min(len(cands), rng.randint(1, 4)))
@@ -359,7 +568,7 @@ def gen_case(rng, census, pools) -> tuple[str, str]:
         groups = _group_cols(rng, t, census)
         if not groups:
             groups = [TABLE_KEYS[t][0]]
-        aggs = _agg_exprs(rng, t, census)
+        aggs = _agg_exprs(rng, t, census, "", pools)
         gsel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
         asel = ", ".join(f"{a} AS m{i}" for i, a in enumerate(aggs))
         where = ""
@@ -375,7 +584,7 @@ def gen_case(rng, census, pools) -> tuple[str, str]:
             sql += _order_limit(rng, [f"g{i}" for i in range(len(groups))])
         return shape, sql
     if shape == "scalar_agg":
-        aggs = _agg_exprs(rng, t, census)
+        aggs = _agg_exprs(rng, t, census, "", pools)
         asel = ", ".join(f"{a} AS m{i}" for i, a in enumerate(aggs))
         where = ""
         if rng.random() < 0.6:
@@ -395,13 +604,15 @@ def gen_case(rng, census, pools) -> tuple[str, str]:
     return shape, f"SELECT DISTINCT {sel} FROM {t}{where}"
 
 
-def gen_cases(round_no: int, n: int, census, pools) -> list[tuple[str, str]]:
+def gen_cases(
+    round_no: int, n: int, census, pools, unique
+) -> list[tuple[str, str]]:
     """The deterministic case stream: case i uses its own RNG seeded
     round*1_000_000+i, so any single case replays in isolation."""
     out = []
     for i in range(n):
         rng = random.Random(round_no * 1_000_000 + i)
-        out.append(gen_case(rng, census, pools))
+        out.append(gen_case(rng, census, pools, unique))
     return out
 
 
@@ -453,7 +664,8 @@ def main() -> int:
     con = duckdb_connection(args.sf_dir)
     census = column_census(args.sf_dir)
     pools = literal_pools(con, census)
-    cases = gen_cases(args.round, args.cases, census, pools)
+    unique = key_uniqueness(con, census)
+    cases = gen_cases(args.round, args.cases, census, pools, unique)
 
     from pyspark.sql import SparkSession
 

@@ -76,8 +76,12 @@ def test_case_stream_is_round_seeded_deterministic():
     con = duckdb_connection(art["sf_dir"])
     census = fuzz.column_census(art["sf_dir"])
     pools = fuzz.literal_pools(con, census)
+    unique = fuzz.key_uniqueness(con, census)
     n = len(art["sample_sqls"])
-    regen = [sql for _s, sql in fuzz.gen_cases(art["round"], n, census, pools)]
+    regen = [
+        sql
+        for _s, sql in fuzz.gen_cases(art["round"], n, census, pools, unique)
+    ]
     assert regen == art["sample_sqls"], (
         f"{path}: regenerated case prefix diverged — generator or data "
         "changed without a new artifact run"
@@ -89,7 +93,39 @@ def _sample_sqls(n=400, round_no=7):
     con = duckdb_connection(_SMOKE_SF)
     census = fuzz.column_census(_SMOKE_SF)
     pools = fuzz.literal_pools(con, census)
-    return fuzz.gen_cases(round_no, n, census, pools)
+    unique = fuzz.key_uniqueness(con, census)
+    return fuzz.gen_cases(round_no, n, census, pools, unique)
+
+
+def _strip_sql_strings(sql: str) -> str:
+    """Blank out single-quoted literals so structural checks can't be
+    fooled by data-derived literal contents (a '/' inside a LIKE
+    pattern is string data, not division)."""
+    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
+def _order_by_items(sql: str):
+    """Yield the comma-separated items of EVERY ORDER BY clause —
+    top-level (ends at LIMIT/end) and window (ends at the OVER's
+    closing paren), paren-depth aware."""
+    for m in re.finditer(r"ORDER BY ", sql):
+        seg, depth, item_start = m.end(), 0, m.end()
+        i = seg
+        while i < len(sql):
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break  # window clause closes
+                depth -= 1
+            elif ch == "," and depth == 0:
+                yield sql[item_start:i]
+                item_start = i + 1
+            elif depth == 0 and sql.startswith(" LIMIT ", i):
+                break
+            i += 1
+        yield sql[item_start:i]
 
 
 def test_grammar_honors_trap_exclusions():
@@ -107,31 +143,38 @@ def test_grammar_honors_trap_exclusions():
         if cls == "double"
     }
     for shape, sql in cases:
-        # no division anywhere (Spark NULL vs DuckDB error on zero)
-        assert "/" not in sql, sql
-        # LIMIT only under an ORDER BY; every ORDER BY spells NULLS
-        if "LIMIT" in sql:
-            assert "ORDER BY" in sql, sql
-        if "ORDER BY" in sql:
-            tail = sql.split("ORDER BY", 1)[1]
-            for part in tail.split("LIMIT")[0].split(","):
-                assert "NULLS FIRST" in part or "NULLS LAST" in part, sql
-        # SUM/AVG never touch raw DOUBLE columns (aggregation order)
-        for m in re.finditer(r"\b(SUM|AVG)\(([^)]*)", sql):
+        bare = _strip_sql_strings(sql)
+        # no division anywhere (Spark NULL vs DuckDB error on zero);
+        # string literals excluded — a '/' in data is not an operator
+        assert "/" not in bare, sql
+        # LIMIT only under an ORDER BY; every ORDER BY item (top-level
+        # AND window) spells its NULLS direction
+        if "LIMIT" in bare:
+            assert "ORDER BY" in bare, sql
+        for item in _order_by_items(bare):
+            assert "NULLS FIRST" in item or "NULLS LAST" in item, (
+                sql,
+                item,
+            )
+        # SUM/AVG never touch raw DOUBLE columns (aggregation order);
+        # the conditional-count CASE form is exact integer arithmetic
+        for m in re.finditer(r"\b(SUM|AVG)\(([^)]*)", bare):
             arg = m.group(2)
             if m.group(1) == "AVG":
                 assert not any(d in arg for d in dbl_cols), sql
             elif any(d in arg for d in dbl_cols):
-                assert arg.startswith("CAST("), sql
+                assert arg.startswith(("CAST(", "CASE WHEN")), sql
         # raw timestamps never projected — only CAST(ts AS DATE) or
-        # predicate use after WHERE/ON
-        head = sql.split(" FROM ", 1)[0]
+        # predicate use after WHERE/ON (outer select list checked;
+        # subquery select lists are key/part/date-cast by construction).
+        # A CASE WHEN <pred> THEN inside an aggregate is predicate
+        # position, not a projection — blank it before scanning.
+        head = bare.split(" FROM ", 1)[0]
+        head = re.sub(r"CASE WHEN .*? THEN", "CASE WHEN _ THEN", head)
         for c in ts_cols:
             for m in re.finditer(rf"\b{c}\b", head):
                 before = head[: m.start()]
-                assert before.rstrip().endswith(
-                    ("CAST(", "CAST(a.", "CAST(b.")
-                ) or re.search(r"CAST\((?:[ab]\.)?$", before), sql
+                assert re.search(r"CAST\((?:[ab]\.)?$", before), sql
 
 
 def test_live_mini_fuzz_matches(spark):
@@ -143,13 +186,36 @@ def test_live_mini_fuzz_matches(spark):
     con = duckdb_connection(_SMOKE_SF)
     census = fuzz.column_census(_SMOKE_SF)
     pools = fuzz.literal_pools(con, census)
+    unique = fuzz.key_uniqueness(con, census)
     register_views(spark, _SMOKE_SF)
     fails = []
-    for shape, sql in fuzz.gen_cases(3, 12, census, pools):
+    for shape, sql in fuzz.gen_cases(3, 12, census, pools, unique):
         ok, _n, detail = fuzz.compare_sql(spark, con, sql)
         if not ok:
             fails.append((shape, sql, detail))
     assert not fails, fails
+
+
+def test_rollup_empty_input_divergence_still_holds(spark):
+    """Pins the r15 fuzz harness's first FINDING: Spark emits zero rows
+    for ROLLUP over an empty input, DuckDB (standard semantics, like
+    PostgreSQL) emits the () grouping set's grand-total row (NULL, 0).
+    The grammar excludes the case by construction (rollup shape has no
+    WHERE).  If a future Spark release aligns with the standard this
+    test fails, flagging the exclusion for removal — the exclusion must
+    never outlive its justification."""
+    import duckdb
+
+    spark.range(5).createOrReplaceTempView("fuzz_rollup_probe")
+    sql = (
+        "SELECT id AS g, COUNT(*) AS c FROM fuzz_rollup_probe "
+        "WHERE id < 0 GROUP BY ROLLUP(id)"
+    )
+    assert spark.sql(sql).collect() == []
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_rollup_probe AS SELECT 0 AS id WHERE 1=0")
+    con.execute("INSERT INTO fuzz_rollup_probe SELECT range FROM range(5)")
+    assert con.execute(sql).fetchall() == [(None, 0)]
 
 
 def test_pools_are_decile_sampled_not_random():
@@ -160,6 +226,11 @@ def test_pools_are_decile_sampled_not_random():
     p1 = fuzz.literal_pools(con, census)
     p2 = fuzz.literal_pools(duckdb_connection(_SMOKE_SF), census)
     assert p1 == p2
-    one = fuzz.gen_case(random.Random(5 * 1_000_000 + 7), census, p1)
-    strip = fuzz.gen_cases(5, 8, census, p1)
+    unique = fuzz.key_uniqueness(con, census)
+    one = fuzz.gen_case(random.Random(5 * 1_000_000 + 7), census, p1, unique)
+    strip = fuzz.gen_cases(5, 8, census, p1, unique)
     assert strip[7] == one
+    # the fuzz-found data fact the LAG gate rests on: the synthetic
+    # lineitem spine is NOT unique, every other table's key is
+    assert unique["lineitem"] is False
+    assert all(v for t, v in unique.items() if t != "lineitem"), unique
