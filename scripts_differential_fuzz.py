@@ -334,7 +334,34 @@ SHAPES = (
     "exists_semi",
     "union_all",
     "rollup",
+    # set ops (INTERSECT/EXCEPT [ALL] — standard multiplicity semantics
+    # in both engines; equality-typed projections only, like UNION) and
+    # 3-table joins (chain a→b→c and star a→{b,c} — Catalyst join
+    # reordering surface)
+    "setop",
+    "join3",
 )
+
+# 3-table shapes: chains a→b→c (FK of the FK) and stars a→{b,c} (two
+# independent FKs out of the same fact).
+JOIN_CHAINS = [
+    # (a, a_fk, b, b_key, b_fk, c, c_key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey",
+     "o_custkey", "customer", "c_custkey"),
+    ("orders", "o_custkey", "customer", "c_custkey",
+     "c_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey",
+     "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey",
+     "c_nationkey", "nation", "n_nationkey"),
+]
+JOIN_STARS = [
+    # (a, [(a_fk, dim, dim_key), ...])
+    ("lineitem", (("l_partkey", "part", "p_partkey"),
+                  ("l_suppkey", "supplier", "s_suppkey"))),
+    ("lineitem", (("l_orderkey", "orders", "o_orderkey"),
+                  ("l_suppkey", "supplier", "s_suppkey"))),
+]
 
 
 def gen_case(rng, census, pools, unique) -> tuple[str, str]:
@@ -387,6 +414,53 @@ def gen_case(rng, census, pools, unique) -> tuple[str, str]:
             sql += _order_limit(rng, [f"g{i}" for i in range(len(groups))])
         return shape, sql
 
+    if shape == "join3":
+        # chain a→b→c or star a→{b,c}; INNER throughout, or one LEFT at
+        # the far end (keeps every ON key non-null-preserved, so the
+        # join tree's semantics are reorder-safe in both engines)
+        far_left = rng.random() < 0.3
+        j2 = "LEFT JOIN" if far_left else "JOIN"
+        if rng.random() < 0.6:
+            a, afk, b, bkey, bfk, c, ckey = rng.choice(JOIN_CHAINS)
+            base = (
+                f"FROM {a} a JOIN {b} b ON a.{afk} = b.{bkey} "
+                f"{j2} {c} c ON b.{bfk} = c.{ckey}"
+            )
+        else:
+            a, dims = rng.choice(JOIN_STARS)
+            (fk1, b, bkey), (fk2, c, ckey) = dims
+            base = (
+                f"FROM {a} a JOIN {b} b ON a.{fk1} = b.{bkey} "
+                f"{j2} {c} c ON a.{fk2} = c.{ckey}"
+            )
+        where = ""
+        if rng.random() < 0.7:
+            # predicate on a non-null-preserved side (a or b)
+            tq = rng.choice(((a, "a."), (b, "b.")))
+            where = " WHERE " + _predicate(
+                rng, tq[0], census, pools, tq[1]
+            )
+        if rng.random() < 0.5:
+            proj = []
+            for t, q in ((a, "a."), (b, "b."), (c, "c.")):
+                e, _cls = rng.choice(_projectable(census, t))
+                proj.append(
+                    e.replace("CAST(", f"CAST({q}")
+                    if e.startswith("CAST(")
+                    else f"{q}{e}"
+                )
+            sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(proj))
+            return shape, f"SELECT {sel} {base}{where}"
+        gt, gq = rng.choice(((a, "a."), (b, "b."), (c, "c.")))
+        groups = _group_cols(rng, gt, census, gq)
+        at, aq = rng.choice(((a, "a."), (b, "b.")))
+        aggs = _agg_exprs(rng, at, census, aq, pools)
+        gsel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
+        asel = ", ".join(f"{a2} AS m{i}" for i, a2 in enumerate(aggs))
+        return shape, (
+            f"SELECT {gsel}, {asel} {base}{where} "
+            f"GROUP BY {', '.join(groups)}"
+        )
     if shape == "exists_semi":
         # correlated [NOT] EXISTS on an FK pair: semi/anti-join plans
         # in Spark, same boolean semantics in DuckDB.  Parent side
@@ -498,6 +572,26 @@ def gen_case(rng, census, pools, unique) -> tuple[str, str]:
         if rng.random() < 0.5:
             where = " WHERE " + _predicate(rng, t, census, pools)
         return shape, f"SELECT {', '.join(sel)} FROM {t}{where}"
+    if shape == "setop":
+        # INTERSECT/EXCEPT [ALL]: standard multiplicity semantics in
+        # both engines; equality-typed projections only (int/string/
+        # date), mirroring the UNION-dedup restriction.
+        op = rng.choice(
+            ["INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+        )
+        cands = [
+            (e, cls)
+            for e, cls in _projectable(census, t)
+            if cls in ("int", "string", "date")
+        ]
+        proj = rng.sample(cands, min(len(cands), rng.randint(1, 3)))
+        sel = ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(proj))
+        p1 = _predicate(rng, t, census, pools)
+        p2 = _predicate(rng, t, census, pools)
+        return shape, (
+            f"SELECT {sel} FROM {t} WHERE {p1} "
+            f"{op} SELECT {sel} FROM {t} WHERE {p2}"
+        )
     if shape == "union_all":
         # two branches over the same table share ONE projection list.
         # UNION (dedup) keeps to int/string/date like the DISTINCT
