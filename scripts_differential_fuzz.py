@@ -45,6 +45,16 @@ groups only base columns that are never NULL in the data, so subtotal
 NULL markers are unambiguous; the CASE WHEN aggregate is
 SUM(CASE WHEN p THEN 1 ELSE 0 END) — exact integer arithmetic.
 
+The second widening (subquery/derived shapes) stays inside the same
+rules: [NOT] IN subqueries project the parent KEY (standard 3VL,
+identical in both engines; never NULL in this data so NOT IN's
+empty-on-NULL rule is not even in play); correlated scalar subqueries
+are COUNT-only (exact int, 0 on no match in both engines); derived
+projections use engine-identical scalar functions only (CASE picks
+between same-class columns, BIGINT-cast int arithmetic, UPPER/LENGTH/
+SUBSTR/|| with character semantics, ABS); FILTER-clause aggregates
+keep COUNT/INT-SUM exactness.
+
 FUZZ-FOUND trap (r15, the harness's first finding): **ROLLUP /
 GROUPING SETS over an EMPTY input** — Spark returns ZERO rows while
 DuckDB (per the standard, like PostgreSQL) emits the `()` grouping
@@ -290,7 +300,66 @@ def _agg_exprs(
         c = rng.choice(list(cols))
         atom = _atom(rng, c, cols[c], pools[table].get(c, []), qual)
         menu.append(f"SUM(CASE WHEN {atom} THEN 1 ELSE 0 END)")
+        # FILTER clause (standard, identical in both engines); COUNT is
+        # exact, SUM stays INT-only like the bare form
+        c2 = rng.choice(list(cols))
+        atom2 = _atom(rng, c2, cols[c2], pools[table].get(c2, []), qual)
+        menu.append(f"COUNT(*) FILTER (WHERE {atom2})")
+        ints = [c3 for c3, cls in cols.items() if cls == "int"]
+        if ints:
+            menu.append(
+                f"SUM({qual}{rng.choice(ints)}) FILTER (WHERE {atom2})"
+            )
     return rng.sample(menu, min(len(menu), rng.randint(1, 3)))
+
+
+def _derived_expr(rng, table: str, census, pools, qual: str = ""):
+    """One derived projection expression (expr, class) — engine-identical
+    scalar functions only: CASE picks between same-class columns,
+    BIGINT-cast integer arithmetic (no ANSI overflow), UPPER/LENGTH/
+    SUBSTR/|| on strings (character semantics match), ABS on ints."""
+    cols = census[table]
+    ints = [c for c, cls in cols.items() if cls == "int"]
+    strs = [c for c, cls in cols.items() if cls == "string"]
+    kinds = []
+    if ints:
+        kinds += ["abs", "add"]
+    if strs:
+        kinds += ["upper", "length", "substr", "concat"]
+    if ints and len(ints) >= 2 or strs and len(strs) >= 2:
+        kinds.append("case_pick")
+    if not kinds:
+        return None
+    k = rng.choice(kinds)
+    if k == "abs":
+        return f"ABS({qual}{rng.choice(ints)})", "int"
+    if k == "add":
+        a, b = rng.choice(ints), rng.choice(ints)
+        return (
+            f"CAST({qual}{a} AS BIGINT) + CAST({qual}{b} AS BIGINT)",
+            "int",
+        )
+    if k == "upper":
+        return f"UPPER({qual}{rng.choice(strs)})", "string"
+    if k == "length":
+        return f"LENGTH({qual}{rng.choice(strs)})", "int"
+    if k == "substr":
+        return (
+            f"SUBSTR({qual}{rng.choice(strs)}, 1, {rng.randint(1, 5)})",
+            "string",
+        )
+    if k == "concat":
+        a, b = rng.choice(strs), rng.choice(strs)
+        return f"{qual}{a} || {qual}{b}", "string"
+    # case_pick: CASE WHEN <pred> THEN colA ELSE colB END, same class
+    pick_ints = len(ints) >= 2 and (len(strs) < 2 or rng.random() < 0.5)
+    a, b = rng.sample(ints if pick_ints else strs, 2)
+    pc = rng.choice(list(cols))
+    atom = _atom(rng, pc, cols[pc], pools[table].get(pc, []), qual)
+    return (
+        f"CASE WHEN {atom} THEN {qual}{a} ELSE {qual}{b} END",
+        "int" if pick_ints else "string",
+    )
 
 
 def _group_cols(rng, table: str, census, qual: str = "") -> list[str]:
@@ -340,6 +409,11 @@ SHAPES = (
     # reordering surface)
     "setop",
     "join3",
+    # non-correlated [NOT] IN subqueries and correlated scalar COUNT
+    # subqueries on the FK pairs; FILTER-clause aggregates and derived
+    # scalar projections ride along inside existing shapes
+    "in_subquery",
+    "scalar_subquery",
 )
 
 # 3-table shapes: chains a→b→c (FK of the FK) and stars a→{b,c} (two
@@ -632,9 +706,59 @@ def gen_case(rng, census, pools, unique) -> tuple[str, str]:
     if shape == "filter_project":
         cands = _projectable(census, t)
         proj = rng.sample(cands, min(len(cands), rng.randint(1, 4)))
+        if rng.random() < 0.4:
+            d = _derived_expr(rng, t, census, pools)
+            if d:
+                proj.append(d)
         sel = ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(proj))
         where = " WHERE " + _predicate(rng, t, census, pools)
         return shape, f"SELECT {sel} FROM {t}{where}"
+    if shape == "in_subquery":
+        # [NOT] IN (SELECT key ...): non-correlated semi/anti form.
+        # Standard 3VL either way; the subquery projects the parent KEY
+        # (never NULL in this data), so NOT IN's empty-on-NULL rule is
+        # not in play — and both engines implement it identically
+        # regardless.
+        lt, lc, rt, rc = rng.choice(FK_PAIRS)
+        neg = "NOT " if rng.random() < 0.4 else ""
+        cands = _projectable(census, lt)
+        proj = rng.sample(cands, min(len(cands), rng.randint(1, 3)))
+        sel = ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(proj))
+        sub_where = ""
+        if rng.random() < 0.6:
+            sub_where = " WHERE " + _predicate(rng, rt, census, pools)
+        outer = ""
+        if rng.random() < 0.4:
+            outer = " AND " + _predicate(rng, lt, census, pools)
+        return shape, (
+            f"SELECT {sel} FROM {lt} WHERE {lc} {neg}IN "
+            f"(SELECT {rc} FROM {rt}{sub_where}){outer}"
+        )
+    if shape == "scalar_subquery":
+        # correlated scalar COUNT subquery in the select list — exact
+        # int, COUNT's no-match row is 0 in both engines
+        lt, lc, rt, rc = rng.choice(FK_PAIRS)
+        cands = _projectable(census, rt)
+        proj = rng.sample(cands, min(len(cands), rng.randint(1, 2)))
+        sel = ", ".join(
+            (
+                e.replace("CAST(", "CAST(b.")
+                if e.startswith("CAST(")
+                else f"b.{e}"
+            )
+            + f" AS c{i}"
+            for i, (e, _) in enumerate(proj)
+        )
+        sub_pred = ""
+        if rng.random() < 0.5:
+            sub_pred = " AND " + _predicate(rng, lt, census, pools, "a.")
+        where = ""
+        if rng.random() < 0.5:
+            where = " WHERE " + _predicate(rng, rt, census, pools, "b.")
+        return shape, (
+            f"SELECT {sel}, (SELECT COUNT(*) FROM {lt} a "
+            f"WHERE a.{lc} = b.{rc}{sub_pred}) AS m0 FROM {rt} b{where}"
+        )
     if shape == "topk":
         # full unique key leads the projection; optional extra sort col
         # ranks first with the key as tiebreak — total order either way
