@@ -112,19 +112,22 @@ def connected_components(
     )[0]
 
 
-def _driver_union_find(nodes: DataFrame, cur: DataFrame) -> DataFrame:
+def _driver_union_find(ed: DataFrame, rows) -> DataFrame:
     """Small-graph fast path: union-find on the driver over an edge set
-    already known (counted) to be under the caller's threshold.
+    already known (probed) to be under the caller's threshold.
 
     Rationale — the same data-dependent strategy choice as a broadcast
     join: after LSH banding, a near-dup pair graph is typically a few
     thousand edges even when the corpus is 100 TB, and every distributed
     star round on such a graph is pure fixed overhead (3 exchanges + a
     checkpoint + an observe job ≈ 0.3-0.5 s each on an idle cluster, ×4-6
-    rounds).  Collecting ≤ threshold edges (two longs each — 100k edges
-    ≈ 1.6 MB) is metadata-sized by construction; the result relabels in
-    one pass and ships back as a createDataFrame.  Graphs above the
-    threshold never reach this path."""
+    rounds).  The caller has already collected the ≤ threshold (a, b)
+    rows (two longs each — 100k edges ≈ 1.6 MB, metadata-sized by
+    construction); the node universe, edge canonicalization, and the
+    relabel all happen in this one driver pass — no separate node/
+    canonical-edge jobs — and the labels ship back through the Arrow
+    path (guide §1.2: the fixed per-job overhead, not the union-find,
+    dominated this path).  Graphs above the threshold never reach it."""
     parent: dict = {}
 
     def find(x):
@@ -135,14 +138,21 @@ def _driver_union_find(nodes: DataFrame, cur: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in cur.collect():
-        ra, rb = find(row[0]), find(row[1])
+    nodes: set = set()
+    for row in rows:
+        a, b = row[0], row[1]
+        nodes.add(a)
+        nodes.add(b)
+        if a == b:
+            continue  # self-loop: declares the vertex, no connectivity
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root ⇒ min-id label
-    node_list = [r[0] for r in nodes.collect()]
-    labels = [(n, find(n)) for n in node_list]
-    f = nodes.schema.fields[0]
+    labels = sorted((n, find(n)) for n in nodes)
+    f = ed.schema.fields[0]
     from pyspark.sql.types import StructField, StructType
+
+    from data_engineering_etl_demo_spark.functions.local_rows import local_df
 
     schema = StructType(
         [
@@ -150,7 +160,7 @@ def _driver_union_find(nodes: DataFrame, cur: DataFrame) -> DataFrame:
             StructField("component", f.dataType, f.nullable),
         ]
     )
-    return nodes.sparkSession.createDataFrame(labels, schema)
+    return local_df(ed.sparkSession, labels, schema)
 
 
 def connected_components_with_rounds(
@@ -172,6 +182,18 @@ def connected_components_with_rounds(
     ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
+    # Strategy probe: collect up to threshold+1 RAW rows off the
+    # checkpointed blocks.  At or under the threshold the probe already IS
+    # the whole edge list, so the driver path needs no node-universe or
+    # canonical-edge jobs at all (raw rows ≤ threshold ⟹ canonical
+    # distinct edges ≤ threshold — the probe can only send MORE graphs to
+    # the distributed path than the old distinct count did, never fewer).
+    # This replaces three materialization jobs + a count + two collects
+    # with one limit-collect (guide §1.2: fewer jobs, not faster tasks,
+    # is the lever on a metadata-sized graph).
+    probe = ed.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _driver_union_find(ed, probe), 0
     # Node universe BEFORE canonicalization: a self-loop (x, x) carries no
     # connectivity but does declare x a vertex, which must surface as its
     # own singleton component.
@@ -188,8 +210,6 @@ def connected_components_with_rounds(
         .localCheckpoint(eager=True)
     )
     n_edges = cur.count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(nodes, cur), 0
 
     from pyspark.sql import Observation
 
@@ -513,43 +533,51 @@ def bounded_hops(
     ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
-    sd = (
-        seeds.select(F.col(node_col).alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sd_plan = seeds.select(F.col(node_col).alias("node")).distinct()
     # Same data-dependent strategy choice as connected_components: a
     # near-dup taint graph is typically tiny after LSH banding, and each
     # BSP round is then pure fixed overhead.  Both the edge list AND the
     # seed set must be under the threshold (seeds scale with the tainted
-    # corpus, and the fast path collects both).
-    if ed.count() <= driver_threshold and sd.count() <= driver_threshold:
-        from pyspark.sql.types import IntegerType, StructField, StructType
+    # corpus, and the fast path collects both).  Limit-probes replace the
+    # count-then-collect pairs (and the fast path never checkpoints the
+    # seed set at all) — same fewer-jobs rationale as
+    # connected_components_with_rounds; the label result ships back via
+    # the Arrow path.
+    ed_rows = ed.limit(driver_threshold + 1).collect()
+    if len(ed_rows) <= driver_threshold:
+        sd_rows = sd_plan.limit(driver_threshold + 1).collect()
+        if len(sd_rows) <= driver_threshold:
+            from pyspark.sql.types import IntegerType, StructField, StructType
 
-        adj: dict = {}
-        for r in ed.collect():
-            a, b = r[0], r[1]
-            adj.setdefault(a, []).append(b)
-            adj.setdefault(b, []).append(a)
-        hop = {r[0]: 0 for r in sd.collect()}
-        frontier = list(hop)
-        for h in range(1, max_hops + 1):
-            nxt = []
-            for x in frontier:
-                for y in adj.get(x, ()):
-                    if y not in hop:
-                        hop[y] = h
-                        nxt.append(y)
-            frontier = nxt
-        f = sd.schema.fields[0]
-        schema = StructType(
-            [
-                StructField("node", f.dataType, f.nullable),
-                StructField("hop", IntegerType(), True),
-            ]
-        )
-        return seeds.sparkSession.createDataFrame(sorted(hop.items()), schema)
+            from data_engineering_etl_demo_spark.functions.local_rows import (
+                local_df,
+            )
 
+            adj: dict = {}
+            for r in ed_rows:
+                a, b = r[0], r[1]
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+            hop = {r[0]: 0 for r in sd_rows}
+            frontier = list(hop)
+            for h in range(1, max_hops + 1):
+                nxt = []
+                for x in frontier:
+                    for y in adj.get(x, ()):
+                        if y not in hop:
+                            hop[y] = h
+                            nxt.append(y)
+                frontier = nxt
+            f = sd_plan.schema.fields[0]
+            schema = StructType(
+                [
+                    StructField("node", f.dataType, f.nullable),
+                    StructField("hop", IntegerType(), True),
+                ]
+            )
+            return local_df(seeds.sparkSession, sorted(hop.items()), schema)
+
+    sd = sd_plan.localCheckpoint(eager=True)
     sym = (
         ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

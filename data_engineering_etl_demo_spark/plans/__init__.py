@@ -123,14 +123,27 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-15 start: scripts_changed_queries.py reports zero changed
-# builders vs the r14 closing snapshot (CHANGED=[] / MODULE-TOUCHED=0),
-# so the full 50-slot window drains stale evidence.  A query only enters
-# this set when its builder source (or a shared helper it provably flows
-# through) changes in-round; each entry displaces one slot from the
-# drain tail per the established rule.  (set(), not {}: an empty brace
-# literal is a dict and breaks the set-algebra the rotation tests do.)
-_CHANGED_THIS_ROUND: set[str] = set()
+# Round-15 optimization phase: the driver-fallback restructure in
+# operators/graph.py (limit-probe strategy choice + Arrow-path labels)
+# flows through every CC/BFS consumer, and functions/local_rows.local_df
+# (Arrow createDataFrame for driver-computed rows) through the fitted-
+# constant queries — all listed here so the r15 window re-verifies the
+# changed implementations first.  (The round started with CHANGED=[] —
+# zero builders moved during the maintenance phase; these entries are
+# the optimization phase's.)
+_CHANGED_THIS_ROUND: set[str] = {
+    "docs_dup_clusters",
+    "docs_dedup_survivors",
+    "docs_dedup_report",
+    "docs_corpus_pipeline",
+    "docs_contamination_hops",
+    "docs_cluster_representatives",
+    "embedding_semdedup",
+    "embedding_dedup_curve",
+    "embedding_pq_adc_topk",
+    "embedding_topk_ivf2",
+    "events_markov_attribution",
+}
 # Round-15 window math (VERDICT r14 item 2): the rotation ladder is
 # complete — the r14 window finished the catch-up, so this is the first
 # ROUTINE window: the entire 27-query r11-evidence cohort + the 23

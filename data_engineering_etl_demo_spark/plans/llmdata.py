@@ -22,6 +22,7 @@ from data_engineering_etl_demo_spark.operators import graph as G
 from data_engineering_etl_demo_spark.operators import similarity as S
 from data_engineering_etl_demo_spark.operators import text as X
 from data_engineering_etl_demo_spark.functions.caching import persist_latest
+from data_engineering_etl_demo_spark.functions.local_rows import local_df
 from data_engineering_etl_demo_spark.plans import register
 
 # ---------------------------------------------------------------------------
@@ -2507,9 +2508,7 @@ def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("d", T.LongType()),
         ]
     )
-    lut = spark.createDataFrame(
-        S.pq_adc_lut(q_ids, q_mat, cb_mat), lut_schema
-    )
+    lut = local_df(spark, S.pq_adc_lut(q_ids, q_mat, cb_mat), lut_schema)
     codes = S.pq_encode(emb, cb_mat)
     sub_codes = codes.select(
         "vec_id",
@@ -2749,7 +2748,7 @@ def _ivf_pq_adc_scores(
             T.StructField("d", T.LongType()),
         ]
     )
-    lut = spark.createDataFrame(lut_rows, lut_schema)
+    lut = local_df(spark, lut_rows, lut_schema)
     coded = S.ivf_pq_encode(emb, cents, cb_mat)
     sub_codes = coded.select(
         "vec_id",
@@ -4439,11 +4438,7 @@ def q_embedding_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array("id_a", "id_b")).alias("v"),
         )
         .crossJoin(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(t,) for t in _CURVE_TS], "t double"
-                )
-            )
+            F.broadcast(local_df(spark, [(t,) for t in _CURVE_TS], "t double"))
         )
         .filter(F.col("cosine_sim") >= F.col("t"))
     )

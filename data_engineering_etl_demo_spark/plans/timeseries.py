@@ -1949,7 +1949,10 @@ def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [
         (c, full, pconv(c), full - pconv(c)) for c in _MK_CHANNELS
     ]
-    return spark.createDataFrame(
+    from data_engineering_etl_demo_spark.functions.local_rows import local_df
+
+    return local_df(
+        spark,
         out,
         "channel string, pconv_full_e9 long, pconv_removed_e9 long,"
         " removal_effect_e9 long",

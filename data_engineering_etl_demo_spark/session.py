@@ -66,6 +66,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # Arrow conversion for driver-local rows (functions/local_rows) and
+        # toPandas — runtime-settable, same default get_spark pins
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # some confs may be fixed by the driver; never fail on tuning
     return spark

@@ -57,9 +57,9 @@ def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
     for r in sorted(counts, key=lambda r: (r["_file"], r["_pid"])):
         offsets.append((r["_file"], r["_pid"], running.get(r["_file"], 0)))
         running[r["_file"]] = running.get(r["_file"], 0) + r["count"]
-    off = spark.createDataFrame(
-        offsets, "_file string, _pid int, _off long"
-    )
+    from data_engineering_etl_demo_spark.functions.local_rows import local_df
+
+    off = local_df(spark, offsets, "_file string, _pid int, _off long")
     w = Window.partitionBy("_file", "_pid").orderBy("_mid")
     return (
         txt.join(F.broadcast(off), on=["_file", "_pid"])
