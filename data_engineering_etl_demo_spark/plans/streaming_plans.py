@@ -108,9 +108,12 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("events"))
         )
 
+    # complete-mode agg: the sink is replaced wholesale every batch, so
+    # the trailing no-data batch (watermark-only trigger) re-emits the
+    # identical table — elided (see run_to_completion).
     result = P.run_to_completion(
         build, "stream_window_counts", "complete", shuffle_partitions=4,
-        spark=spark,
+        spark=spark, no_data_batch=False,
     )
     return result.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -169,9 +172,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commit+Arrow overhead x32 outweighs extra Python parallelism at this
     # key cardinality (32->16 cut the four drains 13.2s -> 9.9s total); a
     # cluster deployment sizes this to executor cores like any shuffle.
+    # NoTimeout kernel: closed sessions emit on the arrival that closes
+    # them; a no-data batch fires nothing — elided.
     result = P.run_to_completion(
         build, "stream_sessions", "append", shuffle_partitions=16,
-        spark=spark,
+        spark=spark, no_data_batch=False,
     )
     return result.select(
         "user_id",
@@ -304,9 +309,12 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
 
+  # inner join: pairs emit on match arrival; the no-data batch only
+  # evicts state and emits nothing — elided (the OUTER variants below
+  # keep it: their null rows ARE watermark-gated).
   result = P.run_to_completion(
       build, "stream_click_purchase", "append", shuffle_partitions=4,
-      spark=spark,
+      spark=spark, no_data_batch=False,
   )
   return result.select(
         "purchase_id",
@@ -457,9 +465,11 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # complete-mode agg — no-data batch re-emits the identical table,
+    # elided.
     result = P.run_to_completion(
         build, "stream_enriched_counts", "complete", shuffle_partitions=4,
-        spark=spark,
+        spark=spark, no_data_batch=False,
     )
     return result.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -533,9 +543,11 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
 
+  # dedup decides on arrival and the 365-day watermark never evicts in
+  # this drain; complete-mode sink — the no-data batch is a no-op, elided.
   result = P.run_to_completion(
       build, "stream_dedup_counts", "complete", shuffle_partitions=4,
-      spark=spark,
+      spark=spark, no_data_batch=False,
   )
   return result.orderBy("event_type")
 
@@ -582,11 +594,14 @@ def q_streaming_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # deterministic per-sf name (str hash is PYTHONHASHSEED-salted and
     # collision-prone mod a small space)
+    # NoTimeout fold, no watermark: every emission rides an input batch;
+    # the no-data batch is a no-op, elided.
     out = P.run_to_completion(
         build,
         query_name=f"ema_{Path(sf_dir).name.replace('.', '_')}",
         shuffle_partitions=16,
         spark=spark,
+        no_data_batch=False,
     )
     return (
         out.groupBy("user_id")
@@ -820,11 +835,14 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return P.kmv_sketch(hashed)
 
+    # order-insensitive min-set monoid, NoTimeout, no watermark — the
+    # no-data batch is a no-op, elided.
     out = P.run_to_completion(
         build,
         query_name=f"kmv_{Path(sf_dir).name.replace('.', '_')}",
         shuffle_partitions=4,
         spark=spark,
+        no_data_batch=False,
     )
     last = out.groupBy("event_type").agg(
         F.max_by("kth_hash", "n_seen").alias("_hk"),
@@ -894,11 +912,14 @@ def q_streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return P.topk_values(scored)
 
+    # selection monoid, NoTimeout, no watermark — the no-data batch is a
+    # no-op, elided.
     out = P.run_to_completion(
         build,
         query_name=f"topk_{Path(sf_dir).name.replace('.', '_')}",
         shuffle_partitions=4,
         spark=spark,
+        no_data_batch=False,
     )
     last = out.groupBy("event_type").agg(
         F.max_by("top_v6", "n_seen").alias("_vs"),

@@ -361,11 +361,14 @@ def _prune_dead_drain_state() -> None:
                 _live_sinks.pop(skey, None)
 
 
-def _drain_session(parent, shuffle_partitions: int):
+def _drain_session(parent, shuffle_partitions: int, no_data_batch: bool = True):
     from data_engineering_etl_demo_spark.catalog import session_key
 
     _prune_dead_drain_state()
-    key = (session_key(parent), shuffle_partitions)
+    # no_data_batch is part of the key: the conf is read at query start,
+    # so two concurrent drains with different settings must not share a
+    # clone (same isolation rationale as shuffle_partitions itself)
+    key = (session_key(parent), shuffle_partitions, no_data_batch)
     session = _drain_sessions.get(key)
     if session is None:
         session = parent.newSession()
@@ -378,6 +381,10 @@ def _drain_session(parent, shuffle_partitions: int):
         except Exception:
             pass  # unset in parent / fixed by the runtime
     session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    session.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batch else "false",
+    )
     return session
 
 
@@ -387,6 +394,7 @@ def run_to_completion(
     output_mode: str = "append",
     shuffle_partitions: int | None = None,
     spark: "SparkSession | None" = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a bounded stream (availableNow) into a memory sink and return
     the materialized result as a static DataFrame.  Aggregations should pass
@@ -417,7 +425,23 @@ def run_to_completion(
     (stream-stream join: FOUR stores/partition) wants few wide partitions,
     while an applyInPandasWithState kernel wants enough partitions to
     spread its Python workers across cores.  The results are
-    partition-count-invariant; only latency moves."""
+    partition-count-invariant; only latency moves.
+
+    ``no_data_batch=False`` disables the trailing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``) on the drain
+    clone.  That batch exists to advance the watermark with no new input —
+    it is what fires EventTimeTimeout callbacks and emits
+    watermark-gated rows (closed windows in append mode, outer-join null
+    extensions), so it is load-bearing for those operators and MUST stay
+    on there.  For drains whose every emission happens on arrival —
+    NoTimeout pandas-state kernels, inner stream-stream joins,
+    complete-mode aggregations (whose sink is replaced wholesale each
+    batch) — it runs a full trigger cycle (plan, state-store commit+fsync
+    per partition, offset/commit WAL) that changes nothing, a measured
+    ~0.2-0.5 s per drain at sf0.1.  Results are identical by
+    construction; only the drains listed per-query in
+    plans/streaming_plans.py opt out.  Requires the builder form with
+    ``shuffle_partitions`` (the conf lives on the clone session)."""
     import shutil
     import tempfile
     import uuid
@@ -426,7 +450,13 @@ def run_to_completion(
         if spark is None:
             raise ValueError("builder form requires the parent session")
         if shuffle_partitions is not None:
-            session = _drain_session(spark, shuffle_partitions)
+            session = _drain_session(spark, shuffle_partitions, no_data_batch)
+        elif not no_data_batch:
+            raise ValueError(
+                "no_data_batch=False needs the builder form with "
+                "shuffle_partitions: the conf is applied to a drain clone, "
+                "never to the shared session"
+            )
         else:
             session = spark
         stream_df = stream(session)
@@ -435,6 +465,12 @@ def run_to_completion(
             raise ValueError(
                 "shuffle_partitions needs the builder form: a prebuilt "
                 "DataFrame would require mutating its shared session conf"
+            )
+        if not no_data_batch:
+            raise ValueError(
+                "no_data_batch=False needs the builder form with "
+                "shuffle_partitions: the conf is applied to a drain clone, "
+                "never to the shared session"
             )
         stream_df = stream
         session = stream_df.sparkSession
