@@ -197,11 +197,40 @@ def lsh_band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _within_bucket_pairs(ids_arr: Column) -> Column:
+    """All (id_a < id_b) pairs within one bucket's ASCENDING-sorted id
+    array, as an array of structs — the array form of the bucket
+    self-join (sortedness makes position order ⟺ id order)."""
+    return F.flatten(
+        F.transform(
+            ids_arr,
+            lambda x, i: F.transform(
+                # slice is 1-based: successors of 0-based element i start
+                # at position i+2; the length arg is clamped by slice
+                F.slice(ids_arr, i + F.lit(2), F.size(ids_arr)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame, id_col: str, max_bucket_width: int | None = None
 ) -> DataFrame:
-    """distinct (id_a < id_b) pairs sharing any band bucket — the self-join
-    shuffles on (band, bucket), never on all pairs.
+    """distinct (id_a < id_b) pairs sharing any band bucket — one
+    aggregation keyed on (band, bucket), never all pairs.
+
+    Pair generation is GROUP-LOCAL: collect each bucket's (unique) member
+    ids, drop singleton buckets, and expand the W·(W−1)/2 in-bucket pairs
+    array-side.  The earlier bucket self-join computed the whole
+    signature→banding subtree TWICE (once per join side — Spark shares no
+    common subexpressions across join inputs) and shuffled it twice; this
+    form references the subtree once and pays one exchange (guide §2.4:
+    two operations keyed the same way share one exchange).  The pair
+    SET is identical: a bucket of members {x₁<…<x_w} yields exactly the
+    pairs the equi-join with id_a < id_b produced.  Per-bucket memory is
+    the member array — bounded by exactly the same bucket width the join
+    task already colocated, and capped by the mega-bucket guard below.
 
     ``max_bucket_width`` is the mega-bucket guard for boilerplate-heavy
     corpora: a bucket shared by W docs contributes W·(W−1)/2 candidate
@@ -211,27 +240,19 @@ def lsh_candidate_pairs(
     CANDIDATE GENERATION only (stop-bucket removal, the stop-word
     analogy): a pair whose every collision is a mega-bucket is lost,
     which is the explicit trade.  Default None keeps exact advertised
-    recall; the planted-recall test pins the default path."""
+    recall; the planted-recall test pins the default path.  (The cap is
+    now a post-aggregate size filter — the old width-census join is two
+    plan nodes cheaper and no longer re-derives the banding.)"""
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids")
+    )
+    width_ok = F.size("_ids") >= 2
     if max_bucket_width is not None:
-        keep = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .filter(F.col("_w") <= max_bucket_width)
-            .select("band", "bucket")
-        )
-        buckets = buckets.join(keep, on=["band", "bucket"])
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+        width_ok = width_ok & (F.size("_ids") <= max_bucket_width)
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.filter(width_ok)
+        .select(F.explode(_within_bucket_pairs(F.col("_ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -388,18 +409,38 @@ def incremental_near_dup(
     )
     sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
-    existing = buckets.filter(F.col(id_col) < split_id)
-    incoming = buckets.filter(F.col(id_col) >= split_id)
+    # Group-local cross-split pairs: collect each bucket's existing and
+    # incoming member ids in ONE aggregation and expand the cross product
+    # array-side — the existing×incoming bucket join computed the
+    # signature→banding subtree twice (once per side); this references it
+    # once, same rewrite (and the same identical-pair-set argument) as
+    # lsh_candidate_pairs.  In the real deployment shape the existing
+    # side is a STORED signature table, where the bucket join is the
+    # right plan — documented in the docstring above.
+    split = F.col(id_col) < split_id
     pairs = (
-        existing.alias("a")
-        .join(
-            incoming.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
+        buckets.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(F.when(split, F.col(id_col))).alias("_ex"),
+            F.collect_list(F.when(~split, F.col(id_col))).alias("_in"),
         )
+        .filter((F.size("_ex") > 0) & (F.size("_in") > 0))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ex",
+                        lambda a: F.transform(
+                            "_in",
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     scored = jaccard_pairs(shingled, pairs, id_col, threshold)
@@ -531,6 +572,17 @@ def simhash_near_dup(
             for b in range(SIMHASH_BANDS)
         ]
     )
+    # Persist the signature relation across the self-join's two sides:
+    # ``sig`` typically comes from a PYTHON kernel (simhash64's
+    # mapInPandas), which the join would otherwise evaluate once PER SIDE
+    # — the most expensive node in the plan, paid twice (guide §4).  The
+    # same one-slot persist the shingle relation uses; 2 longs per doc.
+    # (An array-side group-local pair expansion was tried instead and
+    # REGRESSED 2.5x: simhash slices are 15 bits, so boilerplate-heavy
+    # corpora make wide buckets, and the W² struct expansion runs through
+    # interpreted higher-order functions while the equi-join + popcount
+    # filter is whole-stage-codegen'd — measured 1.2 s vs 2.9 s at sf0.1.)
+    sig = persist_latest(sig, f"dedup.simhash.{sig_col}")
     buckets = sig.select(
         F.col(id_col), F.col(sig_col), F.explode(slices).alias("bb")
     ).select(id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.slice").alias("slice"))

@@ -143,6 +143,15 @@ _CHANGED_THIS_ROUND: set[str] = {
     "embedding_pq_adc_topk",
     "embedding_topk_ivf2",
     "events_markov_attribution",
+    # group-local LSH candidate generation (operators/dedup.py) + the
+    # simhash signature persist — primaries and their pair consumers
+    "docs_minhash_near_dup",
+    "docs_minhash_containment",
+    "docs_incremental_dedup",
+    "docs_simhash_near_dup",
+    "docs_minhash_recall_sample",
+    "docs_dup_triangles",
+    "docs_pagerank",
 }
 # Round-15 window math (VERDICT r14 item 2): the rotation ladder is
 # complete — the r14 window finished the catch-up, so this is the first
