@@ -1859,53 +1859,69 @@ def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    conv = sess.groupBy("user_id", "sid").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted")
-    )
+    # Per-row transition emission instead of four union branches: the
+    # earlier form derived first/consecutive/last/empty from FOUR
+    # references to the windowed `sess` subtree (the consecutive-pair
+    # SELF-JOIN alone referenced it twice) — Spark shares no common
+    # subexpressions across union/join inputs, so the double-window over
+    # events was evaluated ~6x per run.  lead() expresses the
+    # consecutive pair in the same window pass, the session's converted
+    # flag rides a (user_id, sid) window max (no conv join), and each
+    # ordered row emits its 1-3 transitions from one conditional array —
+    # `sess` is now evaluated twice total (emissions + the
+    # empty-session branch).  Transition COUNTS are identical: rn==1 ⟺
+    # first, lead IS NULL ⟺ last, and a single-event session emits both.
     ws = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    wp = Window.partitionBy("user_id", "sid")
     ordered = (
-        sess.filter(F.col("event_type") != "purchase")
+        sess.withColumn(
+            "conv",
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wp),
+        )
+        .filter(F.col("event_type") != "purchase")
         .withColumn("rn", F.row_number().over(ws))
-        .withColumn(
-            "k", F.count(F.lit(1)).over(Window.partitionBy("user_id", "sid"))
-        )
+        .withColumn("nxt", F.lead("event_type").over(ws))
     )
-    first = ordered.filter(F.col("rn") == 1).select(
-        F.lit("START").alias("src"), F.col("event_type").alias("dst")
-    )
-    nxt = ordered.select(
-        "user_id", "sid", "rn", F.col("event_type").alias("src")
-    ).join(
-        ordered.select(
-            "user_id",
-            "sid",
-            (F.col("rn") - 1).alias("rn"),
-            F.col("event_type").alias("dst"),
+    end_dst = F.when(F.col("conv") == 1, "CONV").otherwise("NULL")
+    emit = F.array(
+        F.when(
+            F.col("rn") == 1,
+            F.struct(
+                F.lit("START").alias("src"), F.col("event_type").alias("dst")
+            ),
         ),
-        on=["user_id", "sid", "rn"],
-    ).select("src", "dst")
-    last = (
-        ordered.filter(F.col("rn") == F.col("k"))
-        .join(conv, on=["user_id", "sid"])
-        .select(
-            F.col("event_type").alias("src"),
-            F.when(F.col("converted") == 1, "CONV")
-            .otherwise("NULL")
-            .alias("dst"),
-        )
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.struct(
+                F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+            ),
+        ),
+        F.when(
+            F.col("nxt").isNull(),
+            F.struct(F.col("event_type").alias("src"), end_dst.alias("dst")),
+        ),
     )
+    transitions = ordered.select(
+        F.explode(F.filter(emit, lambda x: x.isNotNull())).alias("e")
+    ).select("e.src", "e.dst")
+    # converted sessions with ONLY purchase events: no non-purchase row
+    # survives the filter above, so they contribute START→CONV here
     empty_conv = (
-        conv.filter(F.col("converted") == 1)
-        .join(
-            ordered.select("user_id", "sid").distinct(),
-            on=["user_id", "sid"],
-            how="left_anti",
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+            ).alias("n_np"),
         )
+        .filter((F.col("converted") == 1) & (F.col("n_np") == 0))
         .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
     )
-    base = first.unionByName(nxt).unionByName(last).unionByName(empty_conv)
+    base = transitions.unionByName(empty_conv)
     counts = base.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
