@@ -70,9 +70,12 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    # 8 shuffle partitions: bench SFs fit comfortably (AQE coalesces to size
-    # regardless); a cluster deployment sizes this to ~2-3x total cores.
-    spark = get_spark(app_name="bench", shuffle_partitions=8)
+    # 8 shuffle partitions by default: bench SFs fit comfortably (AQE
+    # coalesces to size regardless); a cluster deployment sizes this to
+    # ~2-3x total cores via the env override (scale-dependent settings
+    # stay parameterised, never hard-coded for the local harness).
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
+    spark = get_spark(app_name="bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(spec) -> None:
