@@ -582,7 +582,17 @@ def simhash_near_dup(
     # corpora make wide buckets, and the W² struct expansion runs through
     # interpreted higher-order functions while the equi-join + popcount
     # filter is whole-stage-codegen'd — measured 1.2 s vs 2.9 s at sf0.1.)
-    sig = persist_latest(sig, f"dedup.simhash.{sig_col}")
+    # The marker column makes the persisted plan a strict PARENT of the
+    # caller's sig plan, never plan-equal to it: Spark's cache matches
+    # whole subtrees, so without it a registered signature query (the
+    # docs_simhash primary) would have its entire timed pass served from
+    # this slot — the exact cache-leak the shared-pair projection's
+    # "select(P) does not serve P" rule exists to prevent.  Both join
+    # sides below reference the returned handle directly, so the kernel
+    # still runs once; the marker is pruned at the InMemoryTableScan.
+    sig = persist_latest(
+        sig.withColumn("_join_only", F.lit(1)), f"dedup.simhash.{sig_col}"
+    )
     buckets = sig.select(
         F.col(id_col), F.col(sig_col), F.explode(slices).alias("bb")
     ).select(id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.slice").alias("slice"))
