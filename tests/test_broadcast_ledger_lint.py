@@ -78,9 +78,10 @@ _LEDGER = {
     # decontamination benchmark gram set (fixed benchmark, not corpus)
     ("plans/llmdata.py",
      '.join(F.broadcast(bench), on="g")'): ("query-cohort", 1),
-    # dedup-curve thresholds: createDataFrame over _CURVE_TS literal
+    # dedup-curve thresholds: local_df over the _CURVE_TS literal (4 rows)
     ("plans/llmdata.py",
-     'F.broadcast('): ("literal-const", 1),
+     'F.broadcast(local_df(spark, [(t,) for t in _CURVE_TS], "t double"))'):
+        ("literal-const", 1),
     ("plans/llmdata.py",
      'F.broadcast(lut),'): ("fitted-model", 2),
     ("plans/llmdata.py",

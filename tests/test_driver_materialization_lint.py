@@ -59,12 +59,16 @@ _CATEGORIES = {
 # classification silently.  With counts pinned, any added or removed
 # occurrence of an allowlisted line fails until re-adjudicated.
 _ALLOWLIST = {
-    ("operators/graph.py", "for row in cur.collect():"):
+    # r15: the CC/BFS fast paths probe with limit(threshold+1) — bounded
+    # by construction (<= threshold+1 rows of two longs); over-threshold
+    # graphs discard the probe and take the distributed star/BSP rounds
+    ("operators/graph.py", "probe = ed.limit(driver_threshold + 1).collect()"):
         ("threshold-gated", 1),
-    ("operators/graph.py", "node_list = [r[0] for r in nodes.collect()]"):
+    ("operators/graph.py",
+     "ed_rows = ed.limit(driver_threshold + 1).collect()"):
         ("threshold-gated", 1),
-    ("operators/graph.py", "for r in ed.collect():"): ("threshold-gated", 1),
-    ("operators/graph.py", "hop = {r[0]: 0 for r in sd.collect()}"):
+    ("operators/graph.py",
+     "sd_rows = sd_plan.limit(driver_threshold + 1).collect()"):
         ("threshold-gated", 1),
     ("operators/layout.py", ").collect()[0]"): ("post-aggregate-bounded", 1),
     ("operators/similarity.py",

@@ -115,8 +115,9 @@ _ALLOWLIST = {
         ("layout-simulation", 1),  # zonemap linear-layout comparator
     ("streaming_plans.py", 'Window.partitionBy("user_id")'):
         ("high-cardinality-key", 1),
-    ("timeseries.py",
-     '"k", F.count(F.lit(1)).over(Window.partitionBy("user_id", "sid"))'):
+    # r15: Markov per-row emission — the converted flag rides a window
+    # max on the same (user_id, sid) session key the ws window uses
+    ("timeseries.py", 'wp = Window.partitionBy("user_id", "sid")'):
         ("high-cardinality-key", 1),
     ("timeseries.py", 'Window.orderBy("bucket").rowsBetween('):
         ("reduced-input", 1),  # histogram buckets
