@@ -74,7 +74,14 @@ def main() -> None:
     # coalesces to size regardless); a cluster deployment sizes this to
     # ~2-3x total cores via the env override (scale-dependent settings
     # stay parameterised, never hard-coded for the local harness).
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
+    raw_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    try:
+        shuffle = int(raw_shuffle)
+    except ValueError as e:
+        raise SystemExit(
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer, "
+            f"got {raw_shuffle!r}"
+        ) from e
     spark = get_spark(app_name="bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -16,7 +16,9 @@ total, never the tables themselves.  Rule kinds:
   in_range(col, lo, hi)      non-null values outside [lo, hi]
 
 Scale design: not_null / accepted_values / in_range are scan-local
-predicates that collapse map-side to one partial per task; unique is one
+predicates that collapse map-side to one partial per task — and several
+predicate rules over the same table can share ONE scan via
+fused_predicates (r16); unique is one
 groupBy on the key (the same shuffle a dedup pays — unavoidable for exact
 uniqueness; swap in a KMV/HLL sketch when an estimate suffices);
 foreign_key broadcasts the parent's distinct key column only when the
@@ -46,9 +48,66 @@ def _report_row(rule_id: str, table: str, kind: str, count_df: DataFrame):
     )
 
 
+# -- scan-local predicate rules: declared as (rule_id, kind, bad) triples
+# so several rules over the SAME table can share one scan (r16, guide §6:
+# one pass per table, not one per rule).  Each single-rule entry point
+# below delegates to fused_predicates with a one-element list, so the
+# per-rule declarative contract (one report row per declared rule) is
+# unchanged whether rules are fused or not.
+
+
+def not_null_rule(table: str, col: str) -> tuple:
+    return (f"not_null:{table}.{col}", "not_null", F.col(col).isNull())
+
+
+def accepted_values_rule(
+    table: str, col: str, values: list[str]
+) -> tuple:
+    return (
+        f"accepted_values:{table}.{col}",
+        "accepted_values",
+        F.col(col).isNotNull() & ~F.col(col).isin(values),
+    )
+
+
+def in_range_rule(table: str, col: str, lo: float, hi: float) -> tuple:
+    return (
+        f"in_range:{table}.{col}",
+        "in_range",
+        F.col(col).isNotNull()
+        & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
+    )
+
+
+def fused_predicates(
+    df: DataFrame, table: str, rules: list[tuple]
+) -> DataFrame:
+    """Evaluate several scan-local predicate rules over ONE scan of
+    ``df``: a single aggregate computes every rule's violation count
+    (all counts collapse map-side to one partial row per task), then the
+    counts unpivot into the standard |rules|-row report shape.  The
+    report rows are identical to evaluating each rule separately — only
+    the number of table scans changes (k rules: k scans → 1)."""
+    counts = df.agg(
+        *[
+            F.count_if(bad).alias(f"_n{i}")
+            for i, (_rid, _kind, bad) in enumerate(rules)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.lit(table).alias("table_name"),
+            F.lit(kind).alias("kind"),
+            F.col(f"_n{i}").cast("long").alias("n_violations"),
+        )
+        for i, (rid, kind, _bad) in enumerate(rules)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
 def not_null(df: DataFrame, table: str, col: str) -> DataFrame:
-    c = df.agg(F.count_if(F.col(col).isNull()).alias("n"))
-    return _report_row(f"not_null:{table}.{col}", table, "not_null", c)
+    return fused_predicates(df, table, [not_null_rule(table, col)])
 
 
 def unique(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
@@ -88,21 +147,15 @@ def foreign_key(
 def accepted_values(
     df: DataFrame, table: str, col: str, values: list[str]
 ) -> DataFrame:
-    bad = F.col(col).isNotNull() & ~F.col(col).isin(values)
-    c = df.agg(F.count_if(bad).alias("n"))
-    return _report_row(
-        f"accepted_values:{table}.{col}", table, "accepted_values", c
+    return fused_predicates(
+        df, table, [accepted_values_rule(table, col, values)]
     )
 
 
 def in_range(
     df: DataFrame, table: str, col: str, lo: float, hi: float
 ) -> DataFrame:
-    bad = F.col(col).isNotNull() & (
-        (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
-    )
-    c = df.agg(F.count_if(bad).alias("n"))
-    return _report_row(f"in_range:{table}.{col}", table, "in_range", c)
+    return fused_predicates(df, table, [in_range_rule(table, col, lo, hi)])
 
 
 def constraint_report(rules: list[DataFrame]) -> DataFrame:

@@ -197,40 +197,29 @@ def lsh_band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _within_bucket_pairs(ids_arr: Column) -> Column:
-    """All (id_a < id_b) pairs within one bucket's ASCENDING-sorted id
-    array, as an array of structs — the array form of the bucket
-    self-join (sortedness makes position order ⟺ id order)."""
-    return F.flatten(
-        F.transform(
-            ids_arr,
-            lambda x, i: F.transform(
-                # slice is 1-based: successors of 0-based element i start
-                # at position i+2; the length arg is clamped by slice
-                F.slice(ids_arr, i + F.lit(2), F.size(ids_arr)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-
-
 def lsh_candidate_pairs(
     buckets: DataFrame, id_col: str, max_bucket_width: int | None = None
 ) -> DataFrame:
     """distinct (id_a < id_b) pairs sharing any band bucket — one
     aggregation keyed on (band, bucket), never all pairs.
 
-    Pair generation is GROUP-LOCAL: collect each bucket's (unique) member
-    ids, drop singleton buckets, and expand the W·(W−1)/2 in-bucket pairs
-    array-side.  The earlier bucket self-join computed the whole
+    Pair generation is GROUP-LOCAL: collect each bucket's member-id SET
+    (collect_set: a duplicated member row can never mint a self-pair),
+    sorted ascending, drop singleton buckets, and emit the W·(W−1)/2
+    in-bucket pairs through TWO STREAMING explodes — posexplode each
+    element, then explode its strict successors (slice from position
+    i+2).  The earlier bucket self-join computed the whole
     signature→banding subtree TWICE (once per join side — Spark shares no
     common subexpressions across join inputs) and shuffled it twice; this
     form references the subtree once and pays one exchange (guide §2.4:
     two operations keyed the same way share one exchange).  The pair
     SET is identical: a bucket of members {x₁<…<x_w} yields exactly the
-    pairs the equi-join with id_a < id_b produced.  Per-bucket memory is
-    the member array — bounded by exactly the same bucket width the join
-    task already colocated, and capped by the mega-bucket guard below.
+    pairs the equi-join with id_a < id_b produced (sortedness makes
+    position order ⟺ id order).  Per-ROW memory is O(W) — the member
+    array plus one suffix slice — never the flattened W² pairs array an
+    earlier form allocated inside a single task row before exploding (the
+    guide-§5 spill hazard a boilerplate mega-bucket would hit at 100 TB);
+    the Generate operators stream the quadratic output row by row.
 
     ``max_bucket_width`` is the mega-bucket guard for boilerplate-heavy
     corpora: a bucket shared by W docs contributes W·(W−1)/2 candidate
@@ -241,18 +230,26 @@ def lsh_candidate_pairs(
     analogy): a pair whose every collision is a mega-bucket is lost,
     which is the explicit trade.  Default None keeps exact advertised
     recall; the planted-recall test pins the default path.  (The cap is
-    now a post-aggregate size filter — the old width-census join is two
-    plan nodes cheaper and no longer re-derives the banding.)"""
+    a post-aggregate size filter — two plan nodes cheaper than the old
+    width-census join, and it never re-derives the banding.)"""
     grouped = buckets.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_list(id_col)).alias("_ids")
+        F.array_sort(F.collect_set(id_col)).alias("_ids")
     )
     width_ok = F.size("_ids") >= 2
     if max_bucket_width is not None:
         width_ok = width_ok & (F.size("_ids") <= max_bucket_width)
     return (
         grouped.filter(width_ok)
-        .select(F.explode(_within_bucket_pairs(F.col("_ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        # 1-based slice: strict successors of 0-based element i start at
+        # position i+2; size(_ids) over-lengths are clamped by slice, and
+        # the last element's empty suffix emits no row under explode.
+        .select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -410,37 +407,26 @@ def incremental_near_dup(
     sig = minhash_signature_components(shingled, id_col)
     buckets = lsh_band_buckets(sig, id_col)
     # Group-local cross-split pairs: collect each bucket's existing and
-    # incoming member ids in ONE aggregation and expand the cross product
-    # array-side — the existing×incoming bucket join computed the
-    # signature→banding subtree twice (once per side); this references it
-    # once, same rewrite (and the same identical-pair-set argument) as
-    # lsh_candidate_pairs.  In the real deployment shape the existing
-    # side is a STORED signature table, where the bucket join is the
-    # right plan — documented in the docstring above.
+    # incoming member-id sets in ONE aggregation (collect_set skips the
+    # when()-nulls and is dup-proof) and emit the |ex|·|in| cross product
+    # through two STREAMING explodes — the existing×incoming bucket join
+    # computed the signature→banding subtree twice (once per side); this
+    # references it once, same rewrite (and the same identical-pair-set
+    # argument) as lsh_candidate_pairs, and like there the quadratic
+    # output is never flattened into one task row (guide §5).  In the
+    # real deployment shape the existing side is a STORED signature
+    # table, where the bucket join is the right plan — documented in the
+    # docstring above.
     split = F.col(id_col) < split_id
     pairs = (
         buckets.groupBy("band", "bucket")
         .agg(
-            F.collect_list(F.when(split, F.col(id_col))).alias("_ex"),
-            F.collect_list(F.when(~split, F.col(id_col))).alias("_in"),
+            F.collect_set(F.when(split, F.col(id_col))).alias("_ex"),
+            F.collect_set(F.when(~split, F.col(id_col))).alias("_in"),
         )
         .filter((F.size("_ex") > 0) & (F.size("_in") > 0))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_ex",
-                        lambda a: F.transform(
-                            "_in",
-                            lambda b: F.struct(
-                                a.alias("id_a"), b.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        .select(F.col("_in"), F.explode("_ex").alias("id_a"))
+        .select("id_a", F.explode("_in").alias("id_b"))
         .distinct()
     )
     scored = jaccard_pairs(shingled, pairs, id_col, threshold)

@@ -123,52 +123,45 @@ def register(name: str, oracle: Optional[str], doc: str = "", memoize: bool = Tr
 # freshest driver green (the _LATEST_GREEN map below, computed from the
 # CORRECTNESS_r01..r09 union, distribution r6×30 / r7×48 / r8×49 / r9×50).
 
-# Round-15 optimization phase: the driver-fallback restructure in
-# operators/graph.py (limit-probe strategy choice + Arrow-path labels)
-# flows through every CC/BFS consumer, and functions/local_rows.local_df
-# (Arrow createDataFrame for driver-computed rows) through the fitted-
-# constant queries — all listed here so the r15 window re-verifies the
-# changed implementations first.  (The round started with CHANGED=[] —
-# zero builders moved during the maintenance phase; these entries are
-# the optimization phase's.)
+# Round-16 optimization phase (optimization round 2 of 2): the LSH pair
+# expansion now streams through two explodes (operators/dedup.py —
+# primaries and every pair consumer flow through it), corpus_pipeline
+# inlines the survivors verdict, kmv_intersect fused to one linear
+# pass, and warehouse_constraint_report fuses events' predicate rules
+# into one scan — all listed here so the r16 window re-verifies the
+# changed implementations first.
 _CHANGED_THIS_ROUND: set[str] = {
-    "docs_dup_clusters",
-    "docs_dedup_survivors",
-    "docs_dedup_report",
-    "docs_corpus_pipeline",
-    "docs_contamination_hops",
-    "docs_cluster_representatives",
-    "embedding_semdedup",
-    "embedding_dedup_curve",
-    "embedding_pq_adc_topk",
-    "embedding_topk_ivf2",
-    "events_markov_attribution",
-    # group-local LSH candidate generation (operators/dedup.py) + the
-    # simhash signature persist — primaries and their pair consumers
+    # streaming-explode LSH pair generation (operators/dedup.py):
+    # primaries
     "docs_minhash_near_dup",
     "docs_minhash_containment",
     "docs_incremental_dedup",
-    "docs_simhash_near_dup",
+    # pair consumers (shared pair relation / registered near-dup plan)
+    "docs_dup_clusters",
+    "docs_dedup_survivors",
+    "docs_dedup_report",
+    "docs_cluster_representatives",
     "docs_minhash_recall_sample",
     "docs_dup_triangles",
     "docs_pagerank",
+    "docs_contamination_hops",
+    # survivors-verdict inlined + pair-consumer
+    "docs_corpus_pipeline",
+    # single-pass sketch algebra
+    "events_kmv_intersect",
+    # fused per-table predicate scan
+    "warehouse_constraint_report",
 }
-# Round-15 window math (VERDICT r14 item 2): the rotation ladder is
-# complete — the r14 window finished the catch-up, so this is the first
-# ROUTINE window: the entire 27-query r11-evidence cohort + the 23
-# oldest r12 entries (registration order) = 50.  After it lands, no
-# registry query carries driver evidence older than r12 (distribution
-# becomes r12×27 / r13×50 / r14×50 / r15×50).
+# Round-16 window math: the 15 changed queries above drain first; the
+# remaining ~35 slots fill by evidence staleness from _LATEST_GREEN
+# (r12-evidence cohort first, then oldest r13 entries in registration
+# order) — the same routine rotation r15 ran.
 
 # Within a staleness class, registration order normally decides who
 # drains first.  This set front-loads named queries WITHIN their class
 # (it never jumps a query past a staler class — _verify_priority keeps
-# the round as the primary key).  Round 15: empty — the r12 cut after
-# the 23rd entry falls between docs_corpus_pipeline (in) and
-# docs_preference_pairs (out); both live in llmdata but share no
-# operator kernel (composite corpus pipeline vs max_by/min_by RLHF
-# prep), so unlike the r14 multimodal straddle there is no family to
-# keep together and pure registration order stands.  Reset alongside
+# the round as the primary key).  Round 16: empty — no family straddle
+# to repair; pure registration order stands.  Reset alongside
 # _CHANGED_THIS_ROUND at each round start.
 _FRONT_OF_CLASS_THIS_ROUND: set[str] = set()
 

@@ -2010,9 +2010,23 @@ _PIPE_SHARD_TOKENS = 4096  # tokens per output shard, per source
 def q_docs_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from data_engineering_etl_demo_spark.catalog import session_key
     from data_engineering_etl_demo_spark.plans import REGISTRY
 
     t, w = F.col("text"), F.col("w")
+    # The gate pass computes the doc's FINGERPRINT in the same scan (r16,
+    # guide §2.4): the old form ran docs_dedup_survivors separately and
+    # re-joined its 'kept' verdict back on doc_id — one more evaluation
+    # of the documents scan + fingerprint and one more shuffle join.
+    # The verdict predicate is inlined instead: kept ⟺ doc_id == the
+    # fingerprint group's keep_id AND (no CC component or it is its own
+    # component representative) — exactly survivors' CASE with exact-dup
+    # precedence (an exact dup fails the first conjunct regardless of its
+    # component).  keepers still aggregates over ALL documents (min
+    # doc_id per fingerprint is a corpus-global fact), and the inner
+    # fingerprint join keeps every gated row (its fingerprint is in
+    # keepers by construction; a NULL fingerprint never joined in the old
+    # fp⋈keepers form either).
     gate = (
         _docs_wide(spark, sf_dir)
         .select("doc_id", "source", "text", X.words(t).alias("w"))
@@ -2025,19 +2039,33 @@ def q_docs_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             X.token_count(t, w).cast("long").alias("n_tokens"),
+            X.fingerprint(t).alias("fingerprint"),
         )
     )
-    kept_ids = (
-        REGISTRY["docs_dedup_survivors"]
-        .spark_fn(spark, sf_dir)
-        .filter(F.col("status") == "kept")
-        .select("doc_id")
+    keepers = (
+        _docs_wide(spark, sf_dir)
+        .select(X.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"))
     )
+    comp = _cc_labels_memo.get((session_key(spark), sf_dir))
+    if comp is None:
+        comp = REGISTRY["docs_dup_clusters"].spark_fn(spark, sf_dir)
     seeds = (
         REGISTRY["docs_decontaminate"].spark_fn(spark, sf_dir).select("doc_id")
     )
-    kept = gate.join(kept_ids, on="doc_id").join(
-        seeds, on="doc_id", how="left_anti"
+    kept = (
+        gate.join(keepers, on="fingerprint")
+        .join(comp, on="doc_id", how="left")
+        .filter(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            )
+        )
+        .join(seeds, on="doc_id", how="left_anti")
+        .select("doc_id", "source", "n_tokens")
     )
     w_win = (
         Window.partitionBy("source")

@@ -1088,7 +1088,18 @@ def q_warehouse_constraint_report(
     lineitem = load(spark, sf_dir, "lineitem")
     customer = load(spark, sf_dir, "customer")
     rules = [
-        C.accepted_values(events, "events", "event_type", _EVENT_VOCAB),
+        # events' three scan-local predicate rules share ONE scan (r16,
+        # guide §6 — fused_predicates; the report rows are identical to
+        # the per-rule form, constraint_report orders by rule_id anyway)
+        C.fused_predicates(
+            events,
+            "events",
+            [
+                C.accepted_values_rule("events", "event_type", _EVENT_VOCAB),
+                C.not_null_rule("events", "event_id"),
+                C.not_null_rule("events", "user_id"),
+            ],
+        ),
         C.foreign_key(
             events, "events", "user_id", customer, "c_custkey",
             broadcast=True,  # customer keys are dim-sized
@@ -1102,8 +1113,6 @@ def q_warehouse_constraint_report(
             broadcast=True,
         ),
         C.in_range(orders, "orders", "o_totalprice", 0, 450000),
-        C.not_null(events, "events", "event_id"),
-        C.not_null(events, "events", "user_id"),
         C.unique(customer, "customer", ["c_custkey"]),
         C.unique(events, "events", ["event_id"]),
         C.unique(lineitem, "lineitem", ["l_orderkey", "l_linenumber"]),

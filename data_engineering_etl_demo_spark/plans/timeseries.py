@@ -923,6 +923,16 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle hash-checks the equality itself.",
 )
 def q_events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Examined for the r16 shared-pass rewrite and deliberately LEFT in
+    # the two-branch form: a fused variant (one distinct + stacked
+    # dense_rank windows, like events_kmv_intersect's r16 shape) was
+    # built and measured SLOWER (warm min 0.46→0.57 s at sf0.1) — the
+    # direct path must rank the FULL distinct hash set per event_type
+    # (deriving it from the day partials would make the merged==direct
+    # demonstration tautological), and a dense_rank over ~5 event_type
+    # partitions serializes a 93k-row sort that the two-branch form
+    # splits across the (event_type, day) grid.  The duplicated
+    # scan+md5 it saves is cheaper than the parallelism it loses.
     base = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -1512,9 +1522,37 @@ def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     "engines.",
 )
 def q_events_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
+    # ONE linear pass instead of three kmv_distinct branches + two joins
+    # (r16, guide §2.4): the old form evaluated the scan→md5-hash→distinct
+    # subtree once PER branch (a, b, union — Spark shares no common
+    # subexpressions across join inputs).  Here the three sketches ride
+    # one distinct and two stacked windows:
+    #   _rn  = row_number over (event_type, par)            — per-cohort
+    #          rank; rows with _rn <= k ARE each cohort's k-min sketch
+    #          (h is unique within the partition after the distinct, so
+    #          row_number has no tie ambiguity).  The stream is FILTERED
+    #          to those rows before the second window, so the expensive
+    #          per-event_type sort ranks <= 2k rows per type, not the
+    #          whole distinct set;
+    #   _dr  = dense_rank over (event_type) ordered by h on the sketch
+    #          rows — equal h appearing in both cohorts shares a rank,
+    #          so _dr <= k selects exactly the k smallest distinct
+    #          hashes of the sketch UNION, which is what
+    #          kmv_distinct(sk) computed (its internal distinct
+    #          collapses cross-cohort repeats the same way).
+    # The final groupBy(event_type) is keyed like the second window, so
+    # it reuses that exchange; estimates apply the identical
+    # K.kmv_estimate double-op sequence, and the inner-join semantics of
+    # the old three-way join survive as the both-cohorts-present filter.
+    k = K.KMV_K
+    d = (
         load(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
+        # event_type NOT NULL replicates the old form's inner-join-on-
+        # event_type semantics exactly (a NULL group never joins); the
+        # current data has no NULL event_type, so this is shape-only
+        .filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
         .select(
             "event_type",
             (
@@ -1523,38 +1561,49 @@ def q_events_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("par"),
             K.hash60(F.col("user_id")).alias("h"),
         )
+        .distinct()
     )
     sk = (
-        base.distinct()
-        .withColumn(
+        d.withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy("event_type", "par").orderBy(F.col("h"))
             ),
         )
-        .filter(F.col("_rn") <= K.KMV_K)
-        .select("event_type", "h")
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "_dr",
+            F.dense_rank().over(
+                Window.partitionBy("event_type").orderBy(F.col("h"))
+            ),
+        )
     )
-    a = K.kmv_distinct(base.filter(F.col("par") == 0), "event_type", "h")
-    b = K.kmv_distinct(base.filter(F.col("par") == 1), "event_type", "h")
-    u = K.kmv_distinct(sk, "event_type", "h")
+    even, odd = F.col("par") == 0, F.col("par") == 1
+    in_union = F.col("_dr") <= k
+    est = K.kmv_estimate
     return (
-        a.withColumnRenamed("kmv_users", "kmv_even")
-        .join(
-            b.withColumnRenamed("kmv_users", "kmv_odd"), on="event_type"
+        sk.groupBy("event_type")
+        .agg(
+            F.max(F.when(even, F.col("h"))).alias("_hk_e"),
+            F.count_if(even).alias("_nh_e"),
+            F.max(F.when(odd, F.col("h"))).alias("_hk_o"),
+            F.count_if(odd).alias("_nh_o"),
+            F.max(F.when(in_union, F.col("h"))).alias("_hk_u"),
+            F.count_distinct(F.when(in_union, F.col("h"))).alias("_nh_u"),
         )
-        .join(
-            u.withColumnRenamed("kmv_users", "kmv_union"), on="event_type"
-        )
+        .filter((F.col("_nh_e") > 0) & (F.col("_nh_o") > 0))
         .select(
             "event_type",
-            "kmv_even",
-            "kmv_odd",
-            "kmv_union",
+            est(F.col("_hk_e"), F.col("_nh_e")).alias("kmv_even"),
+            est(F.col("_hk_o"), F.col("_nh_o")).alias("kmv_odd"),
+            est(F.col("_hk_u"), F.col("_nh_u")).alias("kmv_union"),
+        )
+        .withColumn(
+            "kmv_inter",
             F.greatest(
                 F.col("kmv_even") + F.col("kmv_odd") - F.col("kmv_union"),
                 F.lit(0),
-            ).alias("kmv_inter"),
+            ),
         )
         .orderBy("event_type")
     )

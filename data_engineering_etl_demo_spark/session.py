@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # strict Arrow conversion for driver-local rows (local_df): an
+        # out-of-range value must raise like the list path did, never
+        # silently truncate (ADVICE r15)
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -69,6 +73,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # Arrow conversion for driver-local rows (functions/local_rows) and
         # toPandas — runtime-settable, same default get_spark pins
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # strict Arrow conversion (see get_spark): overflow raises like
+        # the list path, never silently truncates (ADVICE r15)
+        spark.conf.set(
+            "spark.sql.execution.pandas.convertToArrowArraySafely", "true"
+        )
     except Exception:
         pass  # some confs may be fixed by the driver; never fail on tuning
     return spark

@@ -35,13 +35,13 @@ _orig = P.run_to_completion
 
 
 def patched(stream, query_name, output_mode="append",
-            shuffle_partitions=None, spark=None):
+            shuffle_partitions=None, spark=None, no_data_batch=True):
     import shutil
     import tempfile
     import uuid
 
     if callable(stream):
-        session = (P._drain_session(spark, shuffle_partitions)
+        session = (P._drain_session(spark, shuffle_partitions, no_data_batch)
                    if shuffle_partitions is not None else spark)
         stream_df = stream(session)
     else:

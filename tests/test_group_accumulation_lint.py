@@ -46,18 +46,20 @@ _LEDGER = {
     ("operators/dedup.py",
      '"collect_list(CASE WHEN NOT dup THEN struct(k, txt) END)),"'):
         ("entity-bounded", 1),
-    # r15 group-local LSH pair generation: one (band, bucket)'s member
-    # ids — exactly the rows the old bucket self-join colocated in one
-    # task; bounded by the same bucket width, capped by the mega-bucket
-    # guard (lsh_candidate_pairs max_bucket_width)
+    # r15 group-local LSH pair generation (r16: collect_set — dup-proof,
+    # ADVICE r15 — and the pair expansion now streams through two
+    # explodes instead of flattening W² structs in one row): one (band,
+    # bucket)'s member ids — exactly the rows the old bucket self-join
+    # colocated in one task; bounded by the same bucket width, capped by
+    # the mega-bucket guard (lsh_candidate_pairs max_bucket_width)
     ("operators/dedup.py",
-     'F.array_sort(F.collect_list(id_col)).alias("_ids")'):
+     'F.array_sort(F.collect_set(id_col)).alias("_ids")'):
         ("entity-bounded", 1),
     ("operators/dedup.py",
-     'F.collect_list(F.when(split, F.col(id_col))).alias("_ex"),'):
+     'F.collect_set(F.when(split, F.col(id_col))).alias("_ex"),'):
         ("entity-bounded", 1),
     ("operators/dedup.py",
-     'F.collect_list(F.when(~split, F.col(id_col))).alias("_in"),'):
+     'F.collect_set(F.when(~split, F.col(id_col))).alias("_in"),'):
         ("entity-bounded", 1),
     # market-basket: one order's distinct parts (TPC-H: <=7 lines/order)
     ("plans/tpch.py",
