@@ -164,6 +164,47 @@ def cm_estimates(rows: DataFrame, group_col: str, key_col: str) -> DataFrame:
     )
 
 
+def cm_estimates_from_counts(
+    counts: DataFrame, group_col: str, key_col: str, n_col: str
+) -> DataFrame:
+    """(group, key, cm_n): cm_estimates computed from a PRE-AGGREGATED
+    (group, key, n) relation instead of raw occurrence rows.
+
+    Every sketch counter is an integer sum over rows hashing to its
+    (j, c) coordinate, so feeding each distinct key once with weight n
+    yields bit-identical counters to feeding n raw rows — but the
+    4-way coordinate explode and its shuffle now run over |distinct
+    keys| rows, not |occurrences| (guide §2.2: pre-aggregate before
+    the expensive expansion).  Callers that also need the exact count
+    get it from the same grouped pass instead of a third scan."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), cm_coord(F.col(key_col), j).alias("c")
+                )
+                for j in range(CM_DEPTH)
+            ]
+        )
+    )
+    ex = counts.select(group_col, key_col, n_col, coords.alias("jc")).select(
+        group_col,
+        key_col,
+        n_col,
+        F.col("jc.j").alias("j"),
+        F.col("jc.c").alias("c"),
+    )
+    sketch = ex.groupBy(group_col, "j", "c").agg(
+        F.sum(n_col).cast("long").alias("_cnt")
+    )
+    return (
+        ex.select(group_col, key_col, "j", "c")
+        .join(sketch, on=[group_col, "j", "c"])
+        .groupBy(group_col, key_col)
+        .agg(F.min("_cnt").alias("cm_n"))
+    )
+
+
 def sql_cm_estimates(source: str, group_col: str, key_col: str) -> str:
     """DuckDB CTE chain mirroring cm_estimates; SELECTs (group, key, cm_n)."""
     seeded = sql_hash60(f"'cm' || CAST(j AS VARCHAR) || ':' || CAST({key_col} AS VARCHAR)")

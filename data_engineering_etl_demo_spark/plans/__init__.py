@@ -151,8 +151,16 @@ _CHANGED_THIS_ROUND: set[str] = {
     "events_kmv_intersect",
     # fused per-table predicate scan
     "warehouse_constraint_report",
+    # r16 batch 2 (sub-second-tail pass): single-scan weighted CM sketch
+    "events_heavy_hitters",
+    # unigram join pushed to the pair level (shared relation feeds
+    # perplexity_buckets too)
+    "docs_bigram_surprisal",
+    "docs_perplexity_buckets",
+    # one grouped pass + conditional state merge
+    "events_incremental_rollup",
 }
-# Round-16 window math: the 15 changed queries above drain first; the
+# Round-16 window math: the 19 changed queries above drain first; the
 # remaining ~35 slots fill by evidence staleness from _LATEST_GREEN
 # (r12-evidence cohort first, then oldest r13 entries in registration
 # order) — the same routine rotation r15 ran.

@@ -2370,10 +2370,19 @@ def q_docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = big.groupBy(F.col("w1").alias("u_w1")).agg(
         F.sum("c2").cast("long").alias("c1")
     )
-    bits = F.length(F.bin(F.expr("c1 DIV c2")))
+    # bits is a pure function of (c1, c2), so join the unigram rollup
+    # into the |V²|-sized bigram relation FIRST and compute it there —
+    # the old form joined uni against every exploded position (r16,
+    # guide §3: reduce before the big join; same integer per pair, and
+    # the position-level sum weights it identically).
+    scored = big.join(uni, big["w1"] == uni["u_w1"]).select(
+        "w1",
+        "w2",
+        F.length(F.bin(F.expr("c1 DIV c2"))).alias("bits"),
+    )
+    bits = F.col("bits")
     return (
-        ex.join(big, on=["w1", "w2"])
-        .join(uni, F.col("w1") == F.col("u_w1"))
+        ex.join(scored, on=["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -4353,10 +4362,20 @@ def q_docs_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     lsh = _near_dup_pairs_shared(spark, sf_dir)
-    hits = truth.join(lsh, ["id_a", "id_b"])
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    return nt.crossJoin(nh).select(
+    # ONE pass over the exact-truth subtree (r16, guide §2.4): the old
+    # form aggregated truth and truth⋈lsh separately, evaluating the
+    # sample×corpus ground-truth derivation twice (Spark shares nothing
+    # across the crossJoin's inputs).  A left join against the (unique-
+    # keyed, persisted) LSH pair relation marks hits instead, so one
+    # aggregate yields both counts — n_hit = marked rows, identical to
+    # the old inner-join count because lsh pairs are distinct.
+    marked = truth.join(
+        lsh.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("_hit").cast("long").alias("n_hit"),
+    ).select(
         "n_truth",
         "n_hit",
         F.when(F.col("n_truth") == 0, F.lit(1_000_000).cast("long"))

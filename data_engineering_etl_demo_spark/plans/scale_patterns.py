@@ -71,14 +71,20 @@ _SQL_BASE_USERS = (
     "(operators/sketches.py).",
 )
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
+    # ONE events pass (r16, guide §2.2): the exact per-(type, user) count
+    # is computed first and the sketch counters are integer sums, so the
+    # coordinate explode feeds each distinct key once with weight exact_n
+    # instead of every raw occurrence 4x — bit-identical counters (the
+    # old form scanned events three times: sketch update, distinct keys,
+    # exact counts).
+    counts = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
-        .select("event_type", "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
     )
-    est = K.cm_estimates(base, "event_type", "user_id")
-    exact = base.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).alias("exact_n")
+    est = K.cm_estimates_from_counts(
+        counts, "event_type", "user_id", "exact_n"
     )
     rnk = F.row_number().over(
         Window.partitionBy("event_type").orderBy(
@@ -86,7 +92,7 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        est.join(exact, on=["event_type", "user_id"])
+        est.join(counts, on=["event_type", "user_id"])
         .withColumn("rnk", rnk)
         .filter(F.col("rnk") <= _TOP_K)
         .select("event_type", "user_id", "cm_n", "exact_n", "rnk")

@@ -1228,24 +1228,27 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = e.agg(F.max("day").alias("last_day"))
     ed = e.crossJoin(F.broadcast(mx))
 
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("v_f").cast("long").alias("s_f")
-        )
-
-    mv = partial(ed.filter(F.col("day") < F.col("last_day")))
-    delta = partial(ed.filter(F.col("day") == F.col("last_day")))
-    merged = (
-        mv.unionByName(delta)
-        .groupBy("event_type")
+    # ONE grouped pass (r16, guide §2.4): the mv partial (closed days)
+    # and the delta partial (newest day) come out of a single
+    # (event_type, is_delta) aggregate instead of two filtered scans,
+    # and the merge + per-state counts fold into a conditional rollup —
+    # the same associative LONG partial states, merged once, no joins.
+    # A type absent from one state contributes no rows to its
+    # conditional sum (NULL), exactly like the old left joins.  NULL-day
+    # rows satisfied neither old filter — keep them out of the flag
+    # group too.
+    ed = ed.filter(F.col("day").isNotNull())
+    parts = ed.groupBy(
+        "event_type", (F.col("day") == F.col("last_day")).alias("is_delta")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v_f").cast("long").alias("s_f"))
+    return (
+        parts.groupBy("event_type")
         .agg(
+            F.sum(F.when(~F.col("is_delta"), F.col("n"))).alias("mv_n"),
+            F.sum(F.when(F.col("is_delta"), F.col("n"))).alias("d_n"),
             F.sum("n").cast("long").alias("n_events"),
             F.sum("s_f").cast("long").alias("s_f"),
         )
-    )
-    return (
-        merged.join(mv.select("event_type", F.col("n").alias("mv_n")), "event_type", "left")
-        .join(delta.select("event_type", F.col("n").alias("d_n")), "event_type", "left")
         .select(
             "event_type",
             F.coalesce("mv_n", F.lit(0)).cast("long").alias("mv_events"),

@@ -68,9 +68,8 @@ _CROSS_ALLOWLIST = {
         ("broadcast-constant", 1),
     ("plans/llmdata.py", "per.crossJoin(F.broadcast(tot))"):
         ("broadcast-constant", 1),
-    # n_truth x n_hit, both 1-row count aggregates
-    ("plans/llmdata.py", "return nt.crossJoin(nh).select("):
-        ("one-row-aggregate", 1),
+    # (r16: recall_sample's n_truth x n_hit crossJoin removed — both
+    # counts now come from one aggregate over the marked truth relation)
     ("plans/llmdata.py", "words.crossJoin(F.broadcast(q))"):
         ("broadcast-constant", 1),
     ("plans/scale_patterns.py", ".crossJoin(F.broadcast(exact))"):

@@ -127,6 +127,10 @@ _ALLOWLIST = {
     ("timeseries.py",
      'Window.partitionBy("event_type", "par").orderBy(F.col("h"))'):
         ("bounded-vocab-audited", 1),  # KMV sketch, output capped at K
+    # r16: kmv_intersect union rank — runs on rows already capped at
+    # <= 2K per event_type by the per-cohort _rn <= k filter above it
+    ("timeseries.py", 'Window.partitionBy("event_type").orderBy(F.col("h"))'):
+        ("reduced-input", 1),
     ("timeseries.py", 'Window.partitionBy("pid")'):
         ("reduced-input", 1),  # concentration histogram rows
     ("timeseries.py", 'Window.partitionBy("user_id")'):
