@@ -176,7 +176,9 @@ def cm_estimates_from_counts(
     4-way coordinate explode and its shuffle now run over |distinct
     keys| rows, not |occurrences| (guide §2.2: pre-aggregate before
     the expensive expansion).  Callers that also need the exact count
-    get it from the same grouped pass instead of a third scan."""
+    read it off the same logical relation (each consuming subtree still
+    plans its own pruned scan + partial aggregate, but those shuffle
+    distinct-key partials, not occurrences)."""
     coords = F.explode(
         F.array(
             *[

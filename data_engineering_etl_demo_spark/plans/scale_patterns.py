@@ -71,12 +71,14 @@ _SQL_BASE_USERS = (
     "(operators/sketches.py).",
 )
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE events pass (r16, guide §2.2): the exact per-(type, user) count
-    # is computed first and the sketch counters are integer sums, so the
-    # coordinate explode feeds each distinct key once with weight exact_n
-    # instead of every raw occurrence 4x — bit-identical counters (the
-    # old form scanned events three times: sketch update, distinct keys,
-    # exact counts).
+    # Pre-aggregate before the expansion (r16, guide §2.2): the exact
+    # per-(type, user) count is computed first and the sketch counters
+    # are integer sums, so the coordinate explode feeds each distinct
+    # key once with weight exact_n instead of every raw occurrence 4x —
+    # bit-identical counters.  Catalyst still plans three pruned
+    # scan+partial-agg subtrees (join-key nullability pushdown defeats
+    # exchange reuse), but each shuffles |distinct keys| partials where
+    # the old form shuffled the occurrence-level explode.
     counts = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
